@@ -1,0 +1,69 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session + table-loading conventions for the graft engine.
+  *
+  * Scale notes (100 TB discipline):
+  *  - AQE on: runtime coalescing of shuffle partitions, skew-join splitting.
+  *  - `shuffle.partitions` defaults to the local core count; on a real
+  *    cluster this is overridden to ~2-3x total cores (AQE coalesces down).
+  *  - Parquet nanos timestamps (the `events` table) are read as Long
+  *    nanos-since-epoch (`nanosAsLong`) — Spark's TimestampType is
+  *    micros-precision; keeping the raw long avoids silent truncation and
+  *    lets callers choose their precision explicitly (see [[Tables.events]]).
+  */
+object GraftSession {
+
+  /** Apply graft defaults to a builder; caller picks master/app. */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.parquet.filterPushdown", "true")
+    .config("spark.ui.enabled", "false")
+
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = configure(
+      SparkSession.builder()
+        .master(s"local[$cores]")
+        .appName("graft")
+        .config("spark.sql.shuffle.partitions", cores.toString)
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** Loaders for the TPC-H-ish test tables (see /root/repo/TESTDATA.md).
+  * Each is a plain parquet scan — Catalyst pushes projections and filters
+  * into the scan (verify with `.explain`: `PushedFilters`, `ReadSchema`).
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** `events` with `ts` as raw nanos Long plus derived second-precision
+    * columns. `ts_sec` (epoch seconds, exact in both Spark and any ns-native
+    * engine) is the join/compare-safe representation.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    // Integer DIV, not `/`: epoch-nanos (~1.7e18) exceeds double's 53-bit
+    // mantissa, so float division would silently lose microseconds.
+    load(s, d, "events")
+      .withColumn("ts_sec", expr("ts DIV 1000000000L"))
+      .withColumn("ts_micro", expr("ts DIV 1000L"))
+  }
+}

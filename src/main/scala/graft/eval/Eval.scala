@@ -1,0 +1,91 @@
+package graft.eval
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Evaluation operators (SURVEY.md §2.4 A4–A8, §2.7 J1–J5, §2.5 W9):
+  * thresholding, confusion matrices, F1, AUC.
+  *
+  * The reference computes these with NumPy set algebra over index arrays
+  * (`src/util/calculations.py`); here they are keyed aggregations and
+  * semi/anti joins — every one shuffle-parallel, nothing collected to the
+  * driver except final scalar rows.
+  */
+object Eval {
+
+  /** A4 — `μ + k·σ` anomaly threshold per group, fit on a validation
+    * slice (reference: first 10% of periods, `μ + 4σ`,
+    * `src/evaluation/visualization.py:79-81`). `stddev_samp` matches
+    * pandas ddof=1. One shuffle (the groupBy).
+    */
+  def threshold(validation: DataFrame, valueCol: String, k: Double,
+                groupCols: Seq[String]): DataFrame =
+    validation.groupBy(groupCols.map(col): _*)
+      .agg((avg(col(valueCol)) + lit(k) * stddev_samp(col(valueCol))).as("threshold"))
+
+  /** A6/J1–J4 — confusion-matrix counts from predicted and labeled index
+    * sets over a universe of `n` indexes. Implemented with the join algebra
+    * of the reference's set ops: TP = semi, FP/FN = anti, TN = arithmetic
+    * complement (cheaper than materializing `range(n).except(...)`).
+    */
+  def confusion(pred: DataFrame, label: DataFrame, idxCol: String, n: Long): DataFrame = {
+    val tp = pred.join(label, Seq(idxCol), "left_semi").count()
+    val fp = pred.join(label, Seq(idxCol), "left_anti").count()
+    val fn = label.join(pred, Seq(idxCol), "left_anti").count()
+    val tn = n - tp - fp - fn
+    val spark = pred.sparkSession
+    import spark.implicits._
+    Seq((tp, fp, fn, tn)).toDF("tp", "fp", "fn", "tn")
+  }
+
+  /** A7 — precision / recall / F1 with the reference's zero-guards
+    * (`src/util/calculations.py:76-83`). Single-pass conditional
+    * aggregation — one shuffle-free scan when pred/label are columns.
+    */
+  def f1Score(df: DataFrame, predCol: Column, labelCol: Column): DataFrame = {
+    val agged = df.agg(
+      sum(when(predCol && labelCol, 1L).otherwise(0L)).as("tp"),
+      sum(when(predCol && !labelCol, 1L).otherwise(0L)).as("fp"),
+      sum(when(!predCol && labelCol, 1L).otherwise(0L)).as("fn"),
+      sum(when(!predCol && !labelCol, 1L).otherwise(0L)).as("tn"))
+    agged
+      .withColumn("precision",
+        when(col("tp") + col("fp") === 0, 0.0).otherwise(col("tp") / (col("tp") + col("fp"))))
+      .withColumn("recall",
+        when(col("tp") + col("fn") === 0, 0.0).otherwise(col("tp") / (col("tp") + col("fn"))))
+      .withColumn("f1",
+        when(col("precision") + col("recall") === 0, 0.0)
+          .otherwise(lit(2) * col("precision") * col("recall") / (col("precision") + col("recall"))))
+  }
+
+  /** A8 — ROC AUC via the Mann-Whitney rank statistic with average ranks
+    * for ties: AUC = (Σ ranks(positives) − P(P+1)/2) / (P·N). Exactly
+    * equal to the trapezoid over the full threshold sweep the reference
+    * runs in O(n²) (`src/util/calculations.py:111-157`) — here O(n log n)
+    * via one sort-based rank window + one aggregate, distributed.
+    * The rank window is ordered by score globally; for 100 TB the same
+    * statistic decomposes over score-range buckets (rank = bucket offset +
+    * local rank) — the two-phase pattern of Windows.scalableCumSum.
+    */
+  def aucRoc(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
+    val ranked = df.select(scoreCol.as("_s"), labelCol.cast("boolean").as("_y"))
+      .withColumn("_rk",
+        rank().over(Window.orderBy(col("_s"))) +
+          (count(lit(1)).over(Window.partitionBy(col("_s"))) - 1) / 2.0)
+    ranked.agg(
+      sum(when(col("_y"), col("_rk"))).as("_rsum"),
+      sum(when(col("_y"), 1L).otherwise(0L)).as("_p"),
+      sum(when(!col("_y"), 1L).otherwise(0L)).as("_n")
+    ).select(
+      ((col("_rsum") - col("_p") * (col("_p") + 1) / 2.0) / (col("_p") * col("_n"))).as("auc"))
+  }
+
+  /** J5 — fractional label ranges → index set: `[a, b)` fractions of `n`
+    * expand to concrete indexes (reference `src/util/calculations.py:62-66`).
+    */
+  def rangesToIndexes(df: DataFrame, startFracCol: Column, endFracCol: Column, n: Long): DataFrame =
+    df.select(explode(sequence(
+      floor(startFracCol * n).cast("long"),
+      floor(endFracCol * n).cast("long") - 1)).as("idx"))
+}

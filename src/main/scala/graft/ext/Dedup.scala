@@ -1,0 +1,117 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed
+  * around one shuffle on a compact key (never on document text):
+  *
+  *  - exact:   hash-groupBy on a 64-bit content hash
+  *  - minhash: shingle → k minhashes → LSH bands → bucket join
+  *  - simhash: 64-bit locality hash → band join
+  *  - n-gram Jaccard: exact verification on candidate pairs only
+  *  - embedding cosine: see Similarity.cosineNearDuplicates
+  *
+  * At 100 TB: the candidate-generation joins shuffle only (hash, docId)
+  * pairs — a few dozen bytes per document per band — and AQE handles the
+  * skew of hot buckets. Exact Jaccard verification touches only the
+  * candidate pairs.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest doc id per identical text. The groupBy
+    * key is `xxhash64(text)` (compact shuffle); full-text equality inside a
+    * hash bucket is assumed (64-bit collision ≈ 5e-20 per pair).
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(xxhash64(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
+
+  /** Word shingles of length `k` as the minhash token set. */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = split(text, " +")
+    filter(
+      transform(toks, (_, i) => when(i + k <= size(toks),
+        concat_ws(" ", slice(toks, i + 1, lit(k))))),
+      s => s.isNotNull)
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions, the
+    * minimum hash over the shingle set. Narrow (no shuffle): hashes are
+    * computed per row via higher-order functions.
+    */
+  def minhashSignature(text: Column, k: Int, numHashes: Int): Column = {
+    val sh = shingles(text, k)
+    array((0 until numHashes).map { seed =>
+      array_min(transform(sh, s => xxhash64(s, lit(seed))))
+    }: _*)
+  }
+
+  /** MinHash LSH candidate pairs: band the signature (`bands` bands of
+    * `rows` hashes), hash each band, self-join on (band, bandHash).
+    * One shuffle on the band keys; pairs deduped with id1 < id2.
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        shingleLen: Int = 3, bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val sig = minhashSignature(col(textCol), shingleLen, bands * rowsPerBand)
+    val banded = df
+      .select(col(idCol).as("_id"), sig.as("_sig"))
+      .select(col("_id"), posexplode(
+        array((0 until bands).map(b =>
+          xxhash64(concat_ws(",", slice(col("_sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))): _*))
+        .as(Seq("band", "band_hash")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+          col("a._id") < col("b._id"))
+      .select(col("a._id").as("id1"), col("b._id").as("id2"))
+      .distinct()
+  }
+
+  /** SimHash: 64-bit signature where bit i is the sign of the weighted sum
+    * of token-hash bit i. Narrow per-row computation; near-dups differ in
+    * few bits → candidate join on 4 16-bit bands (any equal band =
+    * candidate, Hamming ≤ 3 guaranteed caught at 4 bands).
+    */
+  def simhash(text: Column): Column = {
+    // Hash each token once, then derive the 64 bit-sums from the hash
+    // array (bit positions are compile-time Ints — shiftright needs them).
+    val hashes = transform(split(text, " +"), t => xxhash64(t))
+    (0 until 64).map { bit =>
+      val bitSum = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(bitSum > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  def simhashCandidates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withSig = df.select(col(idCol).as("_id"), simhash(col(textCol)).as("_sig"))
+    val banded = withSig.select(col("_id"), col("_sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("_sig"), b * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("band", "band_val")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
+          col("a._id") < col("b._id"))
+      .select(col("a._id").as("id1"), col("b._id").as("id2"),
+        (lit(64) - bit_count(col("a._sig").bitwiseXOR(col("b._sig")))).as("matching_bits"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for given pairs — the verification
+    * stage after LSH candidate generation. `pairs` has (id1, id2);
+    * shingle sets are joined in (broadcast when small, shuffle otherwise)
+    * and Jaccard = |∩| / |∪| computed via array ops.
+    */
+  def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
+                    shingleLen: Int = 3): DataFrame = {
+    val sets = docs.select(col(idCol).as("_jid"),
+      array_distinct(shingles(col(textCol), shingleLen)).as("_set"))
+    pairs
+      .join(sets.withColumnRenamed("_jid", "id1").withColumnRenamed("_set", "_set1"), "id1")
+      .join(sets.withColumnRenamed("_jid", "id2").withColumnRenamed("_set", "_set2"), "id2")
+      .withColumn("jaccard",
+        size(array_intersect(col("_set1"), col("_set2"))).cast("double") /
+          size(array_union(col("_set1"), col("_set2"))))
+      .drop("_set1", "_set2")
+  }
+}

@@ -1,0 +1,127 @@
+package graft.prep
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cleaning / resampling / normalization / restructuring operators
+  * (SURVEY.md §2.2 P1–P12, §2.4 A1, §2.6 R1/R2).
+  *
+  * Every operator here is a narrow transformation or a single keyed
+  * aggregation over an explicit `idx` column (see graft.core.Indexing) —
+  * no global single-task windows. Shuffle inventory per op is noted.
+  */
+object Prep {
+
+  /** P2 — extract an embedded `key=value` field from a tag string
+    * (reference: `src/data/pipeline.py:30-31` pulls `temperature=` out of
+    * the `tags` column). Pure codegen'd string expressions.
+    */
+  def extractTagValue(tags: Column, key: String): Column =
+    split(split(tags, s"$key=").getItem(1), " ").getItem(0)
+
+  /** P3 — drop sub-second suffix of a string timestamp (`time.split('.')[0]`). */
+  def dropSubseconds(ts: Column): Column = substring_index(ts, ".", 1)
+
+  /** P4 — multi-format timestamp parse: try `fmts` in order, first hit wins
+    * (reference tries ISO then `%d/%m/%Y`, `src/util/calculations.py:14-17`).
+    */
+  def parseTimestampMulti(c: Column, fmts: Seq[String]): Column =
+    coalesce(fmts.map(f => try_to_timestamp(c, lit(f))): _*)
+
+  /** P6 — truncate tail to a multiple of k: keep rows with idx < n - n%k.
+    * `n` is computed as a 1-row aggregate and broadcast-joined (crossJoin of
+    * a 1-row frame is a BroadcastNestedLoopJoin of a single row — free).
+    */
+  def truncateToMultiple(df: DataFrame, idxCol: String, k: Long): DataFrame = {
+    val n = df.agg(count(lit(1)).as("_n")).select((col("_n") - col("_n") % k).as("_keep"))
+    df.crossJoin(broadcast(n)).filter(col(idxCol) < col("_keep")).drop("_keep")
+  }
+
+  /** P7 — sequential (ordered) train split, NOT randomSplit. The reference
+    * rounds the split point UP to the next multiple of `chunk`:
+    * `split_len = int(n*ratio) + (chunk - int(n*ratio) % chunk)`
+    * (`src/training/trainer.py:58-62`). Returns (train, rest).
+    */
+  def sequentialSplit(df: DataFrame, idxCol: String, ratio: Double, chunk: Long): (DataFrame, DataFrame) = {
+    val splitLen = df
+      .agg(count(lit(1)).as("_n"))
+      .select((floor(col("_n") * ratio) + (lit(chunk) - floor(col("_n") * ratio) % chunk)).as("_split"))
+    val tagged = df.crossJoin(broadcast(splitLen))
+    (tagged.filter(col(idxCol) < col("_split")).drop("_split"),
+     tagged.filter(col(idxCol) >= col("_split")).drop("_split"))
+  }
+
+  /** P11 — z-score standardization. The reference fits scalers on three
+    * different slices depending on call-site (full data, train slice, raw
+    * file) — so the fit frame and the transform frame are explicit,
+    * separate parameters here. Stats are a 1-row aggregate broadcast to the
+    * transform side; stddev is sample stddev (pandas ddof=1).
+    * Shuffles: 1 (the stats aggregation); transform side: 0.
+    */
+  def standardize(fit: DataFrame, transform: DataFrame, cols: Seq[String]): DataFrame = {
+    val stats = fit.agg(
+      cols.flatMap(c => Seq(avg(col(c)).as(s"_mu_$c"), stddev_samp(col(c)).as(s"_sd_$c"))).head,
+      cols.flatMap(c => Seq(avg(col(c)).as(s"_mu_$c"), stddev_samp(col(c)).as(s"_sd_$c"))).tail: _*)
+    val joined = transform.crossJoin(broadcast(stats))
+    cols.foldLeft(joined) { (d, c) =>
+      d.withColumn(c, (col(c) - col(s"_mu_$c")) / col(s"_sd_$c"))
+    }.drop(cols.flatMap(c => Seq(s"_mu_$c", s"_sd_$c")): _*)
+  }
+
+  /** P12 — time-gap quality check: consecutive distinct timestamps whose
+    * gap is negative or ≤ `maxGapSec` are flagged (reference logs them,
+    * `src/data/pipeline.py:37-50`). Partitioned by `partCols` to keep the
+    * lag window parallel; within a sensor stream the order key is `idx`.
+    */
+  def timeGaps(df: DataFrame, tsSecCol: String, idxCol: String,
+               maxGapSec: Long, partCols: Seq[String] = Nil): DataFrame = {
+    val w = if (partCols.isEmpty) Window.orderBy(col(idxCol))
+            else Window.partitionBy(partCols.map(col): _*).orderBy(col(idxCol))
+    df.withColumn("_prev", lag(col(tsSecCol), 1).over(w))
+      .withColumn("gap_sec", col(tsSecCol) - col("_prev"))
+      .filter(col("gap_sec").isNotNull && (col("gap_sec") <= maxGapSec || col("gap_sec") < 0))
+      .drop("_prev")
+  }
+
+  /** A1 — mean-downsample by integer-division grouping:
+    * `groupby(idx // factor).mean()` (reference `src/data/resampler.py:34-37`).
+    * Hash aggregation with map-side partial aggregation — one shuffle on
+    * the group key; order restored arithmetically from the group id, not by
+    * a sort of the full data.
+    */
+  def downsample(df: DataFrame, idxCol: String, factor: Long, valueCols: Seq[String]): DataFrame =
+    df.groupBy((col(idxCol) / factor).cast("long").as("grp"))
+      .agg(valueCols.map(c => avg(col(c)).as(c)).head, valueCols.map(c => avg(col(c)).as(c)).tail: _*)
+
+  /** R1 — column-stack to a single series: all of channel 0, then channel
+    * 1, … (`data.T.reshape(-1,1)`, reference `src/training/trainer.py:71-73`).
+    * The global position is derived arithmetically: `channel * n + idx` —
+    * no sort, no shuffle beyond the 1-row count broadcast.
+    */
+  def stackChannels(df: DataFrame, idxCol: String, channelCols: Seq[String]): DataFrame = {
+    val n = df.agg(count(lit(1)).as("_n"))
+    val stacked = df.crossJoin(broadcast(n)).select(
+      col(idxCol), col("_n"),
+      posexplode(array(channelCols.map(col): _*)).as(Seq("channel", "value")))
+    stacked
+      .select((col("channel") * col("_n") + col(idxCol)).as("global_idx"),
+              col("channel"), col(idxCol), col("value"))
+  }
+
+  /** R2 — inverse of R1: `reshape(-1, k, order='F')` — global position back
+    * to (channel = gidx div n, idx = gidx mod n) then pivot channels to
+    * columns. One shuffle (the pivot's groupBy).
+    */
+  def unstackChannels(df: DataFrame, globalIdxCol: String, valueCol: String,
+                      numChannels: Int): DataFrame = {
+    val n = df.agg((count(lit(1)) / numChannels).cast("long").as("_n"))
+    df.crossJoin(broadcast(n))
+      .select((col(globalIdxCol) % col("_n")).as("idx"),
+              (col(globalIdxCol) / col("_n")).cast("int").as("channel"),
+              col(valueCol))
+      .groupBy("idx")
+      .pivot("channel", (0 until numChannels).map(_.toString))
+      .agg(first(col(valueCol)))
+  }
+}

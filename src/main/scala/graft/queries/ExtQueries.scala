@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.functions.GraftFunctions
+import graft.window.Windows
+
+/** Training-data-pipeline extension operators: dedup, similarity search,
+  * text analysis, multimodal plumbing, FFT. Queries whose implementation
+  * depends on engine-specific hashing (minhash/simhash/xxhash) have no SQL
+  * oracle — the driver records a rows-only check; their semantics are
+  * pinned by unit tests instead.
+  */
+object ExtQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // Exact dedup via content-hash groupBy (shuffles 8-byte hashes, not text).
+    Q("x_dedup_exact",
+      (s, d) => Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+        .select("keep_id", "copies")
+        .orderBy("keep_id"),
+      Some("SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS copies " +
+        "FROM documents GROUP BY text ORDER BY keep_id")),
+
+    // Token counting (whitespace tokenizer).
+    Q("x_token_count",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS n_tokens " +
+        "FROM documents ORDER BY doc_id")),
+
+    // Quality scoring: token/char/punct/stopword signals in one pass.
+    Q("x_quality_signals",
+      (s, d) => TextAnalysis.qualitySignals(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          round(col("mean_token_len"), 6).as("mean_token_len"),
+          round(col("punct_ratio"), 6).as("punct_ratio"),
+          round(col("stopword_ratio"), 6).as("stopword_ratio"))
+        .orderBy("doc_id"),
+      Some("WITH t AS (SELECT doc_id, text, string_split_regex(text, ' +') AS toks FROM documents) " +
+        "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+        "round((length(text) - len(toks) + 1) / CAST(len(toks) AS DOUBLE), 6) AS mean_token_len, " +
+        "round((length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))) / " +
+        "CAST(length(text) AS DOUBLE), 6) AS punct_ratio, " +
+        "round(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on','for'))) / " +
+        "CAST(len(toks) AS DOUBLE), 6) AS stopword_ratio FROM t ORDER BY doc_id")),
+
+    // Language ID by marker-lexicon voting; output = confusion counts
+    // against the table's labeled lang.
+    Q("x_lang_id",
+      (s, d) => TextAnalysis.languageId(Tables.documents(s, d), "text")
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("cnt"))
+        .orderBy("lang", "lang_pred"),
+      Some("WITH t AS (SELECT doc_id, lang, string_split_regex(text, ' +') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, lang, " +
+        "len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','mit'))) AS s_de, " +
+        "len(list_filter(toks, x -> x IN ('the','and','is','of','to','in','that','it'))) AS s_en, " +
+        "len(list_filter(toks, x -> x IN ('el','la','de','que','y','los','en','un'))) AS s_es, " +
+        "len(list_filter(toks, x -> x IN ('le','la','et','les','des','est','un','une'))) AS s_fr, " +
+        "len(list_filter(toks, x -> x IN ('的','是','了','在','我','有','和','不'))) AS s_zh FROM t), " +
+        "lng AS (SELECT doc_id, lang, unnest([s_de, s_en, s_es, s_fr, s_zh]) AS sc, " +
+        "unnest(['de','en','es','fr','zh']) AS lg FROM s), " +
+        "p AS (SELECT doc_id, lang, first(lg ORDER BY sc DESC, lg ASC) AS lang_pred " +
+        "FROM lng GROUP BY doc_id, lang) " +
+        "SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS cnt FROM p " +
+        "GROUP BY lang, lang_pred ORDER BY lang, lang_pred")),
+
+    // Brute-force cosine top-k against the vec_id=0 embedding (exact ANN
+    // baseline; distributed TakeOrdered, no full sort).
+    Q("x_ann_bruteforce",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>"))
+          .head().getSeq[Double](0).toArray
+        Similarity.bruteForceTopK(emb.filter(col("vec_id") > 0), "vec_id", "embedding", q, 20)
+          .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+      },
+      Some("WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
+        "d AS (SELECT e.vec_id, unnest(e.embedding) AS a, unnest(q.qe) AS b FROM embeddings e, q " +
+        "WHERE e.vec_id > 0), " +
+        "sm AS (SELECT vec_id, sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) AS dt, " +
+        "sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) AS na, " +
+        "sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) AS nb FROM d GROUP BY vec_id) " +
+        "SELECT vec_id, round(dt / (sqrt(na) * sqrt(nb)), 6) AS cos FROM sm " +
+        "ORDER BY dt / (sqrt(na) * sqrt(nb)) DESC, vec_id LIMIT 20")),
+
+    // Embedding-cosine near-duplicate pairs (exact verification shape).
+    Q("x_cosine_near_dup",
+      (s, d) => Similarity.cosineNearDuplicates(
+          Tables.embeddings(s, d).filter(col("vec_id") < 300), "vec_id", "embedding", 0.8)
+        .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
+        .orderBy("id1", "id2"),
+      Some("WITH d AS (SELECT a.vec_id AS id1, b.vec_id AS id2, unnest(a.embedding) AS x, " +
+        "unnest(b.embedding) AS y FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+        "WHERE a.vec_id < 300 AND b.vec_id < 300), " +
+        "sm AS (SELECT id1, id2, sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dt, " +
+        "sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nx, " +
+        "sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS ny FROM d GROUP BY id1, id2) " +
+        "SELECT id1, id2, round(dt / (sqrt(nx) * sqrt(ny)), 6) AS cos FROM sm " +
+        "WHERE dt / (sqrt(nx) * sqrt(ny)) > 0.8 ORDER BY id1, id2")),
+
+    // MinHash+LSH candidate pairs — engine-hash dependent: rows-only check.
+    Q("x_minhash_lsh",
+      (s, d) => Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("id1", "id2"),
+      None),
+
+    // SimHash near-dup candidates — rows-only check.
+    Q("x_simhash",
+      (s, d) => Dedup.simhashCandidates(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("id1", "id2"),
+      None),
+
+    // n-gram Jaccard verification over LSH candidates — rows-only check
+    // (candidates come from the hash-dependent LSH stage).
+    Q("x_jaccard_verify",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
+        Dedup.jaccardVerify(cands, docs, "doc_id", "text")
+          .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("id1", "id2")
+      },
+      None),
+
+    // Document fingerprint (rolling hash) — rows-only check.
+    Q("x_fingerprint",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      None),
+
+    // LSH-bucketed ANN — rows-only check (hyperplanes are hash-derived).
+    Q("x_ann_lsh",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>"))
+          .head().getSeq[Double](0).toArray
+        Similarity.lshTopK(emb.filter(col("vec_id") > 0), "vec_id", "embedding", q,
+          dim = q.length, bits = 8, k = 20)
+          .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+      },
+      None),
+
+    // M3 — FFT magnitude per sliding window (native Catalyst expression);
+    // no SQL oracle (DuckDB has no FFT) — pinned by unit tests vs a
+    // direct-DFT reference.
+    Q("m3_fft_window",
+      (s, d) => {
+        val wins = Windows.slidingWindows(Tables.events(s, d), "event_id", "value", 64, 32)
+        wins.select(col("window_id"),
+            GraftFunctions.fft_magnitude(col("values")).as("_m"))
+          .select(col("window_id"),
+            round(element_at(col("_m"), 1), 4).as("dc"),
+            round(element_at(col("_m"), 2), 4).as("bin1"),
+            round(element_at(col("_m"), 3), 4).as("bin2"))
+          .orderBy("window_id")
+      },
+      None),
+
+    // Multimodal plumbing: synthetic media table → stub decode → features.
+    Q("x_multimodal_features",
+      (s, d) => {
+        val media = Multimodal.syntheticMedia(s, 1000)
+        Multimodal.extractFeatures(media, dim = 8)
+          .select(col("media_id"), col("kind"),
+            round(element_at(col("features"), 1), 4).as("f0"),
+            round(element_at(col("features"), 2), 4).as("f1"))
+          .orderBy("media_id")
+      },
+      None),
+
+    // Multimodal frame sampling: video rows → sampled frame indexes.
+    Q("x_frame_sample",
+      (s, d) => Multimodal.sampleFrames(Multimodal.syntheticMedia(s, 300), stride = 10)
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"))
+        .orderBy("media_id", "frame_idx"),
+      None)
+  )
+}

@@ -1,0 +1,306 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.eval.Eval
+import graft.prep.Prep
+import graft.window.Windows
+
+/** Sequence/window operators (SURVEY.md §2.5 W*), restructuring (§2.6 R*),
+  * joins/set ops (§2.7 J*), and the TPC-H-style headline joins/aggs.
+  */
+object WindowQueries {
+
+  private def ev(s: org.apache.spark.sql.SparkSession, d: String) = Tables.events(s, d)
+
+  val all: Seq[Q] = Seq(
+
+    // W1/W2 — overlapping sliding windows (size 100, step 50), shuffle-
+    // grouped by arithmetic window id — no global sort, no single task.
+    Q("w1_sliding_windows",
+      (s, d) => Windows.slidingWindows(ev(s, d), "event_id", "value", 100, 50)
+        .select(col("window_id"),
+          round(aggregate(col("values"), lit(0.0), (a, v) => a + v) / 100, 6).as("w_avg"),
+          element_at(col("values"), 1).as("first_v"),
+          element_at(col("values"), -1).as("last_v"))
+        .orderBy("window_id"),
+      Some("WITH t AS (SELECT event_id, value, count(*) OVER w AS cnt, avg(value) OVER w AS a, " +
+        "first_value(value) OVER w AS fv, last_value(value) OVER w AS lv FROM events " +
+        "WINDOW w AS (ORDER BY event_id ROWS BETWEEN CURRENT ROW AND 99 FOLLOWING)) " +
+        "SELECT event_id // 50 AS window_id, round(a, 6) AS w_avg, fv AS first_v, lv AS last_v " +
+        "FROM t WHERE event_id % 50 = 0 AND cnt = 100 ORDER BY window_id")),
+
+    // W3 — de-overlap: every 2nd window (the scoring stride).
+    Q("w3_deoverlap",
+      (s, d) => Windows.deoverlap(
+          Windows.slidingWindows(ev(s, d), "event_id", "value", 100, 50), "window_id", 2)
+        .select(col("window_id"),
+          round(aggregate(col("values"), lit(0.0), (a, v) => a + v) / 100, 6).as("w_avg"))
+        .orderBy("window_id"),
+      Some("WITH t AS (SELECT event_id, count(*) OVER w AS cnt, avg(value) OVER w AS a FROM events " +
+        "WINDOW w AS (ORDER BY event_id ROWS BETWEEN CURRENT ROW AND 99 FOLLOWING)) " +
+        "SELECT event_id // 50 AS window_id, round(a, 6) AS w_avg FROM t " +
+        "WHERE event_id % 50 = 0 AND cnt = 100 AND (event_id // 50) % 2 = 0 ORDER BY window_id")),
+
+    // W4 — temporalize: trailing lookback-20 history per row.
+    Q("w4_temporalize",
+      (s, d) => Windows.temporalize(ev(s, d), "event_id", "value", 20)
+        .select(col("event_id"), size(col("history")).cast("long").as("hist_len"),
+          round(aggregate(col("history"), lit(0.0), (a, v) => a + v) / 20, 6).as("hist_avg"))
+        .orderBy("event_id"),
+      Some("WITH t AS (SELECT event_id, count(value) OVER w AS c, avg(value) OVER w AS a FROM events " +
+        "WINDOW w AS (ORDER BY event_id ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)) " +
+        "SELECT event_id, CAST(c AS BIGINT) AS hist_len, round(a, 6) AS hist_avg FROM t " +
+        "WHERE c = 20 ORDER BY event_id")),
+
+    // W6 — rolling min w=3, pandas null-head semantics, per group.
+    Q("w6_rolling_min",
+      (s, d) => Windows.rollingMin(ev(s, d), "event_id", "value", 3, Seq("event_type"))
+        .select("event_type", "event_id", "rolling_min")
+        .orderBy("event_type", "event_id"),
+      Some("SELECT event_type, event_id, CASE WHEN row_number() OVER w >= 3 THEN " +
+        "min(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) END AS rolling_min " +
+        "FROM events WINDOW w AS (PARTITION BY event_type ORDER BY event_id) " +
+        "ORDER BY event_type, event_id")),
+
+    // W7 — rolling mean w=5 (plot smoothing), same null-head rule.
+    Q("w7_rolling_mean",
+      (s, d) => Windows.rollingMean(ev(s, d), "event_id", "value", 5, Seq("event_type"))
+        .select(col("event_type"), col("event_id"),
+          round(col("rolling_mean"), 6).as("rolling_mean"))
+        .orderBy("event_type", "event_id"),
+      Some("SELECT event_type, event_id, round(CASE WHEN row_number() OVER w >= 5 THEN " +
+        "avg(value) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) END, 6) AS rolling_mean " +
+        "FROM events WINDOW w AS (PARTITION BY event_type ORDER BY event_id) " +
+        "ORDER BY event_type, event_id")),
+
+    // W8 — repeat/upsample ×3: period → sample granularity.
+    Q("w8_repeat",
+      (s, d) => Windows.repeatRows(ev(s, d), "event_id", 3)
+        .select(col("event_id"), col("rep").cast("long").as("rep"),
+          col("sample_idx").cast("long").as("sample_idx"), col("value"))
+        .orderBy("event_id", "rep"),
+      Some("SELECT event_id, g AS rep, event_id * 3 + g AS sample_idx, value " +
+        "FROM events, generate_series(0, 2) t(g) ORDER BY event_id, rep")),
+
+    // W9 — first-index-over-threshold with the reference's 0 sentinel.
+    Q("w9_first_over_threshold",
+      (s, d) => Windows.firstOverThreshold(ev(s, d), "event_id", col("value") > 180, Seq("event_type"))
+        .orderBy("event_type"),
+      Some("SELECT event_type, COALESCE(min(CASE WHEN value > 180 THEN event_id END), 0) AS first_over " +
+        "FROM events GROUP BY event_type ORDER BY event_type")),
+
+    // W10 — until-failure expansion: anomalous from first exceed onward.
+    Q("w10_until_failure",
+      (s, d) => Windows.untilFailure(ev(s, d), "event_id", col("value") > 180, Seq("event_type"))
+        .select("event_type", "event_id", "anomaly")
+        .orderBy("event_type", "event_id"),
+      Some("WITH f AS (SELECT event_type, COALESCE(min(CASE WHEN value > 180 THEN event_id END), 0) AS fo " +
+        "FROM events GROUP BY event_type) SELECT e.event_type, e.event_id, e.event_id >= f.fo AS anomaly " +
+        "FROM events e JOIN f USING (event_type) ORDER BY event_type, event_id")),
+
+    // W11 — searchsorted: first index at/after a timestamp + its fraction.
+    Q("w11_searchsorted",
+      (s, d) => Windows.searchSorted(ev(s, d), "event_id", "ts_sec", lit(1709251200L))
+        .select(col("first_idx"), round(col("fraction"), 6).as("fraction")),
+      Some("SELECT min(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) >= 1709251200 THEN event_id END) AS first_idx, " +
+        "round(min(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) >= 1709251200 THEN event_id END) / " +
+        "CAST(count(*) AS DOUBLE), 6) AS fraction FROM events")),
+
+    // W12 — gaps-and-islands: runs of adjacent over-threshold indexes
+    // → [start, end+1) spans.
+    Q("w12_islands",
+      (s, d) => Windows.islands(ev(s, d).filter(col("value") > 170), "event_id")
+        .select("span_start", "span_end")
+        .orderBy("span_start"),
+      Some("WITH f AS (SELECT event_id FROM events WHERE value > 170), " +
+        "g AS (SELECT event_id, event_id - row_number() OVER (ORDER BY event_id) AS grp FROM f) " +
+        "SELECT min(event_id) AS span_start, max(event_id) + 1 AS span_end FROM g " +
+        "GROUP BY grp ORDER BY span_start")),
+
+    // W13 — global cumulative sum, two-phase bucket pattern.
+    Q("w13_cumsum",
+      (s, d) => Windows.scalableCumSum(ev(s, d), "event_id", "value", bucketSize = 1000L)
+        .select(col("event_id"), round(col("cum"), 4).as("cum"))
+        .orderBy("event_id"),
+      Some("SELECT event_id, round(sum(value) OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED " +
+        "PRECEDING AND CURRENT ROW), 4) AS cum FROM events ORDER BY event_id")),
+
+    // W14 — alignment shift: first k kept, remainder lagged by k.
+    Q("w14_lag_shift",
+      (s, d) => Windows.lagShift(ev(s, d), "event_id", "value", 20)
+        .select("event_id", "shifted")
+        .orderBy("event_id"),
+      Some("SELECT event_id, COALESCE(lag(value, 20) OVER (ORDER BY event_id), value) AS shifted " +
+        "FROM events ORDER BY event_id")),
+
+    // R1 — column-stack to a single series (channel-major global index).
+    Q("r1_stack",
+      (s, d) => {
+        val base = ev(s, d).select(col("event_id"), col("value"),
+          col("user_id").cast("double").as("u"),
+          (col("event_id") % 7).cast("double").as("m"))
+        Prep.stackChannels(base, "event_id", Seq("value", "u", "m"))
+          .select(col("global_idx"), col("channel").cast("long").as("channel"), col("value"))
+          .orderBy("global_idx")
+      },
+      Some("WITH n AS (SELECT count(*) AS n FROM events), s AS (" +
+        "SELECT 0 AS channel, event_id, value AS v FROM events " +
+        "UNION ALL SELECT 1, event_id, CAST(user_id AS DOUBLE) FROM events " +
+        "UNION ALL SELECT 2, event_id, CAST(event_id % 7 AS DOUBLE) FROM events) " +
+        "SELECT s.channel * n.n + s.event_id AS global_idx, CAST(s.channel AS BIGINT) AS channel, " +
+        "s.v AS value FROM s, n ORDER BY global_idx")),
+
+    // R2 — column-major unstack: inverse of R1 via pivot.
+    Q("r2_unstack",
+      (s, d) => {
+        val base = ev(s, d).select(col("event_id"), col("value"),
+          col("user_id").cast("double").as("u"),
+          (col("event_id") % 7).cast("double").as("m"))
+        val stacked = Prep.stackChannels(base, "event_id", Seq("value", "u", "m"))
+        Prep.unstackChannels(stacked, "global_idx", "value", 3)
+          .orderBy("idx")
+      },
+      Some("WITH n AS (SELECT count(*) AS n FROM events), s AS (" +
+        "SELECT 0 AS channel, event_id, value AS v FROM events " +
+        "UNION ALL SELECT 1, event_id, CAST(user_id AS DOUBLE) FROM events " +
+        "UNION ALL SELECT 2, event_id, CAST(event_id % 7 AS DOUBLE) FROM events), " +
+        "g AS (SELECT s.channel * n.n + s.event_id AS global_idx, s.v FROM s, n) " +
+        "SELECT global_idx % n.n AS idx, " +
+        "max(CASE WHEN global_idx // n.n = 0 THEN v END) AS \"0\", " +
+        "max(CASE WHEN global_idx // n.n = 1 THEN v END) AS \"1\", " +
+        "max(CASE WHEN global_idx // n.n = 2 THEN v END) AS \"2\" " +
+        "FROM g, n GROUP BY 1 ORDER BY idx")),
+
+    // R3 — long → wide pivot with an explicit column set.
+    Q("r3_pivot",
+      (s, d) => Tables.documents(s, d)
+        .groupBy("source")
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .count()
+        .na.fill(0L, Seq("de", "en", "es", "fr", "zh"))
+        .orderBy("source"),
+      Some("SELECT source, " +
+        "count(CASE WHEN lang = 'de' THEN 1 END) AS de, " +
+        "count(CASE WHEN lang = 'en' THEN 1 END) AS en, " +
+        "count(CASE WHEN lang = 'es' THEN 1 END) AS es, " +
+        "count(CASE WHEN lang = 'fr' THEN 1 END) AS fr, " +
+        "count(CASE WHEN lang = 'zh' THEN 1 END) AS zh " +
+        "FROM documents GROUP BY source ORDER BY source")),
+
+    // R4 — per-group ordered concat (collect_list) summarized.
+    Q("r4_group_collect",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(sort_array(collect_list(col("o_orderkey"))).as("_keys"))
+        .select(col("o_custkey"), size(col("_keys")).cast("long").as("n_orders"),
+          element_at(col("_keys"), 1).as("first_order"),
+          element_at(col("_keys"), -1).as("last_order"))
+        .orderBy("o_custkey"),
+      Some("SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders, min(o_orderkey) AS first_order, " +
+        "max(o_orderkey) AS last_order FROM orders GROUP BY o_custkey ORDER BY o_custkey")),
+
+    // J1 — semi join (TP set).
+    Q("j1_semi_join",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+      Some("SELECT c_custkey, c_name FROM customer WHERE EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey")),
+
+    // J2 — anti join (FP set).
+    Q("j2_anti_join",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+      Some("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey")),
+
+    // J4 — universe complement: range(n) minus pred minus label.
+    Q("j4_universe_complement",
+      (s, d) => {
+        val e = ev(s, d)
+        val n = e.count()
+        val pred = e.filter(col("value") > 150).select(col("event_id").as("id"))
+        val label = e.filter(col("event_type") === "error").select(col("event_id").as("id"))
+        s.range(n).toDF("id").except(pred).except(label).orderBy("id")
+      },
+      Some("WITH n AS (SELECT count(*) AS n FROM events), " +
+        "u AS (SELECT unnest(generate_series(0, n.n - 1)) AS id FROM n) " +
+        "SELECT id FROM u WHERE id NOT IN (SELECT event_id FROM events WHERE value > 150) " +
+        "AND id NOT IN (SELECT event_id FROM events WHERE event_type = 'error') ORDER BY id")),
+
+    // J5 — fractional label ranges → concrete index set.
+    Q("j5_range_expand",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val n = ev(s, d).count()
+        Eval.rangesToIndexes(Seq((0.2, 0.3), (0.7, 0.75)).toDF("a", "b"),
+            col("a"), col("b"), n)
+          .orderBy("idx")
+      },
+      Some("WITH n AS (SELECT count(*) AS n FROM events), r(a, b) AS (VALUES (0.2, 0.3), (0.7, 0.75)) " +
+        "SELECT unnest(generate_series(CAST(floor(a * n.n) AS BIGINT), " +
+        "CAST(floor(b * n.n) AS BIGINT) - 1)) AS idx FROM r, n ORDER BY idx")),
+
+    // J7 — tagged union of per-source frames.
+    Q("j7_union",
+      (s, d) => {
+        val e = ev(s, d)
+        e.filter(col("event_type") === "error").select(lit("err").as("tag"), col("event_id"))
+          .unionByName(
+            e.filter(col("value") > 180).select(lit("big").as("tag"), col("event_id")))
+          .orderBy("tag", "event_id")
+      },
+      Some("SELECT 'err' AS tag, event_id FROM events WHERE event_type = 'error' " +
+        "UNION ALL SELECT 'big' AS tag, event_id FROM events WHERE value > 180 " +
+        "ORDER BY tag, event_id")),
+
+    // Headline: TPC-H Q1-style scan-heavy aggregation.
+    Q("q1_pricing_summary",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 1).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 1).as("sum_disc"),
+          round(avg(col("l_quantity")), 5).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, " +
+        "round(sum(l_extendedprice), 1) AS sum_base, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 1) AS sum_disc, " +
+        "round(avg(l_quantity), 5) AS avg_qty, round(avg(l_extendedprice), 4) AS avg_price, " +
+        "CAST(count(*) AS BIGINT) AS n FROM lineitem " +
+        "WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus")),
+
+    // Headline: star join — fact table joined through two broadcast dims.
+    Q("q5_revenue_by_nation",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d)
+        val n = Tables.nation(s, d)
+        val r = Tables.region(s, d)
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 1).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("r_name", "n_name")
+      },
+      Some("SELECT r_name, n_name, round(sum(l_extendedprice * (1 - l_discount)), 1) AS revenue, " +
+        "CAST(count(*) AS BIGINT) AS n_items FROM lineitem " +
+        "JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY r_name, n_name ORDER BY r_name, n_name"))
+  )
+}

@@ -1,0 +1,183 @@
+package graft.window
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence / window operators (SURVEY.md §2.5 W1–W14) — the heart of the
+  * reference's dataflow (windowing for the autoencoder, rolling thresholds,
+  * anomaly-start detection).
+  *
+  * Scale design: positional windows are computed with SHUFFLE-based
+  * grouping on arithmetically-derived keys (window id = idx div step), not
+  * with a global `Window.orderBy` (single task). Where a frame-based
+  * rolling op is genuinely per-group (per bearing / per sensor), a
+  * partitioned window function is used — that parallelizes by key.
+  * Truly-global running aggregates use the two-phase bucket pattern
+  * ([[scalableCumSum]]): per-bucket partials + a tiny offsets table.
+  */
+object Windows {
+
+  /** W1/W2 — overlapping sliding windows, size `size`, step `step`,
+    * materialized as one row per window with an ordered values array
+    * (the reference's `(n_windows, size, 1)` tensor,
+    * `src/training/trainer.py:75-82`).
+    *
+    * Each input row belongs to at most `size/step` windows; rows are
+    * exploded to their (windowId, position) assignments and hash-grouped by
+    * windowId — one shuffle, fully parallel, no global sort. Windows that
+    * would run past the end (count < size) are dropped, matching the
+    * reference's `range(0, len - step, step)` bound.
+    */
+  def slidingWindows(df: DataFrame, idxCol: String, valueCol: String,
+                     size: Int, step: Int): DataFrame = {
+    require(size % step == 0, "size must be a multiple of step")
+    val perRow = size / step
+    // idx i belongs to window w for w in [ceil((i-size+1)/step), i/step]
+    // Pure integer arithmetic (no double division — exact at any idx):
+    // ceilDiv(i-size+1, step) clamped at 0, through floorDiv(i, step).
+    val wins = df.select(col(idxCol).cast("long").as("_i"), col(valueCol).as("_v"))
+      .withColumn("_w",
+        explode(sequence(
+          greatest(expr(s"(_i - ${size - 1} + ${step - 1}) DIV $step"), lit(0L)),
+          expr(s"_i DIV $step"))))
+      .filter(col("_w") * step + size > col("_i")) // guard: within frame
+    wins.groupBy(col("_w").as("window_id"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        transform(array_sort(collect_list(struct(col("_i"), col("_v")))),
+                  s => s.getField("_v")).as("values"))
+      .filter(col("cnt") === size)
+      .drop("cnt")
+  }
+
+  /** W3 — de-overlap: keep every `stride`-th window (`data_3d[::2]`). */
+  def deoverlap(windows: DataFrame, windowIdCol: String, stride: Int): DataFrame =
+    windows.filter(col(windowIdCol) % stride === 0)
+
+  /** W4 — temporalize: per row, the trailing `lookback` values (step 1).
+    * Implemented as a partitioned frame when `partCols` given; the
+    * reference gathers rows i+2..i+lookback+1 (documented off-by-one,
+    * `src/training/baseline.py:121-129`) — we implement the intended
+    * trailing [i-lookback, i-1] frame.
+    */
+  def temporalize(df: DataFrame, idxCol: String, valueCol: String,
+                  lookback: Int, partCols: Seq[String] = Nil): DataFrame = {
+    val w = (if (partCols.isEmpty) Window.orderBy(col(idxCol))
+             else Window.partitionBy(partCols.map(col): _*).orderBy(col(idxCol)))
+      .rowsBetween(-lookback, -1)
+    df.withColumn("history", collect_list(col(valueCol)).over(w))
+      .filter(size(col("history")) === lookback)
+  }
+
+  /** W6 — rolling min, pandas semantics: null until the frame is full
+    * (first w-1 rows of each partition).
+    */
+  def rollingMin(df: DataFrame, idxCol: String, valueCol: String, width: Int,
+                 partCols: Seq[String] = Nil, out: String = "rolling_min"): DataFrame =
+    rolling(df, idxCol, valueCol, width, partCols, out, min)
+
+  /** W7 — rolling mean, same null-head semantics. */
+  def rollingMean(df: DataFrame, idxCol: String, valueCol: String, width: Int,
+                  partCols: Seq[String] = Nil, out: String = "rolling_mean"): DataFrame =
+    rolling(df, idxCol, valueCol, width, partCols, out, avg)
+
+  private def rolling(df: DataFrame, idxCol: String, valueCol: String, width: Int,
+                      partCols: Seq[String], out: String,
+                      f: Column => Column): DataFrame = {
+    val base = if (partCols.isEmpty) Window.orderBy(col(idxCol))
+               else Window.partitionBy(partCols.map(col): _*).orderBy(col(idxCol))
+    val frame = base.rowsBetween(-(width - 1), 0)
+    df.withColumn("_rn", row_number().over(base))
+      .withColumn(out, when(col("_rn") >= width, f(col(valueCol)).over(frame)))
+      .drop("_rn")
+  }
+
+  /** W8 — repeat/upsample ×factor: period granularity → sample granularity
+    * (`np.repeat`, reference `src/evaluation/visualization.py:85-86`).
+    * Narrow: explode of a generated array, no shuffle. The output position
+    * is `idx*factor + rep`.
+    */
+  def repeatRows(df: DataFrame, idxCol: String, factor: Int): DataFrame =
+    df.withColumn("rep", explode(sequence(lit(0), lit(factor - 1))))
+      .withColumn("sample_idx", col(idxCol) * factor + col("rep"))
+
+  /** W9 — first-index-over-threshold (np.argmax(re > thr)): min idx where
+    * the predicate holds, with the reference's `0` sentinel when none does
+    * (`src/util/calculations.py:86-92`). One aggregation per group.
+    */
+  def firstOverThreshold(df: DataFrame, idxCol: String, pred: Column,
+                         groupCols: Seq[String]): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(coalesce(min(when(pred, col(idxCol))), lit(0L)).as("first_over"))
+
+  /** W10 — until-failure expansion: anomalous = everything from the first
+    * exceed onward. Broadcast the tiny per-group firsts back.
+    */
+  def untilFailure(df: DataFrame, idxCol: String, pred: Column,
+                   groupCols: Seq[String]): DataFrame = {
+    val firsts = firstOverThreshold(df, idxCol, pred, groupCols)
+    df.join(broadcast(firsts), groupCols)
+      .withColumn("anomaly", col(idxCol) >= col("first_over"))
+  }
+
+  /** W11 — searchsorted: first idx with `ts >= target`, and its positional
+    * percentile (÷ row count). Two 1-row aggregates, no data movement.
+    */
+  def searchSorted(df: DataFrame, idxCol: String, tsCol: String, target: Column): DataFrame =
+    df.agg(
+      min(when(col(tsCol) >= target, col(idxCol))).as("first_idx"),
+      count(lit(1)).as("n")
+    ).select(col("first_idx"), (col("first_idx") / col("n")).as("fraction"))
+
+  /** W12 — adjacent-index islands → [start, end+1) spans. Gaps-and-islands:
+    * `grp = idx - row_number()` is constant within a run. The row_number
+    * window is partitioned by `partCols` when provided (per-sensor runs);
+    * at 100 TB an unpartitioned run over a *filtered* (sparse) set is
+    * typically small enough — the filter happens before the window.
+    */
+  def islands(df: DataFrame, idxCol: String, partCols: Seq[String] = Nil): DataFrame = {
+    val w = if (partCols.isEmpty) Window.orderBy(col(idxCol))
+            else Window.partitionBy(partCols.map(col): _*).orderBy(col(idxCol))
+    val grouped = df.withColumn("_grp", col(idxCol) - row_number().over(w))
+    val keys = partCols :+ "_grp"
+    grouped.groupBy(keys.map(col): _*)
+      .agg(min(col(idxCol)).as("span_start"), (max(col(idxCol)) + 1).as("span_end"))
+      .drop("_grp")
+  }
+
+  /** W13 — scalable global cumulative sum: two-phase. Bucket rows by
+    * `idx div bucketSize`, cumsum within buckets (parallel windows), then
+    * add per-bucket offsets (running sum over the tiny bucket-totals
+    * frame, broadcast back). Replaces the single-task global
+    * `Window.orderBy` for 100 TB inputs.
+    */
+  def scalableCumSum(df: DataFrame, idxCol: String, valueCol: String,
+                     bucketSize: Long = 1000000L, out: String = "cum"): DataFrame = {
+    val bucketed = df.withColumn("_b", (col(idxCol) / bucketSize).cast("long"))
+    val within = sum(col(valueCol)).over(
+      Window.partitionBy(col("_b")).orderBy(col(idxCol))
+        .rowsBetween(Window.unboundedPreceding, 0))
+    val totals = bucketed.groupBy("_b").agg(sum(col(valueCol)).as("_t"))
+    val offsets = totals.withColumn("_off",
+      coalesce(sum(col("_t")).over(
+        Window.orderBy(col("_b")).rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
+      .drop("_t")
+    bucketed
+      .withColumn("_within", within)
+      .join(broadcast(offsets), "_b")
+      .withColumn(out, col("_within") + col("_off"))
+      .drop("_b", "_within", "_off")
+  }
+
+  /** W14 — lag-based alignment shift: first `k` values kept, remainder
+    * shifted by `k` (`concatenate([x[:k], x[:-k]])`,
+    * reference `src/evaluation/visualization.py:67`).
+    */
+  def lagShift(df: DataFrame, idxCol: String, valueCol: String, k: Int,
+               partCols: Seq[String] = Nil, out: String = "shifted"): DataFrame = {
+    val w = if (partCols.isEmpty) Window.orderBy(col(idxCol))
+            else Window.partitionBy(partCols.map(col): _*).orderBy(col(idxCol))
+    df.withColumn(out, coalesce(lag(col(valueCol), k).over(w), col(valueCol)))
+  }
+}
