@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.eval.Eval
+import graft.functions.{FftMagnitude, GraftFunctions}
+
+class EvalFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("A6: confusion counts match set algebra") {
+    val pred = Seq(1L, 2L, 3L).toDF("idx")
+    val label = Seq(2L, 3L, 4L).toDF("idx")
+    val out = Eval.confusion(pred, label, "idx", 10)
+      .as[(Long, Long, Long, Long)].head()
+    assert(out == ((2L, 1L, 1L, 6L))) // tp fp fn tn
+  }
+
+  test("A7: F1 zero-guards") {
+    val df = Seq((false, false), (false, true)).toDF("p", "y")
+    val out = Eval.f1Score(df, col("p"), col("y"))
+      .select("precision", "recall", "f1").as[(Double, Double, Double)].head()
+    assert(out == ((0.0, 0.0, 0.0)))
+  }
+
+  test("A8: AUC of a perfect separator is 1, of a random-constant is 0.5") {
+    val perfect = Seq((0.1, false), (0.2, false), (0.8, true), (0.9, true)).toDF("s", "y")
+    assert(math.abs(Eval.aucRoc(perfect, col("s"), col("y")).as[Double].head() - 1.0) < 1e-12)
+    val const = Seq((0.5, false), (0.5, true), (0.5, false), (0.5, true)).toDF("s", "y")
+    assert(math.abs(Eval.aucRoc(const, col("s"), col("y")).as[Double].head() - 0.5) < 1e-12)
+  }
+
+  test("A8: AUC invariant under strictly monotone score transform") {
+    val df = Seq((0.1, true), (0.3, false), (0.7, true), (0.9, true), (0.2, false))
+      .toDF("s", "y")
+    val a1 = Eval.aucRoc(df, col("s"), col("y")).as[Double].head()
+    val a2 = Eval.aucRoc(df.withColumn("s2", exp(col("s") * 3)), col("s2"), col("y"))
+      .as[Double].head()
+    assert(math.abs(a1 - a2) < 1e-12)
+  }
+
+  test("A4: threshold is mean + k*sample-stddev (pandas ddof=1)") {
+    val df = Seq(("a", 1.0), ("a", 3.0)).toDF("g", "v") // μ=2, s=√2
+    val thr = Eval.threshold(df, "v", 4.0, Seq("g")).select("threshold").as[Double].head()
+    assert(math.abs(thr - (2.0 + 4 * math.sqrt(2.0))) < 1e-12)
+  }
+
+  test("M3: FFT magnitude matches direct DFT on power-of-two input") {
+    val x = Array.tabulate(64)(i => math.sin(2 * math.Pi * 5 * i / 64.0) + 0.3)
+    val fft = FftMagnitude.magnitudes(x)
+    // DC bin = |sum| = 64*0.3; bin 5 = n/2 = 32 for unit sine
+    assert(math.abs(fft(0) - 64 * 0.3) < 1e-9)
+    assert(math.abs(fft(5) - 32.0) < 1e-9)
+    // symmetry |X[k]| = |X[n-k]| for real input
+    (1 until 32).foreach(k => assert(math.abs(fft(k) - fft(64 - k)) < 1e-9))
+  }
+
+  test("M3: non-power-of-two falls back to exact DFT; expression works on columns") {
+    val x = Array(1.0, 2.0, 3.0) // n=3: X0=6, |X1|=|X2|=√3
+    val m = FftMagnitude.magnitudes(x)
+    assert(math.abs(m(0) - 6.0) < 1e-12)
+    assert(math.abs(m(1) - math.sqrt(3.0)) < 1e-12)
+    val df = Seq(Seq(1.0, 2.0, 3.0)).toDF("w")
+    val viaCol = df.select(GraftFunctions.fft_magnitude(col("w"))).as[Seq[Double]].head()
+    assert(viaCol.zip(m).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+  }
+
+  test("ext: minhash LSH finds a near-duplicate pair, not unrelated docs") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+      (2L, "completely different content about spark catalyst optimizer internals here")
+    ).toDF("doc_id", "text")
+    val pairs = graft.ext.Dedup.minhashCandidates(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((0L, 2L)) && !pairs.contains((1L, 2L)))
+    val verified = graft.ext.Dedup.jaccardVerify(
+      pairs.toSeq.toDF("id1", "id2"), docs, "doc_id", "text")
+      .select("jaccard").as[Double].head()
+    assert(verified > 0.5)
+  }
+
+  test("ext: brute-force cosine top-k ranks the identical vector first") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val top = graft.ext.Similarity.bruteForceTopK(df, "vec_id", "embedding",
+      Array(1.0, 0.0, 0.0), 2).select("vec_id").as[Long].collect()
+    assert(top.toSeq == Seq(1L, 2L))
+  }
+
+  test("ext: multimodal stub decode is deterministic and batched") {
+    val media = graft.ext.Multimodal.syntheticMedia(spark, 10)
+    val f1 = graft.ext.Multimodal.extractFeatures(media, 8)
+      .orderBy("media_id").select("features").as[Seq[Float]].collect()
+    val f2 = graft.ext.Multimodal.extractFeatures(media, 8)
+      .orderBy("media_id").select("features").as[Seq[Float]].collect()
+    assert(f1.toSeq == f2.toSeq)
+    assert(f1.forall(_.length == 8))
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Indexing
+import graft.prep.Prep
+
+class PrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Indexing: ordered idx is contiguous and follows the sort key") {
+    val df = Seq(("c", 30), ("a", 10), ("b", 20), ("d", 40)).toDF("k", "v")
+      .repartition(3)
+    val out = Indexing.withOrderedIdx(df, "idx", col("k")).orderBy("idx")
+      .select("k", "idx").as[(String, Long)].collect()
+    assert(out.toSeq == Seq(("a", 0L), ("b", 1L), ("c", 2L), ("d", 3L)))
+  }
+
+  test("A1: downsample preserves global mean on multiples of k") {
+    val vals = (0 until 120).map(i => (i.toLong, math.sin(i) * 10))
+    val df = vals.toDF("idx", "v")
+    val down = Prep.downsample(df, "idx", 10, Seq("v"))
+    val globalMean = vals.map(_._2).sum / vals.size
+    val downMean = down.agg(avg("v")).as[Double].head()
+    assert(math.abs(globalMean - downMean) < 1e-9)
+    assert(down.count() == 12)
+  }
+
+  test("P7: sequential split rounds UP to next multiple of chunk") {
+    // reference: split_len = int(n*r) + (SPLIT - int(n*r) % SPLIT)
+    val df = (0 until 1000).map(_.toLong).toDF("idx")
+    val (train, rest) = Prep.sequentialSplit(df, "idx", 0.7, 64)
+    val expected = 700 + (64 - 700 % 64) // 700 → 704
+    assert(train.count() == expected)
+    assert(rest.count() == 1000 - expected)
+    // split is ORDERED, not random: max(train) < min(rest)
+    assert(train.agg(max("idx")).as[Long].head() < rest.agg(min("idx")).as[Long].head())
+  }
+
+  test("P6: truncate to multiple of k") {
+    val df = (0 until 1003).map(_.toLong).toDF("idx")
+    assert(Prep.truncateToMultiple(df, "idx", 100).count() == 1000)
+  }
+
+  test("P11: standardize fits on the given slice only") {
+    val fit = Seq(0.0, 10.0).toDF("v")      // μ=5, σ=√50 (sample)
+    val tx = Seq(5.0, 10.0).toDF("v")
+    val out = Prep.standardize(fit, tx, Seq("v")).select("v").as[Double].collect()
+    val sd = math.sqrt(50.0)
+    assert(math.abs(out(0) - 0.0) < 1e-9)
+    assert(math.abs(out(1) - 5.0 / sd) < 1e-9)
+  }
+
+  test("R1/R2: unstack ∘ stack = identity") {
+    val base = (0 until 50).map(i => (i.toLong, i * 1.0, i * 2.0, i * 3.0))
+      .toDF("idx", "c0", "c1", "c2")
+    val stacked = Prep.stackChannels(base, "idx", Seq("c0", "c1", "c2"))
+    // channel-major: global 0..49 = c0, 50..99 = c1, 100..149 = c2
+    val g = stacked.orderBy("global_idx").select("value").as[Double].collect()
+    assert(g(0) == 0.0 && g(49) == 49.0 && g(50) == 0.0 && g(100) == 0.0 && g(149) == 147.0)
+    val un = Prep.unstackChannels(stacked, "global_idx", "value", 3).orderBy("idx")
+    val back = un.select("idx", "0", "1", "2").as[(Long, Double, Double, Double)].collect()
+    base.orderBy("idx").as[(Long, Double, Double, Double)].collect()
+      .zip(back).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("P4: multi-format timestamp parse falls back per row") {
+    val df = Seq("2024-01-02 03:04:05", "02/01/2024 03:04:05", "garbage").toDF("s")
+    val out = df.select(Prep.parseTimestampMulti(col("s"),
+        Seq("yyyy-MM-dd HH:mm:ss", "dd/MM/yyyy HH:mm:ss")).cast("long").as("t"))
+      .as[Option[Long]].collect()
+    assert(out(0).isDefined && out(0) == out(1) && out(2).isEmpty)
+  }
+}
