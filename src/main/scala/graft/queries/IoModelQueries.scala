@@ -1,0 +1,210 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.Tables
+import graft.eval.Eval
+import graft.fed.{ClientConfig, FedAvg}
+import graft.io.{Sinks, Sources}
+import graft.model.{DenseAutoencoder, Trainer, Tuning}
+import graft.prep.Prep
+import graft.window.Windows
+
+/** Sources/sinks round-trips (SURVEY.md §2.1), the §3.3 composite anomaly
+  * pipeline, per-client channel config (P8/M11), and the ML operator
+  * surface (M2/M7/M9/M10 — rows-only checks; semantics pinned in
+  * ModelSpec/StreamingSpec).
+  */
+object IoModelQueries {
+
+  private def ev(s: org.apache.spark.sql.SparkSession, d: String) = Tables.events(s, d)
+
+  /** Scratch dir, unique per sf so verify/bench runs don't collide. */
+  private def tmp(d: String, name: String): String =
+    s"/tmp/graft_io/${d.replaceAll("[^a-zA-Z0-9.]", "_")}/$name"
+
+  /** Derived 3-channel frame used by P8/R1-style demos. */
+  private def channels(s: org.apache.spark.sql.SparkSession, d: String) =
+    ev(s, d).select(col("event_id"), col("value"),
+      col("user_id").cast("double").as("u"),
+      (col("event_id") % 7).cast("double").as("m"))
+
+  val all: Seq[Q] = Seq(
+
+    // S1 + S6 — delimiter-configurable CSV sink + scan round-trip.
+    Q("s1_csv_roundtrip",
+      (s, d) => {
+        val path = tmp(d, "s1")
+        Sinks.csvOverwrite(Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"), path)
+        Sources.csv(s, path, StructType(Seq(
+            StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),
+            StructField("l_returnflag", StringType), StructField("l_quantity", DoubleType))))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem " +
+        "ORDER BY l_orderkey, l_linenumber")),
+
+    // S2 — headerless TSV with synthesized column names.
+    Q("s2_headerless_tsv",
+      (s, d) => {
+        val path = tmp(d, "s2")
+        ev(s, d).select("event_id", "value").write.mode("overwrite")
+          .option("sep", "\t").option("header", "false").csv(path)
+        Sources.headerlessCsv(s, path, StructType(Seq(
+            StructField("c0", LongType), StructField("c1", DoubleType))),
+            names = Seq("event_id", "value"))
+          .orderBy("event_id")
+      },
+      Some("SELECT event_id, value FROM events ORDER BY event_id")),
+
+    // S4 + S5 — directory scan with per-file identity; the partition value
+    // is recovered from the file PATH (the filename-is-metadata pattern;
+    // the reference's bearing files encode the timestamp the same way).
+    Q("s4_directory_scan",
+      (s, d) => {
+        val path = tmp(d, "s4")
+        Tables.lineitem(s, d).select("l_returnflag", "l_orderkey", "l_linenumber")
+          .write.mode("overwrite").partitionBy("l_returnflag")
+          .option("header", "false").csv(path)
+        Sources.directoryCsv(s, s"$path/*/", StructType(Seq(
+            StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType))),
+            sep = ",")
+          .withColumn("flag", regexp_extract(col("_file"), "l_returnflag=([A-Z]+)", 1))
+          .groupBy("flag").agg(count(lit(1)).as("n"))
+          .orderBy("flag")
+      },
+      Some("SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n FROM lineitem " +
+        "GROUP BY 1 ORDER BY 1")),
+
+    // S8 — stacked single-column text export (value + trailing comma),
+    // re-read and checksummed.
+    Q("s8_stacked_text",
+      (s, d) => {
+        val path = tmp(d, "s8")
+        Sinks.stackedText(ev(s, d).filter(col("event_id") < 100), "value", path)
+        s.read.text(path)
+          .select(substring_index(col("value"), ",", 1).cast("double").as("v"))
+          .agg(count(lit(1)).as("n"), round(sum(col("v")), 4).as("sum_v"))
+      },
+      Some("SELECT CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_v " +
+        "FROM events WHERE event_id < 100")),
+
+    // S9 + S10 — JSON results sink + schema-explicit JSON source.
+    Q("s10_json_roundtrip",
+      (s, d) => {
+        val path = tmp(d, "s10")
+        Sinks.json(ev(s, d).filter(col("event_id") < 500)
+          .select("event_id", "event_type", "value"), path)
+        Sources.json(s, path, StructType(Seq(
+            StructField("event_id", LongType), StructField("event_type", StringType),
+            StructField("value", DoubleType))))
+          .orderBy("event_id")
+      },
+      Some("SELECT event_id, event_type, value FROM events WHERE event_id < 500 " +
+        "ORDER BY event_id")),
+
+    // §3.3 — the reference's core evaluation query end-to-end:
+    // chunk-mean periods → validation threshold μ+4σ → rolling-min →
+    // first-over-threshold (with 0 sentinel).
+    Q("anomaly_pipeline",
+      (s, d) => {
+        val periods = Prep.downsample(ev(s, d), "event_id", 100, Seq("value"))
+          .select(col("grp").as("period"), col("value").as("mse"))
+        Eval.anomalyStart(periods, "period", "mse")
+          .select(round(col("threshold"), 6).as("threshold"), col("anomaly_start"))
+      },
+      Some("WITH p AS (SELECT event_id // 100 AS period, avg(value) AS mse FROM events GROUP BY 1), " +
+        "np AS (SELECT count(*) AS np FROM p), " +
+        "thr AS (SELECT avg(mse) + 4 * stddev_samp(mse) AS t FROM p, np WHERE period < floor(np.np * 0.1)), " +
+        "r AS (SELECT period, CASE WHEN row_number() OVER (ORDER BY period) >= 3 THEN " +
+        "min(mse) OVER (ORDER BY period ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) END AS rmin FROM p) " +
+        "SELECT round(thr.t, 6) AS threshold, " +
+        "COALESCE(min(CASE WHEN r.rmin > thr.t THEN r.period END), 0) AS anomaly_start " +
+        "FROM r, thr GROUP BY thr.t")),
+
+    // P8/M11 — config-driven per-client channel selection.
+    Q("p8_client_channels",
+      (s, d) => {
+        val base = channels(s, d)
+        val cfg = ClientConfig.demo
+        (0 until 4).map { client =>
+          cfg.loadFor(base, client)
+            .agg(count(lit(1)).as("n"),
+              round(sum(cfg.trainChannel(client)), 4).as("sum_c"))
+            .select(lit(client).as("client"), col("n"), col("sum_c"))
+        }.reduce(_ unionByName _).orderBy("client")
+      },
+      Some("SELECT 0 AS client, CAST(count(*) AS BIGINT) AS n, " +
+        "round(sum(CAST(user_id AS DOUBLE)), 4) AS sum_c FROM events " +
+        "UNION ALL SELECT 1, CAST(count(*) AS BIGINT), round(sum(CAST(user_id AS DOUBLE)), 4) FROM events " +
+        "UNION ALL SELECT 2, CAST(count(*) AS BIGINT), round(sum(CAST(event_id % 7 AS DOUBLE)), 4) FROM events " +
+        "UNION ALL SELECT 3, CAST(count(*) AS BIGINT), round(sum(value), 4) FROM events " +
+        "ORDER BY client")),
+
+    // M2/M4/M5/M6 — distributed autoencoder training; output = per-epoch
+    // loss history (rows-only: float reduction order varies).
+    Q("m2_autoencoder_train",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val std = Prep.standardize(ev(s, d), ev(s, d), Seq("value"))
+        val wins = Windows.slidingWindows(std, "event_id", "value", 64, 64)
+        val t = Trainer.fit(new DenseAutoencoder(Seq(64, 16, 4, 16, 64)), wins,
+          "values", epochs = 3, lr = 1e-3)
+        t.lossHistory.zipWithIndex.map { case (l, e) => (e, l) }.toDF("epoch", "loss")
+      },
+      None),
+
+    // M7 — reconstruction scoring with broadcast weights (fixed-seed
+    // untrained model → deterministic forward pass).
+    Q("m7_reconstruction_score",
+      (s, d) => {
+        val model = new DenseAutoencoder(Seq(64, 16, 64))
+        val t = graft.model.TrainedAutoencoder(model, model.initWeights(), Nil)
+        val std = Prep.standardize(ev(s, d), ev(s, d), Seq("value"))
+        val wins = Windows.slidingWindows(std, "event_id", "value", 64, 64)
+        t.score(wins).select(col("window_id"), round(col("mse"), 6).as("mse"))
+          .orderBy("window_id")
+      },
+      None),
+
+    // M9 — hyperparameter search over lr with val-loss objective.
+    Q("m9_hyperparam_search",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val std = Prep.standardize(ev(s, d), ev(s, d), Seq("value"))
+        val wins = Windows.slidingWindows(std, "event_id", "value", 32, 32).cache()
+        val (train, valid) = Prep.sequentialSplit(wins, "window_id", 0.7, 1)
+        val scored = Tuning.gridSearch(train, valid, "values", 32,
+          Seq(Tuning.Candidate(1e-3, Seq(8)), Tuning.Candidate(1e-2, Seq(8))),
+          epochs = 2)
+        scored.map(c => (c.lr, c.valMse)).toDF("lr", "val_mse")
+      },
+      None),
+
+    // M10/A5 — FedAvg rounds over 4 per-client channel datasets.
+    Q("m10_fedavg",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val std = Prep.standardize(ev(s, d), ev(s, d), Seq("value"))
+        val w = Window.partitionBy(col("client")).orderBy(col("event_id"))
+        val perClient = (0 until 4).map { c =>
+          std.filter(col("user_id") % 4 === c)
+            .withColumn("client", lit(c))
+            .withColumn("cidx", row_number().over(w) - 1)
+        }
+        val clients = perClient.map(df =>
+          Windows.slidingWindows(df, "cidx", "value", 32, 32))
+        val res = FedAvg.run(new DenseAutoencoder(Seq(32, 8, 32)), clients,
+          "values", rounds = 2, epochsPerRound = 1)
+        res.perClientLoss.zipWithIndex
+          .map { case (h, c) => (c, h.last) }.toDF("client", "final_loss")
+      },
+      None)
+  )
+}

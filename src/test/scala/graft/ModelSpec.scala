@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.fed.FedAvg
+import graft.model.{DenseAutoencoder, ModelIO, TrainedAutoencoder, Trainer}
+
+/** Behavioral ML parity (SURVEY.md §5): training is not bitwise-comparable
+  * to the TF reference, so we assert the reference's qualitative
+  * contract — loss decreases, reconstruction error separates an injected
+  * anomaly, FedAvg averaging is exact.
+  */
+class ModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sineWindows(n: Int, dim: Int, anomalyFrom: Int = Int.MaxValue) = {
+    (0 until n).map { w =>
+      val vals = (0 until dim).map { i =>
+        val t = w * dim + i
+        val base = math.sin(2 * math.Pi * t / 16.0)
+        if (w >= anomalyFrom) base + 3.0 * math.sin(2 * math.Pi * t / 3.1) else base
+      }
+      (w.toLong, vals)
+    }.toDF("window_id", "values")
+  }
+
+  test("M2: training reduces loss on a periodic signal") {
+    val t = Trainer.fit(new DenseAutoencoder(Seq(16, 8, 16)),
+      sineWindows(64, 16), "values", epochs = 30, lr = 5e-3)
+    assert(t.lossHistory.length == 30)
+    val first5 = t.lossHistory.take(5).sum / 5
+    val last5 = t.lossHistory.takeRight(5).sum / 5
+    assert(last5 < first5 * 0.8, s"loss did not decrease: $first5 -> $last5")
+  }
+
+  test("M7/M8: reconstruction error separates injected anomaly windows") {
+    val train = sineWindows(64, 16)
+    val t = Trainer.fit(new DenseAutoencoder(Seq(16, 8, 16)), train, "values",
+      epochs = 60, lr = 5e-3)
+    val scored = t.score(sineWindows(80, 16, anomalyFrom = 64))
+    val normal = scored.filter(col("window_id") < 64).agg(avg("mse")).as[Double].head()
+    val anom = scored.filter(col("window_id") >= 64).agg(avg("mse")).as[Double].head()
+    assert(anom > normal * 3, s"no separation: normal=$normal anomalous=$anom")
+  }
+
+  test("A5: FedAvg aggregate is the exact elementwise mean") {
+    val out = FedAvg.aggregate(Seq(Array(1.0, 2.0), Array(3.0, 4.0), Array(5.0, 6.0)))
+    assert(out.toSeq == Seq(3.0, 4.0))
+  }
+
+  test("M10: FedAvg rounds run and produce per-client loss histories") {
+    val clients = (0 until 2).map(c => sineWindows(32, 16))
+    val res = FedAvg.run(new DenseAutoencoder(Seq(16, 4, 16)), clients, "values",
+      rounds = 3, epochsPerRound = 1)
+    assert(res.perClientLoss.length == 2)
+    assert(res.perClientLoss.forall(_.length == 3))
+    assert(res.global.weights.length == new DenseAutoencoder(Seq(16, 4, 16)).numWeights)
+  }
+
+  test("S11: model save/load round-trips weights and architecture") {
+    val m = new DenseAutoencoder(Seq(8, 4, 8))
+    val t = TrainedAutoencoder(m, m.initWeights(), Seq(0.5, 0.4))
+    ModelIO.save(spark, t, "/tmp/graft_io/test_model")
+    val back = ModelIO.load(spark, "/tmp/graft_io/test_model")
+    assert(back.model.layerSizes == Seq(8, 4, 8))
+    assert(back.weights.toSeq == t.weights.toSeq)
+    assert(back.lossHistory == Seq(0.5, 0.4))
+  }
+
+  test("scoring is deterministic given the seed") {
+    val m = new DenseAutoencoder(Seq(8, 4, 8), seed = 7L)
+    val w1 = m.initWeights(); val w2 = new DenseAutoencoder(Seq(8, 4, 8), seed = 7L).initWeights()
+    assert(w1.toSeq == w2.toSeq)
+    val wins = Seq((0L, (0 until 8).map(_ * 0.1))).toDF("window_id", "values")
+    val s1 = TrainedAutoencoder(m, w1, Nil).score(wins).select("mse").as[Double].head()
+    val s2 = TrainedAutoencoder(m, w2, Nil).score(wins).select("mse").as[Double].head()
+    assert(s1 == s2)
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.KeyedValue
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming W1: count-based sliding windows across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KeyedValue]
+    val out = StreamingOps.countWindows(input.toDS(), size = 4, step = 2)
+    val query = out.writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: 5 values → windows at seen=4 (id 0)
+      input.addData((0 until 5).map(i => KeyedValue("k", i, i.toDouble)))
+      query.processAllAvailable()
+      // batch 2: 3 more (total 8) → windows at seen=6 (id 1), seen=8 (id 2)
+      input.addData((5 until 8).map(i => KeyedValue("k", i, i.toDouble)))
+      query.processAllAvailable()
+      val rows = spark.table("win_out")
+        .orderBy("windowId").as[(String, Long, Seq[Double])].collect()
+      assert(rows.map(_._2).toSeq == Seq(0L, 1L, 2L))
+      assert(rows(0)._3 == Seq(0.0, 1.0, 2.0, 3.0))
+      assert(rows(1)._3 == Seq(2.0, 3.0, 4.0, 5.0))
+      assert(rows(2)._3 == Seq(4.0, 5.0, 6.0, 7.0))
+    } finally query.stop()
+  }
+
+  test("streaming A3/P9: tumbling event-time period means with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Double)]
+    val df = input.toDF().toDF("ts", "v")
+    val out = StreamingOps.thresholdFlags(df, "ts", "v",
+      windowDuration = "10 seconds", watermark = "5 seconds", threshold = 5.0)
+    val query = out.writeStream.format("memory").queryName("period_out")
+      .outputMode("append").start()
+    try {
+      def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+      input.addData(Seq((ts(1), 1.0), (ts(2), 2.0), (ts(11), 9.0), (ts(12), 9.0)))
+      query.processAllAvailable()
+      // advance watermark far enough to close both windows
+      input.addData(Seq((ts(40), 0.0)))
+      query.processAllAvailable()
+      input.addData(Seq((ts(59), 0.0)))
+      query.processAllAvailable()
+      val rows = spark.table("period_out")
+        .select("period_start", "mse", "anomaly")
+        .as[(java.sql.Timestamp, Double, Boolean)].collect().sortBy(_._1.getTime)
+      assert(rows.length >= 2)
+      assert(rows(0)._2 == 1.5 && !rows(0)._3)
+      assert(rows(1)._2 == 9.0 && rows(1)._3)
+    } finally query.stop()
+  }
+}
