@@ -137,8 +137,11 @@ object Dedup {
     */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
                     shingleLen: Int = 3): DataFrame = {
+    // The set frame feeds two joins (id1 side, id2 side); persist so the
+    // shingle construction runs once, not twice per action.
     val sets = docs.select(col(idCol).as("_jid"),
       array_distinct(shingles(col(textCol), shingleLen)).as("_set"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pairs
       .join(sets.withColumnRenamed("_jid", "id1").withColumnRenamed("_set", "_set1"), "id1")
       .join(sets.withColumnRenamed("_jid", "id2").withColumnRenamed("_set", "_set2"), "id2")

@@ -260,6 +260,95 @@ object WindowQueries {
         "UNION ALL SELECT 'big' AS tag, event_id FROM events WHERE value > 180 " +
         "ORDER BY tag, event_id")),
 
+    // A8 (trapezoid form) — ROC AUC built exactly as the reference's
+    // threshold sweep: cumulative TP/FP per distinct score descending →
+    // (fpr, tpr) points → trapezoid integral. Same value as a8_auc's rank
+    // statistic; this variant demonstrates the sweep construction as a
+    // distributed plan (groupBy score + two cumulative windows) instead of
+    // the reference's O(n²) Python loop.
+    Q("a8b_auc_trapezoid",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val byScore = ev(s, d)
+          .groupBy(col("value").as("sc"))
+          .agg(sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("p"),
+            sum(when(col("event_type") =!= "error", 1L).otherwise(0L)).as("np"))
+        val wDesc = Window.orderBy(desc("sc"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val pts = byScore
+          .withColumn("tp", sum(col("p")).over(wDesc))
+          .withColumn("fp", sum(col("np")).over(wDesc))
+        val totals = byScore.agg(sum(col("p")).as("total_p"), sum(col("np")).as("total_n"))
+        val rates = pts.crossJoin(broadcast(totals))
+          .select((col("tp") / col("total_p")).as("tpr"), (col("fp") / col("total_n")).as("fpr"))
+        val wAsc = Window.orderBy("fpr", "tpr")
+        rates
+          .withColumn("prev_fpr", lag(col("fpr"), 1, 0.0).over(wAsc))
+          .withColumn("prev_tpr", lag(col("tpr"), 1, 0.0).over(wAsc))
+          .agg(round(sum((col("fpr") - col("prev_fpr")) *
+            (col("tpr") + col("prev_tpr")) / 2), 6).as("auc"))
+      },
+      Some("WITH byscore AS (SELECT value AS sc, " +
+        "sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS p, " +
+        "sum(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) AS np " +
+        "FROM events GROUP BY value), " +
+        "pts AS (SELECT sc, sum(p) OVER w AS tp, sum(np) OVER w AS fp FROM byscore " +
+        "WINDOW w AS (ORDER BY sc DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "tot AS (SELECT sum(p) AS total_p, sum(np) AS total_n FROM byscore), " +
+        "rates AS (SELECT tp / CAST(total_p AS DOUBLE) AS tpr, fp / CAST(total_n AS DOUBLE) AS fpr FROM pts, tot), " +
+        "tz AS (SELECT fpr, tpr, lag(fpr, 1, 0.0) OVER w2 AS prev_fpr, " +
+        "lag(tpr, 1, 0.0) OVER w2 AS prev_tpr FROM rates WINDOW w2 AS (ORDER BY fpr, tpr)) " +
+        "SELECT round(sum((fpr - prev_fpr) * (tpr + prev_tpr) / 2), 6) AS auc FROM tz")),
+
+    // Rollup (subtotals + grand total) — free from Spark SQL, demonstrated
+    // for SQL-surface completeness. NULLS FIRST pinned: Spark's ASC
+    // default vs DuckDB's NULLS LAST.
+    Q("rollup_revenue",
+      (s, d) => {
+        // via the engine's SQL surface (Spark 4's analyzer flags the
+        // DataFrame rollup+sort as an ambiguous self-join false positive)
+        Tables.lineitem(s, d).createOrReplaceTempView("li_v")
+        Tables.orders(s, d).createOrReplaceTempView("o_v")
+        s.sql("SELECT o_orderstatus, l_returnflag, round(sum(l_extendedprice), 1) AS rev, " +
+          "count(*) AS n FROM li_v JOIN o_v ON l_orderkey = o_orderkey " +
+          "GROUP BY ROLLUP(o_orderstatus, l_returnflag) " +
+          "ORDER BY o_orderstatus ASC NULLS FIRST, l_returnflag ASC NULLS FIRST")
+      },
+      Some("SELECT o_orderstatus, l_returnflag, round(sum(l_extendedprice), 1) AS rev, " +
+        "CAST(count(*) AS BIGINT) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY ROLLUP(o_orderstatus, l_returnflag) " +
+        "ORDER BY o_orderstatus NULLS FIRST, l_returnflag NULLS FIRST")),
+
+    // Distinct aggregates (free from Spark SQL).
+    Q("agg_distinct",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("n_custs"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority"),
+      Some("SELECT o_orderpriority, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs, " +
+        "CAST(count(*) AS BIGINT) AS n_orders FROM orders GROUP BY o_orderpriority " +
+        "ORDER BY o_orderpriority")),
+
+    // Headline: TPC-H Q3-style — selective join + group + distributed top-k.
+    Q("q3_top_orders",
+      (s, d) => {
+        val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        val o = Tables.orders(s, d)
+        val li = Tables.lineitem(s, d)
+        c.join(o, col("c_custkey") === col("o_custkey"))
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderkey", "o_orderdate")
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .orderBy(desc("revenue"), col("o_orderkey"))
+          .limit(10)
+          .select(col("o_orderkey"), col("revenue"))
+      },
+      Some("SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON o_orderkey = l_orderkey WHERE c_mktsegment = 'BUILDING' " +
+        "GROUP BY o_orderkey, o_orderdate ORDER BY revenue DESC, o_orderkey LIMIT 10")),
+
     // Headline: TPC-H Q1-style scan-heavy aggregation.
     Q("q1_pricing_summary",
       (s, d) => Tables.lineitem(s, d)
