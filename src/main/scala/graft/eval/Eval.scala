@@ -94,18 +94,30 @@ object Eval {
     */
   def anomalyStart(mse: DataFrame, periodCol: String, mseCol: String,
                    validationFrac: Double = 0.1, k: Double = 4.0,
-                   rollingWidth: Int = 3): DataFrame = {
-    val np = mse.agg(count(lit(1)).as("_np"))
-    val validation = mse.crossJoin(broadcast(np))
-      .filter(col(periodCol) < floor(col("_np") * validationFrac))
-    val thr = validation.agg(
-      (avg(col(mseCol)) + lit(k) * stddev_samp(col(mseCol))).as("_thr"))
+                   rollingWidth: Int = 3, groupCols: Seq[String] = Nil): DataFrame = {
+    val np =
+      if (groupCols.isEmpty) mse.agg(count(lit(1)).as("_np"))
+      else mse.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("_np"))
+    val withNp =
+      if (groupCols.isEmpty) mse.crossJoin(broadcast(np))
+      else mse.join(broadcast(np), groupCols)
+    val validation = withNp.filter(col(periodCol) < floor(col("_np") * validationFrac))
+    val thr =
+      if (groupCols.isEmpty)
+        validation.agg((avg(col(mseCol)) + lit(k) * stddev_samp(col(mseCol))).as("_thr"))
+      else validation.groupBy(groupCols.map(col): _*)
+        .agg((avg(col(mseCol)) + lit(k) * stddev_samp(col(mseCol))).as("_thr"))
     val smoothed = graft.window.Windows.rollingMin(
-      mse, periodCol, mseCol, rollingWidth, Nil, out = "_rmin")
-    smoothed.crossJoin(broadcast(thr))
-      .agg(first(col("_thr")).as("threshold"),
-        coalesce(min(when(col("_rmin") > col("_thr"), col(periodCol))), lit(0L))
-          .as("anomaly_start"))
+      mse, periodCol, mseCol, rollingWidth, groupCols, out = "_rmin")
+    val joined =
+      if (groupCols.isEmpty) smoothed.crossJoin(broadcast(thr))
+      else smoothed.join(broadcast(thr), groupCols)
+    val exceeded = coalesce(min(when(col("_rmin") > col("_thr"), col(periodCol))), lit(0L))
+      .as("anomaly_start")
+    if (groupCols.isEmpty)
+      joined.agg(first(col("_thr")).as("threshold"), exceeded)
+    else joined.groupBy(groupCols.map(col): _*)
+      .agg(first(col("_thr")).as("threshold"), exceeded)
   }
 
   /** J5 — fractional label ranges → index set: `[a, b)` fractions of `n`

@@ -116,6 +116,26 @@ object FftMagnitude {
 
 /** Column-level entry points for graft's custom expressions. */
 object GraftFunctions {
-  import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.graftbridge.{registerFunction, toColumn, toExpression}
+
   def fft_magnitude(c: Column): Column = toColumn(FftMagnitude(toExpression(c)))
+
+  /** Make graft's expressions callable from `spark.sql(...)`. */
+  def registerAll(spark: SparkSession): Unit =
+    registerFunction(spark, "fft_magnitude", exprs => FftMagnitude(exprs.head))
+}
+
+/** `SparkSessionExtensions` hook for cluster deployments
+  * (`spark.sql.extensions=graft.functions.GraftExtensions`): injects the
+  * same function set at session build time. In-process callers use
+  * [[GraftFunctions.registerAll]] on a live session instead.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    e.injectFunction((FunctionIdentifier("fft_magnitude"),
+      new ExpressionInfo(classOf[FftMagnitude].getName, "fft_magnitude"),
+      (exprs: Seq[Expression]) => FftMagnitude(exprs.head)))
 }

@@ -7,6 +7,10 @@ import graft.eval.Eval
 import graft.prep.Prep
 import graft.window.Windows
 
+/** Typed row for the Dataset[T] surface demo. */
+final case class OrderRow(o_orderkey: Long, o_custkey: Long,
+                          o_totalprice: Double, o_orderstatus: String)
+
 /** Sequence/window operators (SURVEY.md §2.5 W*), restructuring (§2.6 R*),
   * joins/set ops (§2.7 J*), and the TPC-H-style headline joins/aggs.
   */
@@ -259,6 +263,61 @@ object WindowQueries {
       Some("SELECT 'err' AS tag, event_id FROM events WHERE event_type = 'error' " +
         "UNION ALL SELECT 'big' AS tag, event_id FROM events WHERE value > 180 " +
         "ORDER BY tag, event_id")),
+
+    // O4 — sort of (metric, label) pairs.
+    Q("o4_sort_pairs",
+      (s, d) => ev(s, d).select("value", "event_type", "event_id")
+        .orderBy("value", "event_type", "event_id"),
+      Some("SELECT value, event_type, event_id FROM events " +
+        "ORDER BY value, event_type, event_id")),
+
+    // W5 — flatten window to its last timestep (element_at(history, -1)).
+    Q("w5_last_timestep",
+      (s, d) => Windows.temporalize(ev(s, d), "event_id", "value", 20)
+        .select(col("event_id"), element_at(col("history"), -1).as("last_prev"))
+        .orderBy("event_id"),
+      Some("SELECT event_id, last_prev FROM (SELECT event_id, " +
+        "lag(value, 1) OVER (ORDER BY event_id) AS last_prev, " +
+        "count(value) OVER (ORDER BY event_id ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS c " +
+        "FROM events) WHERE c = 20 ORDER BY event_id")),
+
+    // J6 — merge per-client files by client key recovered from the path.
+    Q("j6_client_merge",
+      (s, d) => {
+        val path = s"/tmp/graft_io/${d.replaceAll("[^a-zA-Z0-9.]", "_")}/j6"
+        ev(s, d).select((col("user_id") % 4).as("client"), col("event_id"), col("value"))
+          .write.mode("overwrite").partitionBy("client").json(path)
+        s.read.schema("event_id LONG, value DOUBLE").json(s"$path/*/")
+          .withColumn("client",
+            regexp_extract(input_file_name(), "client=([0-9]+)", 1).cast("long"))
+          .groupBy("client")
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_v"))
+          .orderBy("client")
+      },
+      Some("SELECT user_id % 4 AS client, CAST(count(*) AS BIGINT) AS n, " +
+        "round(sum(value), 4) AS sum_v FROM events GROUP BY 1 ORDER BY 1")),
+
+    // Typed Dataset surface: case-class rows, groupByKey + mapGroups.
+    Q("typed_dataset_agg",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+          .as[OrderRow]
+          .groupByKey(_.o_orderstatus)
+          .mapGroups { (status, rows) =>
+            val prices = rows.map(_.o_totalprice).toArray
+            (status, prices.length.toLong,
+              BigDecimal(prices.sum / prices.length)
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+          .toDF("o_orderstatus", "n", "avg_price")
+          .orderBy("o_orderstatus")
+      },
+      Some("SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, " +
+        "round(avg(o_totalprice), 4) AS avg_price FROM orders " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus")),
 
     // A8 (trapezoid form) — ROC AUC built exactly as the reference's
     // threshold sweep: cumulative TP/FP per distinct score descending →

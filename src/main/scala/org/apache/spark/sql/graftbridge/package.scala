@@ -11,4 +11,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 package object graftbridge {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a custom Catalyst expression as a SQL-callable function on
+    * an existing session (the in-session counterpart of injecting through
+    * `SparkSessionExtensions`).
+    */
+  def registerFunction(spark: SparkSession, name: String,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
 }
