@@ -2,7 +2,7 @@ package graft.fed
 
 import org.apache.spark.sql.DataFrame
 
-import graft.model.{DenseAutoencoder, TrainedAutoencoder, Trainer}
+import graft.model.{TrainedAutoencoder, Trainer, WindowModel}
 
 /** M10/A5 — FedAvg over per-client datasets, without sockets.
   *
@@ -40,7 +40,7 @@ object FedAvg {
     * All clients share the architecture and the initial weights (as the
     * reference's identical-seed clients do).
     */
-  def run(model: DenseAutoencoder, clients: Seq[DataFrame], valuesCol: String,
+  def run(model: WindowModel, clients: Seq[DataFrame], valuesCol: String,
           rounds: Int, epochsPerRound: Int = 1, lr: Double = 1e-3,
           lrDecay: Double = 0.99): Result = {
     var global = model.initWeights()

@@ -26,7 +26,8 @@ import org.apache.spark.sql.functions._
   * work is embarrassingly parallel over windows. Mini-batching at 100 TB =
   * `sample(fraction)` per epoch — wired through `batchFraction`.
   */
-class DenseAutoencoder(val layerSizes: Seq[Int], seed: Long = 42L) extends Serializable {
+class DenseAutoencoder(val layerSizes: Seq[Int], seed: Long = 42L)
+    extends WindowModel with Serializable {
   require(layerSizes.length >= 3 && layerSizes.head == layerSizes.last,
     "autoencoder: first and last layer sizes must match (reconstruction)")
 
@@ -48,6 +49,15 @@ class DenseAutoencoder(val layerSizes: Seq[Int], seed: Long = 42L) extends Seria
     }
     w
   }
+
+  override def spec: String = "dense:" + layerSizes.mkString(",")
+
+  override def reconstruct(x: Array[Double], w: Array[Double]): Array[Double] =
+    forward(x, w).last
+
+  override def accumulateGrad(x: Array[Double], w: Array[Double],
+                              grad: Array[Double]): Double =
+    backward(forward(x, w), w, grad)
 
   /** Forward pass returning all layer activations (tanh hidden, linear
     * output). `acts(0)` = input, `acts.last` = reconstruction.
@@ -130,7 +140,7 @@ class DenseAutoencoder(val layerSizes: Seq[Int], seed: Long = 42L) extends Seria
 /** Training result: final weights + per-epoch loss history (the
   * reference's `results.{loss}` series).
   */
-final case class TrainedAutoencoder(model: DenseAutoencoder,
+final case class TrainedAutoencoder(model: WindowModel,
                                     weights: Array[Double],
                                     lossHistory: Seq[Double]) {
 
@@ -147,7 +157,7 @@ final case class TrainedAutoencoder(model: DenseAutoencoder,
       .as[(Long, Seq[Double])]
       .map { case (id, vs) =>
         val x = vs.toArray
-        val recon = m.forward(x, bw.value).last
+        val recon = m.reconstruct(x, bw.value)
         var sse = 0.0
         var i = 0
         while (i < x.length) { val e = recon(i) - x(i); sse += e * e; i += 1 }
@@ -162,7 +172,7 @@ object Trainer {
   /** M4/M5/M6 — Adam with the reference's clipping + per-epoch decay,
     * full- or fractional-batch distributed gradients via treeAggregate.
     */
-  def fit(model: DenseAutoencoder, windows: DataFrame, valuesCol: String,
+  def fit(model: WindowModel, windows: DataFrame, valuesCol: String,
           epochs: Int, lr: Double = 1e-3, lrDecay: Double = 0.99,
           l2: Double = 1e-7, clipNorm: Double = 1.0, clipValue: Double = 0.5,
           batchFraction: Double = 1.0, seed: Long = 42L): TrainedAutoencoder =
@@ -170,7 +180,7 @@ object Trainer {
       l2, clipNorm, clipValue, batchFraction, seed)
 
   /** Continue training from given weights (the FedAvg per-round entry). */
-  def fitFrom(model: DenseAutoencoder, init: Array[Double], windows: DataFrame,
+  def fitFrom(model: WindowModel, init: Array[Double], windows: DataFrame,
               valuesCol: String, epochs: Int, lr: Double = 1e-3,
               lrDecay: Double = 0.99, l2: Double = 1e-7, clipNorm: Double = 1.0,
               clipValue: Double = 0.5, batchFraction: Double = 1.0,
@@ -194,8 +204,7 @@ object Trainer {
       val (gradSum, lossSum, cnt) = sampled.treeAggregate(
         (new Array[Double](w.length), 0.0, 0L))(
         seqOp = { case ((g, ls, c), x) =>
-          val acts = model.forward(x, bw.value)
-          val loss = model.backward(acts, bw.value, g)
+          val loss = model.accumulateGrad(x, bw.value, g)
           (g, ls + loss, c + 1)
         },
         combOp = { case ((g1, l1, c1), (g2, l2, c2)) =>

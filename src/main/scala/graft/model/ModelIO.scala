@@ -10,17 +10,25 @@ object ModelIO {
 
   def save(spark: SparkSession, t: TrainedAutoencoder, path: String): Unit = {
     import spark.implicits._
-    Seq((t.model.layerSizes, t.weights.toSeq, t.lossHistory))
-      .toDF("layer_sizes", "weights", "loss_history")
+    Seq((t.model.spec, t.weights.toSeq, t.lossHistory))
+      .toDF("spec", "weights", "loss_history")
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
   def load(spark: SparkSession, path: String, seed: Long = 42L): TrainedAutoencoder = {
     import spark.implicits._
-    val (sizes, weights, losses) = spark.read.parquet(path)
-      .select("layer_sizes", "weights", "loss_history")
-      .as[(Seq[Int], Seq[Double], Seq[Double])].head()
-    TrainedAutoencoder(new DenseAutoencoder(sizes, seed), weights.toArray, losses)
+    val (spec, weights, losses) = spark.read.parquet(path)
+      .select("spec", "weights", "loss_history")
+      .as[(String, Seq[Double], Seq[Double])].head()
+    val model: WindowModel = spec.split(":") match {
+      case Array("dense", sizes) =>
+        new DenseAutoencoder(sizes.split(",").map(_.toInt).toSeq, seed)
+      case Array("lstm", p) =>
+        val Array(t0, h) = p.split(",").map(_.toInt)
+        new LstmAutoencoder(t0, h, seed)
+      case other => throw new IllegalArgumentException(s"unknown model spec: ${other.mkString(":")}")
+    }
+    TrainedAutoencoder(model, weights.toArray, losses)
   }
 }
 

@@ -158,6 +158,20 @@ object IoModelQueries {
       },
       None),
 
+    // M1 — seq2seq LSTM autoencoder training (hand-rolled BPTT, gradient
+    // pinned by finite differences in ModelSpec); rows-only.
+    Q("m1_lstm_train",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val std = Prep.standardize(ev(s, d), ev(s, d), Seq("value"))
+        val wins = Windows.slidingWindows(std, "event_id", "value", 32, 32)
+        val t = Trainer.fit(new graft.model.LstmAutoencoder(32, 8), wins,
+          "values", epochs = 2, lr = 5e-3)
+        t.lossHistory.zipWithIndex.map { case (l, e) => (e, l) }.toDF("epoch", "loss")
+      },
+      None),
+
     // M7 — reconstruction scoring with broadcast weights (fixed-seed
     // untrained model → deterministic forward pass).
     Q("m7_reconstruction_score",

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.fed.FedAvg
-import graft.model.{DenseAutoencoder, ModelIO, TrainedAutoencoder, Trainer}
+import graft.model.{DenseAutoencoder, LstmAutoencoder, ModelIO, TrainedAutoencoder, Trainer}
 
 /** Behavioral ML parity (SURVEY.md §5): training is not bitwise-comparable
   * to the TF reference, so we assert the reference's qualitative
@@ -62,9 +62,45 @@ class ModelSpec extends SparkSpec {
     val t = TrainedAutoencoder(m, m.initWeights(), Seq(0.5, 0.4))
     ModelIO.save(spark, t, "/tmp/graft_io/test_model")
     val back = ModelIO.load(spark, "/tmp/graft_io/test_model")
-    assert(back.model.layerSizes == Seq(8, 4, 8))
+    assert(back.model.spec == "dense:8,4,8")
     assert(back.weights.toSeq == t.weights.toSeq)
     assert(back.lossHistory == Seq(0.5, 0.4))
+
+    val lm = new LstmAutoencoder(12, 5)
+    ModelIO.save(spark, TrainedAutoencoder(lm, lm.initWeights(), Seq(1.0)), "/tmp/graft_io/test_model_lstm")
+    val lback = ModelIO.load(spark, "/tmp/graft_io/test_model_lstm")
+    assert(lback.model.spec == "lstm:12,5")
+    assert(lback.model.numWeights == lm.numWeights)
+  }
+
+  test("M1: LSTM BPTT gradient matches finite differences") {
+    val m = new LstmAutoencoder(timesteps = 5, hidden = 3, seed = 11L)
+    val w = m.initWeights()
+    val x = Array(0.3, -0.5, 0.8, 0.1, -0.2)
+    val grad = new Array[Double](m.numWeights)
+    m.accumulateGrad(x, w, grad)
+    val eps = 1e-6
+    // probe a spread of weight indices across all blocks
+    val probes = Seq(0, 7, m.numWeights / 4, m.numWeights / 2,
+      m.numWeights - 2, m.numWeights - 1)
+    probes.foreach { i =>
+      val wp = w.clone(); wp(i) += eps
+      val wm = w.clone(); wm(i) -= eps
+      val gP = new Array[Double](m.numWeights); val gM = new Array[Double](m.numWeights)
+      val lp = m.accumulateGrad(x, wp, gP)
+      val lm2 = m.accumulateGrad(x, wm, gM)
+      val numeric = (lp - lm2) / (2 * eps)
+      assert(math.abs(numeric - grad(i)) < 1e-5,
+        s"weight $i: analytic ${grad(i)} vs numeric $numeric")
+    }
+  }
+
+  test("M1: LSTM training reduces loss on a periodic signal") {
+    val t = Trainer.fit(new LstmAutoencoder(16, 8), sineWindows(32, 16), "values",
+      epochs = 25, lr = 1e-2)
+    val first5 = t.lossHistory.take(5).sum / 5
+    val last5 = t.lossHistory.takeRight(5).sum / 5
+    assert(last5 < first5 * 0.8, s"LSTM loss did not decrease: $first5 -> $last5")
   }
 
   test("scoring is deterministic given the seed") {

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.prep.Prep
+import graft.window.Windows
+
+/** ScalaCheck generator-driven invariants (SURVEY.md §5) for the
+  * ordering-sensitive operators. Driven manually (fixed seeds, N cases per
+  * property) — the scalatest/scalacheck bridge artifact isn't in the
+  * offline cache, and Spark jobs per case favor few, adversarial cases
+  * over many anyway.
+  */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cases[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("property: downsample(k) preserves global mean on k-multiples") {
+    val gen = for {
+      n <- Gen.choose(20, 300)
+      k <- Gen.choose(2, 10)
+      vals <- Gen.listOfN(n, Gen.choose(-100.0, 100.0))
+    } yield (k, vals)
+    cases(gen, 5).foreach { case (k, vals0) =>
+      val vals = vals0.take(vals0.size - vals0.size % k)
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("idx", "v")
+      val downMean = Prep.downsample(df, "idx", k, Seq("v"))
+        .agg(avg("v")).as[Double].head()
+      assert(math.abs(downMean - vals.sum / vals.size) < 1e-9, s"k=$k n=${vals.size}")
+    }
+  }
+
+  test("property: sliding window count = n/step - 1 (size=2*step), all windows full") {
+    val gen = for {
+      step <- Gen.choose(4, 40)
+      n <- Gen.choose(100, 400)
+    } yield (step, n)
+    cases(gen, 5).foreach { case (step, n) =>
+      val winSize = step * 2
+      val df = (0 until n).map(i => (i.toLong, i.toDouble)).toDF("idx", "v")
+      val wins = Windows.slidingWindows(df, "idx", "v", winSize, step)
+      assert(wins.count() == math.max(n / step - 1, 0), s"step=$step n=$n")
+      assert(wins.filter(size(col("values")) =!= winSize).count() == 0)
+    }
+  }
+
+  test("property: unstack ∘ stack = identity for any channel count") {
+    val gen = for {
+      nc <- Gen.choose(2, 5)
+      n <- Gen.choose(10, 60)
+    } yield (nc, n)
+    cases(gen, 4).foreach { case (nc, n) =>
+      val cols = (0 until nc).map(c => s"c$c")
+      val rows = (0 until n).map(i =>
+        org.apache.spark.sql.Row.fromSeq(i.toLong +: (0 until nc).map(c => (i * nc + c).toDouble)))
+      val schema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("idx", org.apache.spark.sql.types.LongType) +:
+          cols.map(c => org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.DoubleType)))
+      val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+      val stacked = Prep.stackChannels(df, "idx", cols)
+      val back = Prep.unstackChannels(stacked, "global_idx", "value", nc)
+        .orderBy("idx").collect()
+      assert(back.length == n)
+      back.foreach { r =>
+        val i = r.getLong(0)
+        (0 until nc).foreach(c => assert(r.getDouble(c + 1) == (i * nc + c).toDouble))
+      }
+    }
+  }
+
+  test("property: confusion counts always sum to the universe") {
+    val gen = for {
+      n <- Gen.choose(10, 80)
+      pf <- Gen.choose(0.0, 1.0)
+      lf <- Gen.choose(0.0, 1.0)
+    } yield (n, pf, lf)
+    cases(gen, 4).foreach { case (n, pf, lf) =>
+      val pred = (0 until n).filter(i => (i * 2654435761L % 100) / 100.0 < pf)
+        .map(_.toLong).toDF("idx")
+      val label = (0 until n).filter(i => (i * 40503L % 100) / 100.0 < lf)
+        .map(_.toLong).toDF("idx")
+      val r = graft.eval.Eval.confusion(pred, label, "idx", n)
+        .as[(Long, Long, Long, Long)].head()
+      assert(r._1 + r._2 + r._3 + r._4 == n)
+    }
+  }
+}
