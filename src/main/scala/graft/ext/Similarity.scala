@@ -74,6 +74,40 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every
+    * vector to one of `nlist` cells; a query probes only its `nprobe`
+    * nearest cells and re-ranks exactly inside them. The standard
+    * FAISS-style scale path: at 100 TB the assignment is one narrow pass
+    * (broadcast centroids), the index is a bucket-partitioned table, and
+    * a query touches ~nprobe/nlist of the data.
+    *
+    * Returns (assigned table with `ivf_cell`, trained model) — build once,
+    * query many times via [[ivfTopK]].
+    */
+  def ivfIndex(df: DataFrame, vecCol: String, nlist: Int, seed: Long = 42L):
+      (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val withVec = df.withColumn("_ivf_v", array_to_vector(col(vecCol).cast("array<double>")))
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nlist).setSeed(seed).setFeaturesCol("_ivf_v").setPredictionCol("ivf_cell")
+      .fit(withVec)
+    (km.transform(withVec).drop("_ivf_v"), km)
+  }
+
+  def ivfTopK(assigned: DataFrame, km: org.apache.spark.ml.clustering.KMeansModel,
+              idCol: String, vecCol: String, query: Array[Double],
+              nprobe: Int, k: Int): DataFrame = {
+    val qv = org.apache.spark.ml.linalg.Vectors.dense(query)
+    val probes = km.clusterCenters.zipWithIndex
+      .sortBy { case (c, _) => org.apache.spark.ml.linalg.Vectors.sqdist(c, qv) }
+      .take(nprobe).map(_._2)
+    val q = array(query.map(lit): _*)
+    assigned.filter(col("ivf_cell").isin(probes.map(Integer.valueOf): _*))
+      .select(col(idCol), cosine(col(vecCol).cast("array<double>"), q).as("cos"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs above `minCos`, restricted to a
     * candidate id range (all-pairs within the range — the exact
     * verification shape; candidate generation at scale comes from

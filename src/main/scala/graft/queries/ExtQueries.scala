@@ -170,6 +170,21 @@ object ExtQueries {
       },
       None),
 
+    // IVF ANN: KMeans coarse quantizer + probe-and-rerank — rows-only
+    // (KMeans centers are iteration-order sensitive across engines).
+    Q("x_ann_ivf",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>"))
+          .head().getSeq[Double](0).toArray
+        val (assigned, km) = Similarity.ivfIndex(emb.filter(col("vec_id") > 0),
+          "embedding", nlist = 8)
+        Similarity.ivfTopK(assigned, km, "vec_id", "embedding", q, nprobe = 2, k = 20)
+          .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+      },
+      None),
+
     // M3 — FFT magnitude per sliding window (native Catalyst expression);
     // no SQL oracle (DuckDB has no FFT) — pinned by unit tests vs a
     // direct-DFT reference.

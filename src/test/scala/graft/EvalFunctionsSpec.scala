@@ -92,6 +92,23 @@ class EvalFunctionsSpec extends SparkSpec {
     assert(top.toSeq == Seq(1L, 2L))
   }
 
+  test("ext: IVF with full probing recovers the brute-force top result") {
+    val rnd = new scala.util.Random(3)
+    val base = (1L to 60L).map(i => (i, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+    val target = (99L, Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f))
+    val df = (base :+ target).toDF("vec_id", "embedding")
+    val q = Array(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    val (assigned, km) = graft.ext.Similarity.ivfIndex(df, "embedding", nlist = 4)
+    // nprobe = nlist → exhaustive: must find the exactly-matching vector
+    val full = graft.ext.Similarity.ivfTopK(assigned, km, "vec_id", "embedding", q, 4, 1)
+      .select("vec_id").as[Long].head()
+    assert(full == 99L)
+    // nprobe = 1: the matching vector's own cell is the nearest cell
+    val one = graft.ext.Similarity.ivfTopK(assigned, km, "vec_id", "embedding", q, 1, 1)
+      .select("vec_id").as[Long].head()
+    assert(one == 99L)
+  }
+
   test("ext: multimodal stub decode is deterministic and batched") {
     val media = graft.ext.Multimodal.syntheticMedia(spark, 10)
     val f1 = graft.ext.Multimodal.extractFeatures(media, 8)
