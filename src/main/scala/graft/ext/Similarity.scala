@@ -87,25 +87,36 @@ object Similarity {
   def ivfIndex(df: DataFrame, vecCol: String, nlist: Int, seed: Long = 42L):
       (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = {
     import org.apache.spark.ml.functions.array_to_vector
-    val withVec = df.withColumn("_ivf_v", array_to_vector(col(vecCol).cast("array<double>")))
+    // Spherical quantization: cluster L2-NORMALIZED vectors, because the
+    // search metric is cosine — L2 cells over raw magnitudes would send a
+    // high-cosine, different-magnitude vector to a far cell the query
+    // never probes. Ranking still uses the original vectors (cosine is
+    // magnitude-invariant). Nulls are excluded up front (KMeans.fit
+    // throws on a null feature; the brute-force path just sorts them last).
+    val vecD = col(vecCol).cast("array<double>")
+    val unit = transform(vecD, v => v / sqrt(aggregate(
+      zip_with(vecD, vecD, (a, b) => a * b), lit(0.0), (acc, x) => acc + x)))
+    val withVec = df.filter(col(vecCol).isNotNull)
+      .withColumn("_ivf_v", array_to_vector(unit))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setK(nlist).setSeed(seed).setFeaturesCol("_ivf_v").setPredictionCol("ivf_cell")
       .fit(withVec)
-    (km.transform(withVec).drop("_ivf_v"), km)
+    val assigned = km.transform(withVec).drop("_ivf_v")
+    (assigned, km)
   }
 
   def ivfTopK(assigned: DataFrame, km: org.apache.spark.ml.clustering.KMeansModel,
               idCol: String, vecCol: String, query: Array[Double],
               nprobe: Int, k: Int): DataFrame = {
-    val qv = org.apache.spark.ml.linalg.Vectors.dense(query)
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    val qUnit = org.apache.spark.ml.linalg.Vectors.dense(query.map(_ / qn))
     val probes = km.clusterCenters.zipWithIndex
-      .sortBy { case (c, _) => org.apache.spark.ml.linalg.Vectors.sqdist(c, qv) }
+      .sortBy { case (c, _) => org.apache.spark.ml.linalg.Vectors.sqdist(c, qUnit) }
       .take(nprobe).map(_._2)
-    val q = array(query.map(lit): _*)
-    assigned.filter(col("ivf_cell").isin(probes.map(Integer.valueOf): _*))
-      .select(col(idCol), cosine(col(vecCol).cast("array<double>"), q).as("cos"))
-      .orderBy(desc("cos"), col(idCol))
-      .limit(k)
+    bruteForceTopK(
+      assigned.filter(col("ivf_cell").isin(probes.map(Integer.valueOf): _*)),
+      idCol, vecCol, query, k)
   }
 
   /** Embedding-cosine near-duplicate pairs above `minCos`, restricted to a

@@ -15,6 +15,14 @@ import graft.window.Windows
   */
 object ExtQueries {
 
+  /** The ANN demo query vector: the vec_id=0 embedding, fetched once
+    * driver-side (shared by the brute-force / LSH / IVF variants).
+    */
+  private def queryVec(s: org.apache.spark.sql.SparkSession, d: String): Array[Double] =
+    Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+
   val all: Seq[Q] = Seq(
 
     // Exact dedup via content-hash groupBy (shuffles 8-byte hashes, not text).
@@ -74,9 +82,7 @@ object ExtQueries {
     Q("x_ann_bruteforce",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val q = emb.filter(col("vec_id") === 0)
-          .select(col("embedding").cast("array<double>"))
-          .head().getSeq[Double](0).toArray
+        val q = queryVec(s, d)
         Similarity.bruteForceTopK(emb.filter(col("vec_id") > 0), "vec_id", "embedding", q, 20)
           .select(col("vec_id"), round(col("cos"), 6).as("cos"))
       },
@@ -161,9 +167,7 @@ object ExtQueries {
     Q("x_ann_lsh",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val q = emb.filter(col("vec_id") === 0)
-          .select(col("embedding").cast("array<double>"))
-          .head().getSeq[Double](0).toArray
+        val q = queryVec(s, d)
         Similarity.lshTopK(emb.filter(col("vec_id") > 0), "vec_id", "embedding", q,
           dim = q.length, bits = 8, k = 20)
           .select(col("vec_id"), round(col("cos"), 6).as("cos"))
@@ -175,9 +179,7 @@ object ExtQueries {
     Q("x_ann_ivf",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val q = emb.filter(col("vec_id") === 0)
-          .select(col("embedding").cast("array<double>"))
-          .head().getSeq[Double](0).toArray
+        val q = queryVec(s, d)
         val (assigned, km) = Similarity.ivfIndex(emb.filter(col("vec_id") > 0),
           "embedding", nlist = 8)
         Similarity.ivfTopK(assigned, km, "vec_id", "embedding", q, nprobe = 2, k = 20)

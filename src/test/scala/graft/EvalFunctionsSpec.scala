@@ -109,6 +109,24 @@ class EvalFunctionsSpec extends SparkSpec {
     assert(one == 99L)
   }
 
+  test("ext: IVF cells are spherical — magnitude must not hide a cosine match") {
+    // v=(100,0,…) has cosine 1.0 with q=(1,0,…) but a huge L2 distance;
+    // raw-magnitude KMeans cells would park it in an unprobed cell.
+    val rnd = new scala.util.Random(5)
+    val base = (1L to 60L).map(i => (i, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+    val big = (99L, Seq(100f, 0f, 0f, 0f, 0f, 0f, 0f, 0f))
+    val df = (base :+ big).toDF("vec_id", "embedding")
+    val q = Array(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    val (assigned, km) = graft.ext.Similarity.ivfIndex(df, "embedding", nlist = 4)
+    val top = graft.ext.Similarity.ivfTopK(assigned, km, "vec_id", "embedding", q, 1, 1)
+      .select("vec_id").as[Long].head()
+    assert(top == 99L)
+    // and a null embedding row must not break index construction
+    val withNull = df.unionByName(Seq((500L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding"))
+    val (a2, _) = graft.ext.Similarity.ivfIndex(withNull, "embedding", nlist = 4)
+    assert(a2.count() == 61)
+  }
+
   test("ext: multimodal stub decode is deterministic and batched") {
     val media = graft.ext.Multimodal.syntheticMedia(spark, 10)
     val f1 = graft.ext.Multimodal.extractFeatures(media, 8)
