@@ -127,6 +127,39 @@ class EvalFunctionsSpec extends SparkSpec {
     assert(a2.count() == 61)
   }
 
+  test("ext: simhash — near-identical docs agree in most bits, unrelated don't") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+      (2L, "catalyst optimizer rewrites logical plans into physical execution trees")
+    ).toDF("doc_id", "text")
+    val sigs = graft.ext.Dedup.simhashSignatures(docs, "doc_id", "text")
+      .orderBy("_id").select("_sig").as[Long].collect()
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sigs(0), sigs(1)) < 16, s"near-dups differ in ${hamming(sigs(0), sigs(1))} bits")
+    assert(hamming(sigs(0), sigs(2)) > hamming(sigs(0), sigs(1)))
+  }
+
+  test("ext: fingerprint is order-sensitive and stable") {
+    val df = Seq((0L, "alpha beta gamma"), (1L, "beta alpha gamma"), (2L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val fps = df.select(graft.ext.TextAnalysis.fingerprint(col("text")))
+      .as[Long].collect()
+    assert(fps(0) == fps(2)) // identical text → identical fingerprint
+    assert(fps(0) != fps(1)) // token order matters
+  }
+
+  test("ext: language ID picks the marker-dominant language") {
+    val df = Seq(
+      (0L, "der hund und die katze ist nicht mit dem ball"),
+      (1L, "the cat and the dog is in that house it seems"),
+      (2L, "le chat et les chiens est une des villes")
+    ).toDF("doc_id", "text")
+    val pred = graft.ext.TextAnalysis.languageId(df, "text")
+      .orderBy("doc_id").select("lang_pred").as[String].collect()
+    assert(pred.toSeq == Seq("de", "en", "fr"))
+  }
+
   test("ext: multimodal stub decode is deterministic and batched") {
     val media = graft.ext.Multimodal.syntheticMedia(spark, 10)
     val f1 = graft.ext.Multimodal.extractFeatures(media, 8)
