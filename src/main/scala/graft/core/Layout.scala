@@ -1,0 +1,38 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout helpers for the 100 TB posture (DESIGN.md):
+  * bucketed co-located joins and salt-based skew mitigation.
+  */
+object Layout {
+
+  /** Persist a table bucketed + sorted by its join key. Two tables
+    * bucketed the same way join WITHOUT a shuffle (the scan itself
+    * reports the hash partitioning) — the pre-shuffle trade: pay the
+    * shuffle once at write time, amortize over every later join.
+    * BucketingSpec asserts the exchange-free plan.
+    */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int, key: String): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Skew-safe equi-join: replicate the small side `saltFactor`× and
+    * scatter the big side's hot keys across the replicas. AQE's skew-join
+    * split handles moderate skew automatically; explicit salting is for
+    * the pathological single-hot-key case (a null-ish sentinel key, one
+    * giant customer) where one partition would otherwise hold a large
+    * fraction of the data. Deterministic: the salt derives from hashed
+    * row content, not rand().
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 saltFactor: Int, bigSaltSource: Column): DataFrame = {
+    val salted = big.withColumn("_salt", pmod(hash(bigSaltSource), lit(saltFactor)))
+    val replicated = small
+      .withColumn("_salt", explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+}
