@@ -14,11 +14,21 @@ object Layout {
     * shuffle once at write time, amortize over every later join.
     * BucketingSpec asserts the exchange-free plan.
     */
-  def writeBucketed(df: DataFrame, table: String, buckets: Int, key: String): Unit =
+  def writeBucketed(df: DataFrame, table: String, buckets: Int, key: String): Unit = {
+    val spark = df.sparkSession
+    // A managed-table location can survive a previous JVM whose in-memory
+    // catalog is gone; saveAsTable then fails with LOCATION_ALREADY_EXISTS
+    // even in overwrite mode. Drop the entry and clear the orphan path.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(s"$warehouse/$table")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Skew-safe equi-join: replicate the small side `saltFactor`× and
     * scatter the big side's hot keys across the replicas. AQE's skew-join
