@@ -408,6 +408,21 @@ object WindowQueries {
         "JOIN lineitem ON o_orderkey = l_orderkey WHERE c_mktsegment = 'BUILDING' " +
         "GROUP BY o_orderkey, o_orderdate ORDER BY revenue DESC, o_orderkey LIMIT 10")),
 
+    // Headline: TPC-H Q6-style — the pure pushdown query: every predicate
+    // reaches the parquet scan, the agg is one scalar.
+    Q("q6_forecast_revenue",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")) &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n")),
+      Some("SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, " +
+        "CAST(count(*) AS BIGINT) AS n FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
+        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24")),
+
     // Headline: TPC-H Q1-style scan-heavy aggregation.
     Q("q1_pricing_summary",
       (s, d) => Tables.lineitem(s, d)
