@@ -30,13 +30,18 @@ object Eval {
     * complement (cheaper than materializing `range(n).except(...)`).
     */
   def confusion(pred: DataFrame, label: DataFrame, idxCol: String, n: Long): DataFrame = {
-    val tp = pred.join(label, Seq(idxCol), "left_semi").count()
-    val fp = pred.join(label, Seq(idxCol), "left_anti").count()
-    val fn = label.join(pred, Seq(idxCol), "left_anti").count()
-    val tn = n - tp - fp - fn
-    val spark = pred.sparkSession
-    import spark.implicits._
-    Seq((tp, fp, fn, tn)).toDF("tp", "fp", "fn", "tn")
+    // One full-outer join + one conditional aggregate: a single job that
+    // scans each side once (the semi/anti formulation scanned both twice
+    // across three actions). TN stays arithmetic: n − tp − fp − fn.
+    val p = pred.select(col(idxCol)).withColumn("_p", lit(1))
+    val l = label.select(col(idxCol)).withColumn("_l", lit(1))
+    p.join(l, Seq(idxCol), "full_outer")
+      .agg(
+        sum(when(col("_p").isNotNull && col("_l").isNotNull, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("_p").isNotNull && col("_l").isNull, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("_p").isNull && col("_l").isNotNull, 1L).otherwise(0L)).as("fn"))
+      .select(col("tp"), col("fp"), col("fn"),
+        (lit(n) - col("tp") - col("fp") - col("fn")).as("tn"))
   }
 
   /** A7 — precision / recall / F1 with the reference's zero-guards
@@ -109,9 +114,12 @@ object Eval {
         .agg((avg(col(mseCol)) + lit(k) * stddev_samp(col(mseCol))).as("_thr"))
     val smoothed = graft.window.Windows.rollingMin(
       mse, periodCol, mseCol, rollingWidth, groupCols, out = "_rmin")
+    // LEFT join: a group whose validation slice is empty (fewer than
+    // 1/validationFrac periods) must still appear — with a null threshold
+    // and the 0 sentinel (the reference yields NaN + no alarm), not vanish.
     val joined =
       if (groupCols.isEmpty) smoothed.crossJoin(broadcast(thr))
-      else smoothed.join(broadcast(thr), groupCols)
+      else smoothed.join(broadcast(thr), groupCols, "left")
     val exceeded = coalesce(min(when(col("_rmin") > col("_thr"), col(periodCol))), lit(0L))
       .as("anomaly_start")
     if (groupCols.isEmpty)
@@ -123,8 +131,12 @@ object Eval {
   /** J5 — fractional label ranges → index set: `[a, b)` fractions of `n`
     * expand to concrete indexes (reference `src/util/calculations.py:62-66`).
     */
-  def rangesToIndexes(df: DataFrame, startFracCol: Column, endFracCol: Column, n: Long): DataFrame =
-    df.select(explode(sequence(
-      floor(startFracCol * n).cast("long"),
-      floor(endFracCol * n).cast("long") - 1)).as("idx"))
+  def rangesToIndexes(df: DataFrame, startFracCol: Column, endFracCol: Column, n: Long): DataFrame = {
+    val startIdx = floor(startFracCol * n).cast("long")
+    val endIdx = floor(endFracCol * n).cast("long") - 1
+    // Python range(a, b) is EMPTY when b <= a; Spark sequence would count
+    // DOWN (default step -1), emitting spurious indexes for sub-1/n ranges.
+    df.select(explode(when(endIdx >= startIdx, sequence(startIdx, endIdx))
+      .otherwise(array().cast("array<long>"))).as("idx"))
+  }
 }

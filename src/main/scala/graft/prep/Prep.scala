@@ -18,7 +18,9 @@ object Prep {
     * the `tags` column). Pure codegen'd string expressions.
     */
   def extractTagValue(tags: Column, key: String): Column =
-    split(split(tags, s"$key=").getItem(1), " ").getItem(0)
+    // Pattern.quote: the key is a literal (pandas str.split semantics),
+    // not a regex — keys like "cpu.temp" must not match wildcards.
+    split(split(tags, java.util.regex.Pattern.quote(s"$key=")).getItem(1), " ").getItem(0)
 
   /** P3 — drop sub-second suffix of a string timestamp (`time.split('.')[0]`). */
   def dropSubseconds(ts: Column): Column = substring_index(ts, ".", 1)
@@ -76,9 +78,16 @@ object Prep {
     */
   def timeGaps(df: DataFrame, tsSecCol: String, idxCol: String,
                maxGapSec: Long, partCols: Seq[String] = Nil): DataFrame = {
+    // The reference walks DISTINCT timestamps (`df['time_sec'].unique()`,
+    // src/data/pipeline.py:41) — sub-second sampling makes consecutive
+    // rows share a second, which must not be flagged as a stall. Keep the
+    // first occurrence (min idx) per distinct timestamp, then lag in
+    // original order so out-of-order times still show as negative gaps.
+    val keys = (partCols :+ tsSecCol).map(col)
+    val distinctTs = df.groupBy(keys: _*).agg(min(col(idxCol)).as(idxCol))
     val w = if (partCols.isEmpty) Window.orderBy(col(idxCol))
             else Window.partitionBy(partCols.map(col): _*).orderBy(col(idxCol))
-    df.withColumn("_prev", lag(col(tsSecCol), 1).over(w))
+    distinctTs.withColumn("_prev", lag(col(tsSecCol), 1).over(w))
       .withColumn("gap_sec", col(tsSecCol) - col("_prev"))
       .filter(col("gap_sec").isNotNull && (col("gap_sec") <= maxGapSec || col("gap_sec") < 0))
       .drop("_prev")
@@ -91,7 +100,9 @@ object Prep {
     * a sort of the full data.
     */
   def downsample(df: DataFrame, idxCol: String, factor: Long, valueCols: Seq[String]): DataFrame =
-    df.groupBy((col(idxCol) / factor).cast("long").as("grp"))
+    // integer DIV, not `/`+cast: double division misassigns boundary rows
+    // once quotients exceed double's 52-bit mantissa
+    df.groupBy(expr(s"`$idxCol` DIV $factor").as("grp"))
       .agg(valueCols.map(c => avg(col(c)).as(c)).head, valueCols.map(c => avg(col(c)).as(c)).tail: _*)
 
   /** R1 — column-stack to a single series: all of channel 0, then channel
@@ -118,7 +129,7 @@ object Prep {
     val n = df.agg((count(lit(1)) / numChannels).cast("long").as("_n"))
     df.crossJoin(broadcast(n))
       .select((col(globalIdxCol) % col("_n")).as("idx"),
-              (col(globalIdxCol) / col("_n")).cast("int").as("channel"),
+              expr(s"`$globalIdxCol` DIV _n").cast("int").as("channel"),
               col(valueCol))
       .groupBy("idx")
       .pivot("channel", (0 until numChannels).map(_.toString))

@@ -133,9 +133,11 @@ object RelationalQueries {
       (s, d) => Prep.timeGaps(ev(s, d), "ts_sec", "event_id", 3600, Seq("user_id"))
         .select("user_id", "event_id", "gap_sec")
         .orderBy("user_id", "event_id"),
-      Some("WITH g AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) - " +
-        "lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY event_id) AS gap_sec " +
-        "FROM events) SELECT user_id, event_id, gap_sec FROM g " +
+      Some("WITH d AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, " +
+        "min(event_id) AS event_id FROM events GROUP BY 1, 2), " +
+        "g AS (SELECT user_id, event_id, ts_sec - " +
+        "lag(ts_sec) OVER (PARTITION BY user_id ORDER BY event_id) AS gap_sec FROM d) " +
+        "SELECT user_id, event_id, gap_sec FROM g " +
         "WHERE gap_sec IS NOT NULL AND (gap_sec <= 3600 OR gap_sec < 0) ORDER BY user_id, event_id")),
 
     // O1 — sort by time.

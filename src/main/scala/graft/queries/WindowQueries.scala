@@ -101,15 +101,16 @@ object WindowQueries {
         .select("event_type", "event_id", "anomaly")
         .orderBy("event_type", "event_id"),
       Some("WITH f AS (SELECT event_type, COALESCE(min(CASE WHEN value > 180 THEN event_id END), 0) AS fo " +
-        "FROM events GROUP BY event_type) SELECT e.event_type, e.event_id, e.event_id >= f.fo AS anomaly " +
+        "FROM events GROUP BY event_type) SELECT e.event_type, e.event_id, " +
+        "f.fo > 0 AND e.event_id >= f.fo AS anomaly " +
         "FROM events e JOIN f USING (event_type) ORDER BY event_type, event_id")),
 
     // W11 — searchsorted: first index at/after a timestamp + its fraction.
     Q("w11_searchsorted",
       (s, d) => Windows.searchSorted(ev(s, d), "event_id", "ts_sec", lit(1709251200L))
         .select(col("first_idx"), round(col("fraction"), 6).as("fraction")),
-      Some("SELECT min(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) >= 1709251200 THEN event_id END) AS first_idx, " +
-        "round(min(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) >= 1709251200 THEN event_id END) / " +
+      Some("SELECT COALESCE(min(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) >= 1709251200 THEN event_id END), count(*)) AS first_idx, " +
+        "round(COALESCE(min(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) >= 1709251200 THEN event_id END), count(*)) / " +
         "CAST(count(*) AS DOUBLE), 6) AS fraction FROM events")),
 
     // W12 — gaps-and-islands: runs of adjacent over-threshold indexes

@@ -32,7 +32,6 @@ object Windows {
   def slidingWindows(df: DataFrame, idxCol: String, valueCol: String,
                      size: Int, step: Int): DataFrame = {
     require(size % step == 0, "size must be a multiple of step")
-    val perRow = size / step
     // idx i belongs to window w for w in [ceil((i-size+1)/step), i/step]
     // Pure integer arithmetic (no double division — exact at any idx):
     // ceilDiv(i-size+1, step) clamped at 0, through floorDiv(i, step).
@@ -112,23 +111,29 @@ object Windows {
       .agg(coalesce(min(when(pred, col(idxCol))), lit(0L)).as("first_over"))
 
   /** W10 — until-failure expansion: anomalous = everything from the first
-    * exceed onward. Broadcast the tiny per-group firsts back.
+    * exceed onward. Broadcast the tiny per-group firsts back. The
+    * reference maps the argmax 0 sentinel to the EMPTY anomaly set
+    * (`src/util/calculations.py:87-92`) — a group that never exceeds (and,
+    * faithfully, one whose first exceed is index 0) yields no anomalies.
     */
   def untilFailure(df: DataFrame, idxCol: String, pred: Column,
                    groupCols: Seq[String]): DataFrame = {
     val firsts = firstOverThreshold(df, idxCol, pred, groupCols)
     df.join(broadcast(firsts), groupCols)
-      .withColumn("anomaly", col(idxCol) >= col("first_over"))
+      .withColumn("anomaly", col("first_over") > 0 && col(idxCol) >= col("first_over"))
   }
 
   /** W11 — searchsorted: first idx with `ts >= target`, and its positional
     * percentile (÷ row count). Two 1-row aggregates, no data movement.
+    * np.searchsorted semantics: a target beyond the last timestamp yields
+    * n (fraction 1.0), not null.
     */
   def searchSorted(df: DataFrame, idxCol: String, tsCol: String, target: Column): DataFrame =
     df.agg(
-      min(when(col(tsCol) >= target, col(idxCol))).as("first_idx"),
+      min(when(col(tsCol) >= target, col(idxCol))).as("_first"),
       count(lit(1)).as("n")
-    ).select(col("first_idx"), (col("first_idx") / col("n")).as("fraction"))
+    ).select(coalesce(col("_first"), col("n")).as("first_idx"),
+      (coalesce(col("_first"), col("n")) / col("n")).as("fraction"))
 
   /** W12 — adjacent-index islands → [start, end+1) spans. Gaps-and-islands:
     * `grp = idx - row_number()` is constant within a run. The row_number
@@ -154,7 +159,7 @@ object Windows {
     */
   def scalableCumSum(df: DataFrame, idxCol: String, valueCol: String,
                      bucketSize: Long = 1000000L, out: String = "cum"): DataFrame = {
-    val bucketed = df.withColumn("_b", (col(idxCol) / bucketSize).cast("long"))
+    val bucketed = df.withColumn("_b", expr(s"`$idxCol` DIV $bucketSize"))
     val within = sum(col(valueCol)).over(
       Window.partitionBy(col("_b")).orderBy(col(idxCol))
         .rowsBetween(Window.unboundedPreceding, 0))

@@ -64,6 +64,21 @@ class PrepSpec extends SparkSpec {
       .zip(back).foreach { case (a, b) => assert(a == b) }
   }
 
+  test("P12: duplicate timestamps are not flagged as stalls (distinct-ts semantics)") {
+    // 3 samples per second, one real 5-second hole, one genuine 1-sec step
+    val rows = Seq(10L, 10L, 10L, 11L, 11L, 11L, 16L, 16L, 16L)
+      .zipWithIndex.map { case (ts, i) => (i.toLong, ts) }
+    val df = rows.toDF("idx", "ts")
+    val gaps = Prep.timeGaps(df, "ts", "idx", 1)
+      .select("ts", "gap_sec").as[(Long, Long)].collect().toSeq.sorted
+    assert(gaps == Seq((11L, 1L))) // only the distinct 10→11 step; 11→16 gap=5 not ≤1
+  }
+
+  test("J5: sub-1/n fractional range expands to the EMPTY index set") {
+    val df = Seq((0.25, 0.252)).toDF("a", "b")
+    assert(graft.eval.Eval.rangesToIndexes(df, col("a"), col("b"), 100).count() == 0)
+  }
+
   test("P4: multi-format timestamp parse falls back per row") {
     val df = Seq("2024-01-02 03:04:05", "02/01/2024 03:04:05", "garbage").toDF("s")
     val out = df.select(Prep.parseTimestampMulti(col("s"),

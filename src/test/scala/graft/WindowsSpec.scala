@@ -62,6 +62,22 @@ class WindowsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("a", 1L), ("b", 0L)))
   }
 
+  test("W10: no-exceed group yields NO anomalies (reference 0-sentinel → empty set)") {
+    val df = Seq((0L, "a", 1.0), (1L, "a", 9.0), (2L, "a", 1.0),
+                 (0L, "b", 1.0), (1L, "b", 2.0)).toDF("idx", "g", "v")
+    val out = Windows.untilFailure(df, "idx", col("v") > 5, Seq("g"))
+      .orderBy("g", "idx").select("g", "anomaly").as[(String, Boolean)].collect()
+    assert(out.toSeq == Seq(("a", false), ("a", true), ("a", true),
+                            ("b", false), ("b", false)))
+  }
+
+  test("W11: target beyond last timestamp → first_idx = n, fraction 1.0") {
+    val df = Seq((0L, 10L), (1L, 20L)).toDF("idx", "ts")
+    val out = Windows.searchSorted(df, "idx", "ts", lit(99L))
+      .as[(Long, Double)].head()
+    assert(out == ((2L, 1.0)))
+  }
+
   test("W12: islands groups adjacent indexes into [start, end+1) spans") {
     val df = Seq(1L, 2L, 3L, 7L, 8L, 12L).toDF("idx")
     val out = Windows.islands(df, "idx").orderBy("span_start")
