@@ -1,0 +1,32 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: run named registry queries against an sf dir, print row count
+  * + wall time (+ plan with -explain). `runMain graft.QueryRun <sfDir>
+  * [-explain] [-show] q1 q2 ...`; with no names, runs the whole registry.
+  */
+object QueryRun {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val flags = args.tail.filter(_.startsWith("-")).toSet
+    val names = args.tail.filterNot(_.startsWith("-"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = graft.core.GraftSession.configure(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val qs = if (names.isEmpty) SparkEntry.registry
+             else SparkEntry.registry.filter(q => names.contains(q.name))
+    qs.foreach { q =>
+      val t0 = System.nanoTime()
+      val df = q.fn(spark, sfDir)
+      val n = df.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[queryrun] ${q.name}%-28s rows=$n%-8d ${sec}%.2fs")
+      if (flags("-show")) df.show(20, truncate = false)
+      if (flags("-explain")) df.explain("formatted")
+    }
+    spark.stop()
+  }
+}

