@@ -1,7 +1,6 @@
 package graft.eval
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Evaluation operators (SURVEY.md §2.4 A4–A8, §2.7 J1–J5, §2.5 W9):
@@ -29,20 +28,50 @@ object Eval {
     * of the reference's set ops: TP = semi, FP/FN = anti, TN = arithmetic
     * complement (cheaper than materializing `range(n).except(...)`).
     */
-  def confusion(pred: DataFrame, label: DataFrame, idxCol: String, n: Long): DataFrame = {
+  def confusion(pred: DataFrame, label: DataFrame, idxCol: String, n: Long): DataFrame =
+    confusionCounts(pred, label, idxCol)
+      .select(col("tp"), col("fp"), col("fn"),
+        (lit(n) - col("tp") - col("fp") - col("fn")).as("tn"))
+
+  /** [[confusion]] with the universe size derived lazily from a frame —
+    * the 1-row count aggregate joins into the final select, so no driver
+    * `.count()` action blocks plan construction.
+    */
+  def confusion(pred: DataFrame, label: DataFrame, idxCol: String,
+                universe: DataFrame): DataFrame =
+    confusionCounts(pred, label, idxCol)
+      .crossJoin(broadcast(universe.agg(count(lit(1)).as("_n"))))
+      .select(col("tp"), col("fp"), col("fn"),
+        (col("_n") - col("tp") - col("fp") - col("fn")).as("tn"))
+
+  private def confusionCounts(pred: DataFrame, label: DataFrame,
+                              idxCol: String): DataFrame = {
     // One full-outer join + one conditional aggregate: a single job that
     // scans each side once (the semi/anti formulation scanned both twice
-    // across three actions). TN stays arithmetic: n − tp − fp − fn.
-    val p = pred.select(col(idxCol)).withColumn("_p", lit(1))
-    val l = label.select(col(idxCol)).withColumn("_l", lit(1))
+    // across three actions). SET semantics, like the reference's Python
+    // sets (`src/util/calculations.py:68-71`): duplicate indexes count once.
+    val p = pred.select(col(idxCol)).distinct().withColumn("_p", lit(1))
+    val l = label.select(col(idxCol)).distinct().withColumn("_l", lit(1))
     p.join(l, Seq(idxCol), "full_outer")
       .agg(
         sum(when(col("_p").isNotNull && col("_l").isNotNull, 1L).otherwise(0L)).as("tp"),
         sum(when(col("_p").isNotNull && col("_l").isNull, 1L).otherwise(0L)).as("fp"),
         sum(when(col("_p").isNull && col("_l").isNotNull, 1L).otherwise(0L)).as("fn"))
-      .select(col("tp"), col("fp"), col("fn"),
-        (lit(n) - col("tp") - col("fp") - col("fn")).as("tn"))
   }
+
+  /** J4 — universe complement: ids of `universe` appearing in none of the
+    * `excludes` sets (reference `src/util/calculations.py:71`, TN set =
+    * `set(range(n)) - pred - label`). Chained LEFT ANTI hash joins: one
+    * scan of the universe, no `range(n)` materialization, none of
+    * `except`'s distinct+shuffle over the full universe, no driver-side
+    * count action. Small exclude sets broadcast (AQE); large ones
+    * shuffle on the key — both scale-safe.
+    */
+  def universeComplement(universe: DataFrame, idxCol: String,
+                         excludes: Seq[DataFrame]): DataFrame =
+    excludes.foldLeft(universe.select(col(idxCol))) { (u, ex) =>
+      u.join(ex.select(col(idxCol)), Seq(idxCol), "left_anti")
+    }
 
   /** A7 — precision / recall / F1 with the reference's zero-guards
     * (`src/util/calculations.py:76-83`). Single-pass conditional
@@ -67,21 +96,28 @@ object Eval {
   /** A8 — ROC AUC via the Mann-Whitney rank statistic with average ranks
     * for ties: AUC = (Σ ranks(positives) − P(P+1)/2) / (P·N). Exactly
     * equal to the trapezoid over the full threshold sweep the reference
-    * runs in O(n²) (`src/util/calculations.py:111-157`) — here O(n log n)
-    * via one sort-based rank window + one aggregate, distributed.
-    * The rank window is ordered by score globally; for 100 TB the same
-    * statistic decomposes over score-range buckets (rank = bucket offset +
-    * local rank) — the two-phase pattern of Windows.scalableCumSum.
+    * runs in O(n²) (`src/util/calculations.py:111-157`).
+    *
+    * Scale shape: ranks depend only on the score VALUE, so rows first
+    * collapse to per-score (count, positives) — one hash shuffle — and the
+    * tie-averaged rank of score s is `(#rows below s) + (count(s)+1)/2`,
+    * where the running count comes from the two-phase
+    * [[graft.window.Windows.rangeBucketedCumSum]]: per-bucket partial
+    * cumsums in parallel + a numBuckets-row offsets ledger. No
+    * unpartitioned window ever touches a row-sized frame.
     */
-  def aucRoc(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
-    val ranked = df.select(scoreCol.as("_s"), labelCol.cast("boolean").as("_y"))
-      .withColumn("_rk",
-        rank().over(Window.orderBy(col("_s"))) +
-          (count(lit(1)).over(Window.partitionBy(col("_s"))) - 1) / 2.0)
+  def aucRoc(df: DataFrame, scoreCol: Column, labelCol: Column,
+             numBuckets: Int = 1024): DataFrame = {
+    val byScore = df.select(scoreCol.as("_s"), labelCol.cast("boolean").as("_y"))
+      .groupBy("_s")
+      .agg(count(lit(1)).as("_c"), sum(when(col("_y"), 1L).otherwise(0L)).as("_pc"))
+    val cum = graft.window.Windows.rangeBucketedCumSum(byScore, "_s", Seq("_c"), numBuckets)
+    val ranked = cum.withColumn("_rk",
+      col("_c_cum") - col("_c") + (col("_c") + 1) / 2.0)
     ranked.agg(
-      sum(when(col("_y"), col("_rk"))).as("_rsum"),
-      sum(when(col("_y"), 1L).otherwise(0L)).as("_p"),
-      sum(when(!col("_y"), 1L).otherwise(0L)).as("_n")
+      sum(col("_pc") * col("_rk")).as("_rsum"),
+      sum(col("_pc")).as("_p"),
+      sum(col("_c") - col("_pc")).as("_n")
     ).select(
       ((col("_rsum") - col("_p") * (col("_p") + 1) / 2.0) / (col("_p") * col("_n"))).as("auc"))
   }
@@ -131,7 +167,14 @@ object Eval {
   /** J5 — fractional label ranges → index set: `[a, b)` fractions of `n`
     * expand to concrete indexes (reference `src/util/calculations.py:62-66`).
     */
-  def rangesToIndexes(df: DataFrame, startFracCol: Column, endFracCol: Column, n: Long): DataFrame = {
+  def rangesToIndexes(df: DataFrame, startFracCol: Column, endFracCol: Column, n: Long): DataFrame =
+    rangesToIndexes(df, startFracCol, endFracCol, lit(n))
+
+  /** [[rangesToIndexes]] with `n` as a column — callers cross-join a
+    * broadcast 1-row count aggregate instead of running a driver-side
+    * `.count()` action to obtain the universe size.
+    */
+  def rangesToIndexes(df: DataFrame, startFracCol: Column, endFracCol: Column, n: Column): DataFrame = {
     val startIdx = floor(startFracCol * n).cast("long")
     val endIdx = floor(endFracCol * n).cast("long") - 1
     // Python range(a, b) is EMPTY when b <= a; Spark sequence would count

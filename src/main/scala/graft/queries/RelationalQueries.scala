@@ -222,7 +222,9 @@ object RelationalQueries {
         val e = ev(s, d)
         val pred = e.filter(col("value") > 150).select("event_id")
         val label = e.filter(col("event_type") === "error").select("event_id")
-        Eval.confusion(pred, label, "event_id", e.count())
+        // universe size via the lazy 1-row aggregate overload — no driver
+        // .count() action at plan-build time
+        Eval.confusion(pred, label, "event_id", e)
       },
       Some("SELECT CAST(sum(CASE WHEN value > 150 AND event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS tp, " +
         "CAST(sum(CASE WHEN value > 150 AND event_type <> 'error' THEN 1 ELSE 0 END) AS BIGINT) AS fp, " +

@@ -47,9 +47,11 @@ object WindowQueries {
         "SELECT event_id // 50 AS window_id, round(a, 6) AS w_avg FROM t " +
         "WHERE event_id % 50 = 0 AND cnt = 100 AND (event_id // 50) % 2 = 0 ORDER BY window_id")),
 
-    // W4 — temporalize: trailing lookback-20 history per row.
+    // W4 — temporalize: trailing lookback-20 history per row, chunk+halo
+    // partitioned (no global single-task window; chunk 1000 gives n/1000
+    // parallel window partitions).
     Q("w4_temporalize",
-      (s, d) => Windows.temporalize(ev(s, d), "event_id", "value", 20)
+      (s, d) => Windows.temporalizeChunked(ev(s, d), "event_id", "value", 20, chunkSize = 1000L)
         .select(col("event_id"), size(col("history")).cast("long").as("hist_len"),
           round(aggregate(col("history"), lit(0.0), (a, v) => a + v) / 20, 6).as("hist_avg"))
         .orderBy("event_id"),
@@ -132,9 +134,10 @@ object WindowQueries {
       Some("SELECT event_id, round(sum(value) OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED " +
         "PRECEDING AND CURRENT ROW), 4) AS cum FROM events ORDER BY event_id")),
 
-    // W14 — alignment shift: first k kept, remainder lagged by k.
+    // W14 — alignment shift: first k kept, remainder lagged by k
+    // (chunk+halo — no global single-task window).
     Q("w14_lag_shift",
-      (s, d) => Windows.lagShift(ev(s, d), "event_id", "value", 20)
+      (s, d) => Windows.lagShiftChunked(ev(s, d), "event_id", "value", 20, chunkSize = 1000L)
         .select("event_id", "shifted")
         .orderBy("event_id"),
       Some("SELECT event_id, COALESCE(lag(value, 20) OVER (ORDER BY event_id), value) AS shifted " +
@@ -224,28 +227,34 @@ object WindowQueries {
       Some("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
         "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey")),
 
-    // J4 — universe complement: range(n) minus pred minus label.
+    // J4 — universe complement: range(n) minus pred minus label. The
+    // universe IS the (dense 0..n-1) event_id domain, so no range() is
+    // materialized and no driver count() runs: one scan of events through
+    // two anti joins (broadcast under AQE — the exclude sets are small;
+    // at 100 TB they degrade to shuffle hash anti joins, still one pass).
     Q("j4_universe_complement",
       (s, d) => {
         val e = ev(s, d)
-        val n = e.count()
         val pred = e.filter(col("value") > 150).select(col("event_id").as("id"))
         val label = e.filter(col("event_type") === "error").select(col("event_id").as("id"))
-        s.range(n).toDF("id").except(pred).except(label).orderBy("id")
+        Eval.universeComplement(e.select(col("event_id").as("id")), "id",
+          Seq(pred, label)).orderBy("id")
       },
       Some("WITH n AS (SELECT count(*) AS n FROM events), " +
         "u AS (SELECT unnest(generate_series(0, n.n - 1)) AS id FROM n) " +
         "SELECT id FROM u WHERE id NOT IN (SELECT event_id FROM events WHERE value > 150) " +
         "AND id NOT IN (SELECT event_id FROM events WHERE event_type = 'error') ORDER BY id")),
 
-    // J5 — fractional label ranges → concrete index set.
+    // J5 — fractional label ranges → concrete index set. The universe size
+    // joins in as a broadcast 1-row aggregate — no driver count() action.
     Q("j5_range_expand",
       (s, d) => {
         val spark = s
         import spark.implicits._
-        val n = ev(s, d).count()
-        Eval.rangesToIndexes(Seq((0.2, 0.3), (0.7, 0.75)).toDF("a", "b"),
-            col("a"), col("b"), n)
+        val nRow = broadcast(ev(s, d).agg(count(lit(1)).as("_n")))
+        Eval.rangesToIndexes(
+            Seq((0.2, 0.3), (0.7, 0.75)).toDF("a", "b").crossJoin(nRow),
+            col("a"), col("b"), col("_n"))
           .orderBy("idx")
       },
       Some("WITH n AS (SELECT count(*) AS n FROM events), r(a, b) AS (VALUES (0.2, 0.3), (0.7, 0.75)) " +
@@ -272,9 +281,10 @@ object WindowQueries {
       Some("SELECT value, event_type, event_id FROM events " +
         "ORDER BY value, event_type, event_id")),
 
-    // W5 — flatten window to its last timestep (element_at(history, -1)).
+    // W5 — flatten window to its last timestep (element_at(history, -1));
+    // chunk+halo partitioned like W4.
     Q("w5_last_timestep",
-      (s, d) => Windows.temporalize(ev(s, d), "event_id", "value", 20)
+      (s, d) => Windows.temporalizeChunked(ev(s, d), "event_id", "value", 20, chunkSize = 1000L)
         .select(col("event_id"), element_at(col("history"), -1).as("last_prev"))
         .orderBy("event_id"),
       Some("SELECT event_id, last_prev FROM (SELECT event_id, " +
@@ -323,30 +333,23 @@ object WindowQueries {
     // A8 (trapezoid form) — ROC AUC built exactly as the reference's
     // threshold sweep: cumulative TP/FP per distinct score descending →
     // (fpr, tpr) points → trapezoid integral. Same value as a8_auc's rank
-    // statistic; this variant demonstrates the sweep construction as a
-    // distributed plan (groupBy score + two cumulative windows) instead of
-    // the reference's O(n²) Python loop.
+    // statistic. Scale shape: the cumulative-TP window is the two-phase
+    // rangeBucketedCumSum (no single-task sort over distinct scores), and
+    // the trapezoid's lag() terms collapse algebraically — the previous
+    // point of a cumulative sequence is just (cum − increment), so
+    // fpr − prev_fpr = np/N and tpr + prev_tpr = (2·tp − p)/P and the
+    // second global window disappears entirely.
     Q("a8b_auc_trapezoid",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val byScore = ev(s, d)
           .groupBy(col("value").as("sc"))
           .agg(sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("p"),
             sum(when(col("event_type") =!= "error", 1L).otherwise(0L)).as("np"))
-        val wDesc = Window.orderBy(desc("sc"))
-          .rowsBetween(Window.unboundedPreceding, 0)
-        val pts = byScore
-          .withColumn("tp", sum(col("p")).over(wDesc))
-          .withColumn("fp", sum(col("np")).over(wDesc))
+        val cum = Windows.rangeBucketedCumSum(byScore, "sc", Seq("p"), descending = true)
         val totals = byScore.agg(sum(col("p")).as("total_p"), sum(col("np")).as("total_n"))
-        val rates = pts.crossJoin(broadcast(totals))
-          .select((col("tp") / col("total_p")).as("tpr"), (col("fp") / col("total_n")).as("fpr"))
-        val wAsc = Window.orderBy("fpr", "tpr")
-        rates
-          .withColumn("prev_fpr", lag(col("fpr"), 1, 0.0).over(wAsc))
-          .withColumn("prev_tpr", lag(col("tpr"), 1, 0.0).over(wAsc))
-          .agg(round(sum((col("fpr") - col("prev_fpr")) *
-            (col("tpr") + col("prev_tpr")) / 2), 6).as("auc"))
+        cum.crossJoin(broadcast(totals))
+          .agg(round(sum((col("np") / col("total_n")) *
+            ((lit(2) * col("p_cum") - col("p")) / col("total_p")) / 2), 6).as("auc"))
       },
       Some("WITH byscore AS (SELECT value AS sc, " +
         "sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS p, " +

@@ -185,4 +185,88 @@ object Windows {
             else Window.partitionBy(partCols.map(col): _*).orderBy(col(idxCol))
     df.withColumn(out, coalesce(lag(col(valueCol), k).over(w), col(valueCol)))
   }
+
+  /** The chunk+halo decomposition shared by [[temporalizeChunked]] and
+    * [[lagShiftChunked]]: rows are assigned to chunk `idx div chunkSize`,
+    * and the last `halo` rows of each chunk are REPLICATED into the next
+    * chunk so every row's trailing frame is complete inside its own
+    * partition — positional window semantics with no global single-task
+    * `Window.orderBy`. Requires the reference's dense 0..n-1 positional
+    * idx (which is what every positional operator here assumes anyway).
+    * Returns the frame with `_tgt` (the window partition key) attached;
+    * callers compute their window partitioned by `_tgt`, then keep owner
+    * rows (`_tgt === idx div chunkSize`) and drop `_tgt`.
+    */
+  private def withChunkHalo(df: DataFrame, idxCol: String, halo: Int,
+                            chunkSize: Long): DataFrame = {
+    require(chunkSize >= halo, s"chunkSize ($chunkSize) must cover the halo ($halo)")
+    val chunk = expr(s"`$idxCol` DIV $chunkSize")
+    df.withColumn("_tgt", explode(
+      when(col(idxCol) % chunkSize >= chunkSize - halo, array(chunk, chunk + 1))
+        .otherwise(array(chunk))))
+  }
+
+  /** W4 at scale — [[temporalize]] without the global window: trailing
+    * `lookback` values via chunk+halo ([[withChunkHalo]]). Only the
+    * `lookback` boundary rows per chunk are duplicated; the window is
+    * partitioned by chunk, so parallelism = n/chunkSize.
+    */
+  def temporalizeChunked(df: DataFrame, idxCol: String, valueCol: String,
+                         lookback: Int, chunkSize: Long = 100000L): DataFrame = {
+    val w = Window.partitionBy(col("_tgt")).orderBy(col(idxCol))
+      .rowsBetween(-lookback, -1)
+    withChunkHalo(df, idxCol, lookback, chunkSize)
+      .withColumn("history", collect_list(col(valueCol)).over(w))
+      .filter(col("_tgt") === expr(s"`$idxCol` DIV $chunkSize") &&
+        size(col("history")) === lookback)
+      .drop("_tgt")
+  }
+
+  /** W14 at scale — [[lagShift]] via the same chunk+halo pattern. */
+  def lagShiftChunked(df: DataFrame, idxCol: String, valueCol: String, k: Int,
+                      chunkSize: Long = 100000L, out: String = "shifted"): DataFrame = {
+    val w = Window.partitionBy(col("_tgt")).orderBy(col(idxCol))
+    withChunkHalo(df, idxCol, k, chunkSize)
+      .withColumn(out, coalesce(lag(col(valueCol), k).over(w), col(valueCol)))
+      .filter(col("_tgt") === expr(s"`$idxCol` DIV $chunkSize"))
+      .drop("_tgt")
+  }
+
+  /** Two-phase cumulative sums over a DOUBLE ordering key (no dense
+    * integer index to `DIV` on — the [[scalableCumSum]] situation for
+    * score-ordered sweeps like ROC). Keys are ranged into `numBuckets`
+    * equal-width buckets between the broadcast (min, max) — a 1-row lazy
+    * aggregate, no driver action; partial cumsums run per-bucket in
+    * parallel; the only unpartitioned window is over the numBuckets-row
+    * totals ledger. Input must be key-distinct (aggregate by key first) so
+    * within-bucket ordering is total. Appends `<c>_cum` (inclusive of the
+    * current row) per requested column.
+    */
+  def rangeBucketedCumSum(byKey: DataFrame, keyCol: String, sumCols: Seq[String],
+                          numBuckets: Int = 1024, descending: Boolean = false): DataFrame = {
+    val k = col(keyCol).cast("double")
+    val bounds = broadcast(byKey.agg(min(k).as("_lo"), max(k).as("_hi")))
+    val rawB = floor((k - col("_lo")) / (col("_hi") - col("_lo")) * numBuckets)
+    val bucketed = byKey.crossJoin(bounds)
+      .withColumn("_b", when(col("_hi") === col("_lo"), lit(0L))
+        .otherwise(least(rawB, lit(numBuckets - 1L))).cast("long"))
+      .drop("_lo", "_hi")
+    val keyOrd = if (descending) col(keyCol).desc else col(keyCol).asc
+    val bOrd = if (descending) col("_b").desc else col("_b").asc
+    val wLocal = Window.partitionBy(col("_b")).orderBy(keyOrd)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val totalAggs = sumCols.map(c => sum(col(c)).as(s"_t_$c"))
+    val totals = bucketed.groupBy("_b").agg(totalAggs.head, totalAggs.tail: _*)
+    val wOff = Window.orderBy(bOrd).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sumCols.foldLeft(totals) { (t, c) =>
+      t.withColumn(s"_off_$c", coalesce(sum(col(s"_t_$c")).over(wOff), lit(0L)))
+    }.select(col("_b") +: sumCols.map(c => col(s"_off_$c")): _*)
+    val withLocal = sumCols.foldLeft(bucketed) { (d2, c) =>
+      d2.withColumn(s"_loc_$c", sum(col(c)).over(wLocal))
+    }
+    val joined = withLocal.join(broadcast(offsets), "_b")
+    sumCols.foldLeft(joined) { (d2, c) =>
+      d2.withColumn(s"${c}_cum", col(s"_loc_$c") + col(s"_off_$c"))
+    }.drop("_b" +: sumCols.flatMap(c => Seq(s"_loc_$c", s"_off_$c")): _*)
+  }
 }

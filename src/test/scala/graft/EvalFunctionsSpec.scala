@@ -30,6 +30,56 @@ class EvalFunctionsSpec extends SparkSpec {
     assert(math.abs(Eval.aucRoc(const, col("s"), col("y")).as[Double].head() - 0.5) < 1e-12)
   }
 
+  test("A6: confusion uses SET semantics — duplicate indexes count once") {
+    // reference operates on Python sets (src/util/calculations.py:68-71)
+    val pred = Seq(1L, 1L, 2L, 3L, 3L).toDF("idx")
+    val label = Seq(2L, 3L, 4L, 4L).toDF("idx")
+    val out = Eval.confusion(pred, label, "idx", 10)
+      .as[(Long, Long, Long, Long)].head()
+    assert(out == ((2L, 1L, 1L, 6L)))
+  }
+
+  test("A6: universe-frame overload matches the literal-n overload") {
+    val pred = Seq(1L, 2L).toDF("idx")
+    val label = Seq(2L, 5L).toDF("idx")
+    val universe = spark.range(10).toDF("idx")
+    val a = Eval.confusion(pred, label, "idx", 10L).as[(Long, Long, Long, Long)].head()
+    val b = Eval.confusion(pred, label, "idx", universe).as[(Long, Long, Long, Long)].head()
+    assert(a == b)
+  }
+
+  test("J4: universeComplement = universe minus every exclude set") {
+    val universe = spark.range(10).toDF("id")
+    val ex1 = Seq(1L, 2L, 2L).toDF("id") // duplicates must not matter
+    val ex2 = Seq(2L, 3L, 11L).toDF("id") // ids outside the universe ignored
+    val out = Eval.universeComplement(universe, "id", Seq(ex1, ex2))
+      .orderBy("id").as[Long].collect()
+    assert(out.toSeq == Seq(0L, 4L, 5L, 6L, 7L, 8L, 9L))
+  }
+
+  test("A8: bucketed AUC matches a locally computed tie-averaged rank statistic") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 400).map { _ =>
+      (math.floor(rnd.nextDouble() * 50) / 10.0, rnd.nextDouble() < 0.3)
+    } // coarse grid → plenty of ties
+    val got = Eval.aucRoc(rows.toDF("s", "y"), col("s"), col("y")).as[Double].head()
+    // local reference: average rank over ties, Mann-Whitney
+    val sorted = rows.sortBy(_._1)
+    val ranks = scala.collection.mutable.Map[Double, Double]()
+    var i = 0
+    while (i < sorted.length) {
+      var j = i
+      while (j < sorted.length && sorted(j)._1 == sorted(i)._1) j += 1
+      ranks(sorted(i)._1) = (i + 1 + j) / 2.0 // avg of ranks i+1..j
+      i = j
+    }
+    val p = rows.count(_._2).toDouble
+    val n = rows.size - p
+    val rsum = rows.filter(_._2).map(r => ranks(r._1)).sum
+    val expect = (rsum - p * (p + 1) / 2.0) / (p * n)
+    assert(math.abs(got - expect) < 1e-9, s"got=$got expect=$expect")
+  }
+
   test("A8: AUC invariant under strictly monotone score transform") {
     val df = Seq((0.1, true), (0.3, false), (0.7, true), (0.9, true), (0.2, false))
       .toDF("s", "y")

@@ -100,4 +100,84 @@ class WindowsSpec extends SparkSpec {
       .select("shifted").as[Double].collect()
     assert(out.toSeq == Seq(0.0, 1.0, 0.0, 1.0, 2.0, 3.0))
   }
+
+  /** Unpartitioned Window nodes in the executed plan, excluding the
+    * numBuckets-row offsets ledger (ordered by the bucket id `_b`) that the
+    * two-phase cumsum patterns legitimately keep. A WindowExec plan line
+    * has the shape `Window [fns], [partSpec], [orderSpec]` — one top-level
+    * `], [` separator means the partition spec is missing.
+    */
+  private def globalDataWindows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("Window ["))
+      .filter(l => "\\], \\[".r.findAllIn(l).size < 2)
+      .filterNot(_.contains("_b#"))
+      .toSeq
+
+  test("W4-chunked: temporalizeChunked equals the global-window temporalize") {
+    val df = series(100)
+    val expect = Windows.temporalize(df, "idx", "v", 7)
+      .orderBy("idx").select("idx", "history")
+      .as[(Long, Seq[Double])].collect().toSeq
+    for (chunk <- Seq(7L, 20L, 33L, 1000L)) {
+      val got = Windows.temporalizeChunked(df, "idx", "v", 7, chunkSize = chunk)
+        .orderBy("idx").select("idx", "history")
+        .as[(Long, Seq[Double])].collect().toSeq
+      assert(got == expect, s"chunkSize=$chunk")
+    }
+  }
+
+  test("W14-chunked: lagShiftChunked equals the global-window lagShift") {
+    val df = series(100)
+    val expect = Windows.lagShift(df, "idx", "v", 5)
+      .orderBy("idx").select("shifted").as[Double].collect().toSeq
+    for (chunk <- Seq(5L, 16L, 100L, 999L)) {
+      val got = Windows.lagShiftChunked(df, "idx", "v", 5, chunkSize = chunk)
+        .orderBy("idx").select("shifted").as[Double].collect().toSeq
+      assert(got == expect, s"chunkSize=$chunk")
+    }
+  }
+
+  test("chunked windows: no unpartitioned data window in the plan") {
+    val df = series(100)
+    assert(globalDataWindows(Windows.temporalizeChunked(df, "idx", "v", 7, 20L)).isEmpty)
+    assert(globalDataWindows(Windows.lagShiftChunked(df, "idx", "v", 5, 20L)).isEmpty)
+    // the originals DO have one — the helper itself must detect it
+    assert(globalDataWindows(Windows.temporalize(df, "idx", "v", 7)).nonEmpty)
+  }
+
+  test("rangeBucketedCumSum equals a sequential cumsum, asc and desc") {
+    // distinct double keys, unordered insert, negatives included
+    val keys = scala.util.Random.shuffle((0 until 200).toList)
+      .map(i => (i - 50) * 0.37)
+    val df = keys.map(k => (k, 1L, (math.abs(k * 10).toLong % 5)))
+      .toDF("k", "c", "p")
+    for (desc <- Seq(false, true); buckets <- Seq(1, 7, 64)) {
+      val got = Windows.rangeBucketedCumSum(df, "k", Seq("c", "p"), buckets, desc)
+        .orderBy("k").select("k", "c_cum", "p_cum")
+        .as[(Double, Long, Long)].collect().toSeq
+      val sorted = keys.sorted(if (desc) Ordering[Double].reverse else Ordering[Double])
+      val expC = sorted.zipWithIndex.map { case (k, i) => k -> (i + 1L) }.toMap
+      val cumP = sorted.map(k => math.abs(k * 10).toLong % 5)
+        .scanLeft(0L)(_ + _).tail
+      val expP = sorted.zip(cumP).toMap
+      got.foreach { case (k, c, p) =>
+        assert(c == expC(k) && p == expP(k), s"k=$k desc=$desc buckets=$buckets")
+      }
+    }
+  }
+
+  test("rangeBucketedCumSum: single distinct key (hi == lo) does not divide by zero") {
+    val df = Seq((1.5, 2L), (1.5, 3L)).toDF("k", "c").groupBy("k")
+      .agg(org.apache.spark.sql.functions.sum("c").as("c"))
+    val out = Windows.rangeBucketedCumSum(df, "k", Seq("c"), 16)
+      .select("c_cum").as[Long].head()
+    assert(out == 5L)
+  }
+
+  test("A8 plans: aucRoc keeps every data-sized window partitioned") {
+    val df = (0 until 300).map(i => ((i % 97) * 0.21, i % 3 == 0)).toDF("s", "y")
+    val auc = graft.eval.Eval.aucRoc(df, col("s"), col("y"))
+    assert(globalDataWindows(auc).isEmpty, auc.queryExecution.executedPlan.toString)
+  }
 }
