@@ -86,27 +86,61 @@ object Similarity {
   /** `bands` independent hyperplane signatures of `bitsPerBand` bits each
     * (OR-amplification: two vectors are LSH candidates when ANY band
     * matches — the same band construction as Dedup.minhashCandidates).
-    * At 100 TB these are precomputed once and stored as a table column;
-    * computing them inline costs bands·bitsPerBand·dim multiply-adds/row.
+    * Inline form: costs bands·bitsPerBand separate array re-scans per row
+    * (Catalyst re-inlines each HOF projection) — use only for narrow
+    * filters over few rows; the bulk path is [[bandedSignatureRows]].
     */
   def bandedSignatures(vec: Column, dim: Int, bands: Int, bitsPerBand: Int): Column =
     array((0 until bands).map(b =>
       hyperplaneSignature(vec, dim, bitsPerBand, offset = b * bitsPerBand)): _*)
+
+  /** All band signatures in ONE pass over each vector, with a SMALL
+    * expression tree: the bands·bitsPerBand hyperplane projections are a
+    * single `transform(sequence(0, planes-1), …)` over a nested literal
+    * hyperplane matrix — a runtime loop, not planes separate unrolled
+    * projections (128 unrolled aggregate columns spent ~10 s in
+    * codegen/JIT before touching a row). The projection array is then
+    * posexplode'd — Generate is an optimization barrier, so the array is
+    * evaluated once per row and nothing re-inlines — and one narrow
+    * map-side-combined groupBy OR-assembles the sign bits of each band:
+    * plane p belongs to band `p div bitsPerBand` at bit `p mod bitsPerBand`.
+    *
+    * Output (id, `_band`, `_sig`) is the storable LSH index: at 100 TB
+    * write it once (partitioned/bucketed by `(_band, _sig)`) and hand it
+    * to [[cosineNearDupLsh]]'s `sigRows` parameter on every later run.
+    * Bitwise identical to [[bandedSignatures]]/[[signatureLocal]] (same
+    * sequential fold per plane).
+    */
+  def bandedSignatureRows(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                          bands: Int = 16, bitsPerBand: Int = 5): DataFrame = {
+    val nPlanes = bands * bitsPerBand
+    val vecD = col(vecCol).cast("array<double>")
+    val hMat = typedlit((0 until nPlanes).map(p => (0 until dim).map(i => hyperplane(p, i))))
+    val projArr = transform(sequence(lit(0), lit(nPlanes - 1)), p =>
+      aggregate(zip_with(vecD, element_at(hMat, p + 1), (v, h) => v * h),
+        lit(0.0), (a, x) => a + x))
+    df.select(col(idCol).as("_sid"), posexplode(projArr).as(Seq("_p", "_v")))
+      .groupBy(col("_sid"), expr(s"_p DIV $bitsPerBand").cast("int").as("_band"))
+      .agg(sum(when(col("_v") >= 0, expr(s"shiftleft(CAST(1 AS BIGINT), _p % $bitsPerBand)"))
+        .otherwise(0L)).cast("long").as("_sig"))
+  }
 
   /** ANN via banded hyperplane LSH: a row is a candidate when ANY of its
     * `bands` signatures equals the query's (OR-amplification — narrow
     * bands keep per-band match probability high for near vectors, many
     * bands amplify recall; a single wide exact-equality signature has
     * near-zero recall, the round-1 failure mode). The query's signatures
-    * are computed once driver-side, so candidate selection is a pure
-    * narrow FILTER (no join, no shuffle) followed by the exact
-    * distributed TakeOrdered re-rank of [[bruteForceTopK]].
+    * are computed once driver-side over `query.length` hyperplane
+    * components (row signatures use the same dim, so the two sides can
+    * never silently diverge), and candidate selection is a pure narrow
+    * FILTER (no join, no shuffle) followed by the exact distributed
+    * TakeOrdered re-rank of [[bruteForceTopK]].
     */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
-              query: Array[Double], dim: Int, k: Int,
+              query: Array[Double], k: Int,
               bands: Int = 16, bitsPerBand: Int = 5): DataFrame = {
     val anyBandMatches = (0 until bands).map { b =>
-      hyperplaneSignature(col(vecCol), dim, bitsPerBand, offset = b * bitsPerBand) ===
+      hyperplaneSignature(col(vecCol), query.length, bitsPerBand, offset = b * bitsPerBand) ===
         lit(signatureLocal(query, bitsPerBand, offset = b * bitsPerBand))
     }.reduce(_ || _)
     bruteForceTopK(df.filter(anyBandMatches), idCol, vecCol, query, k)
@@ -118,19 +152,20 @@ object Similarity {
     * on the candidate pairs only. This replaces the O(n²)
     * [[cosineNearDuplicates]] theta-join shape everywhere the corpus is
     * larger than a broadcast.
+    *
+    * Signatures come from the one-pass [[bandedSignatureRows]]; the two
+    * sides of the self-join share one canonical subplan, so Spark's
+    * ReuseExchange computes the signature shuffle once — no persist, no
+    * cache-lifetime leak. Pass a precomputed/stored `sigRows` frame to
+    * skip signature computation entirely (the 100 TB lifecycle).
     */
   def cosineNearDupLsh(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-                       minCos: Double, bands: Int = 16, bitsPerBand: Int = 5): DataFrame = {
-    // The signature frame feeds both sides of the self-join: persist so the
-    // bands·bitsPerBand·dim projection arithmetic runs once per row, not
-    // twice (the compact (id, band, sig) rows are what a 100 TB pipeline
-    // would precompute into a stored index column anyway).
-    val sigRows = df.select(col(idCol).as("_sid"),
-        posexplode(bandedSignatures(col(vecCol), dim, bands, bitsPerBand))
-          .as(Seq("_band", "_sig")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = sigRows.as("a")
-      .join(sigRows.as("b"),
+                       minCos: Double, bands: Int = 16, bitsPerBand: Int = 5,
+                       sigRows: Option[DataFrame] = None): DataFrame = {
+    val sigs = sigRows.getOrElse(
+      bandedSignatureRows(df, idCol, vecCol, dim, bands, bitsPerBand))
+    val pairs = sigs.as("a")
+      .join(sigs.as("b"),
         col("a._band") === col("b._band") && col("a._sig") === col("b._sig") &&
           col("a._sid") < col("b._sid"))
       .select(col("a._sid").as("id1"), col("b._sid").as("id2"))

@@ -187,24 +187,24 @@ object ExtQueries {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         val q = queryVec(s, d)
-        Similarity.lshTopK(emb.filter(col("vec_id") > 0), "vec_id", "embedding", q,
-          dim = q.length, k = 20)
+        Similarity.lshTopK(emb.filter(col("vec_id") > 0), "vec_id", "embedding", q, k = 20)
           .select(col("vec_id"), round(col("cos"), 6).as("cos"))
       },
       None),
 
-    // Composed near-dup pipeline at its scale shape: banded-LSH candidate
-    // generation (compact-key equi-join) → exact cosine verify on
-    // candidates only — no all-pairs product anywhere in the plan
-    // (asserted in SimilaritySpec). Threshold 0.5 matches this corpus's
-    // top of the similarity range; 8-bit bands trade some recall at the
-    // threshold for a 5.7× smaller candidate set (the dedup-side trade —
-    // true duplicates at cos ≥ 0.9 are still caught w.p. ≈ 1).
-    // Rows-only (hash-derived candidates).
+    // Composed near-dup pipeline at its scale shape: one-pass banded
+    // signatures (bandedSignatureRows) → compact-key equi-join candidates
+    // → exact cosine verify on candidates only — no all-pairs product
+    // anywhere in the plan (asserted in SimilaritySpec). Threshold 0.5
+    // matches this corpus's top of the similarity range; 8-bit bands
+    // trade some recall at the threshold for a 5.7× smaller candidate set
+    // (the dedup-side trade — true duplicates at cos ≥ 0.9 are still
+    // caught w.p. ≈ 1). dim derives from the corpus's query vector, not a
+    // hard-coded constant. Rows-only (hash-derived candidates).
     Q("x_cosine_near_dup_lsh",
       (s, d) => Similarity.cosineNearDupLsh(
-          Tables.embeddings(s, d), "vec_id", "embedding", dim = 64, minCos = 0.5,
-          bitsPerBand = 8)
+          Tables.embeddings(s, d), "vec_id", "embedding", dim = queryVec(s, d).length,
+          minCos = 0.5, bitsPerBand = 8)
         .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
         .orderBy("id1", "id2"),
       None),

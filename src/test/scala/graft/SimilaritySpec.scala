@@ -33,8 +33,7 @@ class SimilaritySpec extends SparkSpec {
     val k = 20
     val exact = Similarity.bruteForceTopK(fixture, "vec_id", "embedding", queryVec, k)
       .select("vec_id").as[Long].collect().toSet
-    val approx = Similarity.lshTopK(fixture, "vec_id", "embedding", queryVec,
-        dim = dim, k = k)
+    val approx = Similarity.lshTopK(fixture, "vec_id", "embedding", queryVec, k = k)
       .select("vec_id").as[Long].collect()
     assert(approx.length == k, s"lshTopK returned ${approx.length} of $k rows")
     val recall = approx.count(exact).toDouble / k
@@ -58,6 +57,26 @@ class SimilaritySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"all-pairs join in composed plan:\n${plan.take(800)}")
+  }
+
+  test("bandedSignatureRows (fused one-pass) matches the inline banded signatures") {
+    val inline = fixture.select(col("vec_id"),
+        posexplode(Similarity.bandedSignatures(col("embedding"), dim, 16, 5))
+          .as(Seq("_band", "_sig")))
+      .as[(Long, Int, Long)].collect().toSet
+    val fused = Similarity.bandedSignatureRows(fixture, "vec_id", "embedding", dim)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(fused == inline)
+  }
+
+  test("cosineNearDupLsh with a precomputed signature frame gives the same pairs") {
+    val sigs = Similarity.bandedSignatureRows(fixture, "vec_id", "embedding", dim)
+    val inlineSigs = Similarity.cosineNearDupLsh(fixture, "vec_id", "embedding", dim, 0.9)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val precomp = Similarity.cosineNearDupLsh(fixture, "vec_id", "embedding", dim, 0.9,
+        sigRows = Some(sigs))
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(precomp == inlineSigs)
   }
 
   test("banded signatures are deterministic and band-independent") {
