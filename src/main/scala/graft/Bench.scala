@@ -5,13 +5,18 @@ import org.apache.spark.sql.SparkSession
   *
   * Queries run in registry order (stable across rounds — Map iteration
   * order changed timings up to 4× when the registry grew) after a short
-  * warm-up query that pays the one-time codegen/JIT/broadcast costs, so
-  * per-query numbers measure the query, not JVM warm-up order.
+  * warm-up query that pays the one-time codegen/JIT/broadcast costs.
+  *
+  * Each query runs `SPARK_GRAFT_BENCH_REPS` times (default 3) and reports
+  * the MEDIAN — single-run fixed-order numbers swung 4× round-over-round
+  * on untouched code. A rep that throws is NOT recorded as a fast
+  * success: the query reports -1 and lands in the `failed` list.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = graft.core.GraftSession.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus))
@@ -19,14 +24,25 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     val results = SparkEntry.registry.map { q =>
-      val t0 = System.nanoTime()
-      try { q.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { q.fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+          -1.0
+        }
+      }
+      val ok = times.filter(_ >= 0).sorted
+      // median of successful reps; any failed rep marks the query failed
+      val t = if (times.exists(_ < 0) || ok.isEmpty) -1.0 else ok(ok.size / 2)
+      q.name -> t
     }
+    val failed = results.collect { case (n, t) if t < 0 => "\"" + n + "\"" }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""failed":${failed.mkString("[", ",", "]")},"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

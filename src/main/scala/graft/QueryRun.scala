@@ -8,8 +8,8 @@ import org.apache.spark.sql.SparkSession
 object QueryRun {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val flags = args.tail.filter(_.startsWith("-")).toSet
-    val names = args.tail.filterNot(_.startsWith("-"))
+    val flags = args.drop(1).filter(_.startsWith("-")).toSet
+    val names = args.drop(1).filterNot(_.startsWith("-"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.core.GraftSession.configure(SparkSession.builder()
       .master(s"local[$cpus]")

@@ -18,12 +18,20 @@ object Layout {
     val spark = df.sparkSession
     // A managed-table location can survive a previous JVM whose in-memory
     // catalog is gone; saveAsTable then fails with LOCATION_ALREADY_EXISTS
-    // even in overwrite mode. Drop the entry and clear the orphan path.
+    // even in overwrite mode. Drop the entry and clear the ORPHAN path —
+    // but never the data of a live EXTERNAL table that happens to sit at
+    // the warehouse path: dropping it removes only metadata, and the
+    // subsequent saveAsTable fails loudly rather than clobbering data this
+    // catalog does not own.
+    val isExternal = spark.catalog.tableExists(table) &&
+      spark.catalog.getTable(table).tableType == "EXTERNAL"
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    val loc = new org.apache.hadoop.fs.Path(s"$warehouse/$table")
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    if (!isExternal) {
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      val loc = new org.apache.hadoop.fs.Path(s"$warehouse/$table")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet")

@@ -57,19 +57,28 @@ object TextAnalysis {
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
 
   def languageId(df: DataFrame, textCol: String, out: String = "lang_pred"): DataFrame = {
-    val toks = tokens(col(textCol))
-    val scored = LangMarkers.foldLeft(df) { case (d, (lang, markers)) =>
-      d.withColumn(s"_score_$lang", size(filter(toks, t => t.isin(markers: _*))))
+    // ONE aggregate over the token array: a struct accumulator counts every
+    // lexicon simultaneously (one isin per lexicon per token) and the
+    // argmax folds inside the aggregate's finish lambda — the accumulator
+    // is a bound lambda variable there, so Catalyst cannot re-inline the
+    // scoring pass per language (the 5-filter form re-tokenized and
+    // re-scanned per lexicon: 5 scans per document).
+    val zero = struct(LangMarkers.map { case (l, _) => lit(0).as(s"s_$l") }: _*)
+    def merge(acc: Column, t: Column): Column =
+      struct(LangMarkers.map { case (l, markers) =>
+        (acc.getField(s"s_$l") + when(t.isin(markers: _*), 1).otherwise(0)).as(s"s_$l")
+      }: _*)
+    def finish(acc: Column): Column = {
+      // argmax with ties broken by language-code order: fold a running best
+      val first = LangMarkers.head._1
+      LangMarkers.tail.foldLeft(
+        struct(acc.getField(s"s_$first").as("s"), lit(first).as("l"))) {
+        case (best, (lang, _)) =>
+          when(acc.getField(s"s_$lang") > best.getField("s"),
+               struct(acc.getField(s"s_$lang").as("s"), lit(lang).as("l"))).otherwise(best)
+      }.getField("l")
     }
-    // argmax with ties broken by language-code order: fold a running best
-    val first = LangMarkers.head._1
-    val best = LangMarkers.tail.foldLeft(
-      struct(col(s"_score_$first").as("s"), lit(first).as("l"))) { case (acc, (lang, _)) =>
-      when(col(s"_score_$lang") > acc.getField("s"),
-           struct(col(s"_score_$lang").as("s"), lit(lang).as("l"))).otherwise(acc)
-    }
-    scored.withColumn(out, best.getField("l"))
-      .drop(LangMarkers.map { case (l, _) => s"_score_$l" }: _*)
+    df.withColumn(out, aggregate(tokens(col(textCol)), zero, merge, finish))
   }
 
   /** Document fingerprint: order-sensitive 64-bit rolling hash of the

@@ -25,4 +25,20 @@ object ClientConfig {
     loadColumns = Map(
       0 -> Seq("value", "u"), 1 -> Seq("u"), 2 -> Seq("m"), 3 -> Seq("value")),
     trainColumn = Map(0 -> "u", 1 -> "u", 2 -> "m", 3 -> "value"))
+
+  /** Build the per-client channel selection from a loaded config file:
+    * each `CLIENT_<k>` section maps an experiment name to the channel
+    * indexes that client loads (reference `config.yaml` CLIENT_* blocks,
+    * consumed by `src/federated_learning/training.py:27-32`); the trained
+    * column is the LAST listed channel — the transfer variant (M11) loads
+    * several and trains the last.
+    */
+  def fromConfig(cfg: graft.core.GraftConfig, experiment: String, numClients: Int,
+                 colName: Int => String): ClientConfig = {
+    val load = (0 until numClients).map { i =>
+      i -> cfg.clientChannels(s"CLIENT_$i", experiment).map(colName)
+    }.toMap
+    ClientConfig(load,
+      load.collect { case (i, cols) if cols.nonEmpty => i -> cols.last })
+  }
 }

@@ -46,16 +46,22 @@ object FedAvg {
     var global = model.initWeights()
     val histories = Array.fill(clients.size)(Seq.newBuilder[Double])
     var lrRound = lr
-    (1 to rounds).foreach { _ =>
-      val fits = clients.zipWithIndex.map { case (c, ci) =>
-        val t = Trainer.fitFrom(model, global, c, valuesCol,
-          epochs = epochsPerRound, lr = lrRound, lrDecay = 1.0)
-        histories(ci) ++= t.lossHistory
-        t.weights
+    // Every round re-reads each client's windows (rounds × epochs passes):
+    // persist the per-client frames for the duration of the loop so the
+    // standardize→window lineage runs once per client, not once per round.
+    val cached = clients.map(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    try {
+      (1 to rounds).foreach { _ =>
+        val fits = cached.zipWithIndex.map { case (c, ci) =>
+          val t = Trainer.fitFrom(model, global, c, valuesCol,
+            epochs = epochsPerRound, lr = lrRound, lrDecay = 1.0)
+          histories(ci) ++= t.lossHistory
+          t.weights
+        }
+        global = aggregate(fits)
+        lrRound *= lrDecay
       }
-      global = aggregate(fits)
-      lrRound *= lrDecay
-    }
+    } finally cached.foreach(_.unpersist(blocking = false))
     Result(TrainedAutoencoder(model, global, histories.flatMap(_.result().lastOption).toSeq),
       histories.map(_.result()).toSeq)
   }

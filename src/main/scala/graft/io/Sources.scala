@@ -60,17 +60,20 @@ object Sources {
     * the position with a per-partition counter. Requires file-per-
     * partition reads (true when files are smaller than
     * `spark.sql.files.maxPartitionBytes`, the sensor-file case — a split
-    * file would restart the counter mid-file, so we also tag the partition
-    * id for verification).
+    * file would restart the counter mid-file, so the partition id is
+    * tagged alongside (`<out>_part`) for verification: a file spanning
+    * two partitions shows two distinct partition ids for one `_file`).
     */
   def withInFilePosition(df: DataFrame, out: String = "pos"): DataFrame = {
     import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{LongType, StructField}
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField}
     val spark = df.sparkSession
-    val schema = df.schema.add(StructField(out, LongType, nullable = false))
-    val rdd = df.rdd.mapPartitions { it =>
+    val schema = df.schema
+      .add(StructField(out, LongType, nullable = false))
+      .add(StructField(s"${out}_part", IntegerType, nullable = false))
+    val rdd = df.rdd.mapPartitionsWithIndex { (part, it) =>
       var i = 0L
-      it.map { r => val o = Row.fromSeq(r.toSeq :+ i); i += 1; o }
+      it.map { r => val o = Row.fromSeq(r.toSeq :+ i :+ part); i += 1; o }
     }
     spark.createDataFrame(rdd, schema)
   }

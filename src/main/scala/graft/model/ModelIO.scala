@@ -33,15 +33,56 @@ object ModelIO {
 }
 
 /** M9 — hyperparameter search (the reference uses keras-tuner
-  * RandomSearch over lr/size/depth with val-loss objective,
-  * `src/training/trainer.py:104-146`). Sequential grid/random evaluation;
-  * each candidate's training is itself distributed (treeAggregate), so
-  * the driver loop is just coordination.
+  * RandomSearch over learning rate × outer layer size × layer depth with
+  * a val-loss objective, `src/training/trainer.py:104-146`,
+  * `src/models/autoencoder.py:29-34,89-94`). Sequential grid/random
+  * evaluation; each candidate's training is itself distributed
+  * (treeAggregate), so the driver loop is just coordination.
   */
 object Tuning {
 
   final case class Candidate(lr: Double, hidden: Seq[Int])
   final case class Scored(lr: Double, hidden: Seq[Int], valMse: Double)
+
+  /** The reference's tuning space (`src/models/autoencoder.py:29-34`):
+    * categorical choices for lr / outer layer size / depth, fixed
+    * bottleneck size.
+    */
+  final case class SearchSpace(lrChoices: Seq[Double] = Seq(3e-2, 1e-2, 1e-3, 3e-4),
+                               outerChoices: Seq[Int] = Seq(32, 64, 128, 256, 512),
+                               depthChoices: Seq[Int] = Seq(1, 2, 3, 4),
+                               hiddenSize: Int = 8)
+
+  /** The reference's layer-size derivation
+    * (`src/models/autoencoder.py:37-38`): geometric interpolation from the
+    * bottleneck up to the outer size,
+    * `int(hidden · (outer/hidden)^((i+1)/depth))` for i in 0 until depth.
+    */
+  def layerSizes(outer: Int, hidden: Int, depth: Int): Seq[Int] = {
+    val factor = outer.toDouble / hidden
+    (0 until depth).map(i => (hidden * math.pow(factor, (i + 1).toDouble / depth)).toInt)
+  }
+
+  /** Seeded random search over the space: each trial draws (lr, outer,
+    * depth), builds the encoder stack outer→…→bottleneck (the reference
+    * stacks its tuned layers largest-first down to the fixed hidden
+    * layer), trains, and scores mean val MSE; results sorted best-first.
+    * Duplicate draws collapse (keras-tuner skips repeated trials too).
+    */
+  def randomSearch(train: org.apache.spark.sql.DataFrame,
+                   validation: org.apache.spark.sql.DataFrame,
+                   valuesCol: String, inputDim: Int, trials: Int, epochs: Int,
+                   space: SearchSpace = SearchSpace(),
+                   seed: Long = 42L): Seq[Scored] = {
+    val rnd = new scala.util.Random(seed)
+    val candidates = Seq.fill(trials) {
+      val lr = space.lrChoices(rnd.nextInt(space.lrChoices.size))
+      val outer = space.outerChoices(rnd.nextInt(space.outerChoices.size))
+      val depth = space.depthChoices(rnd.nextInt(space.depthChoices.size))
+      Candidate(lr, layerSizes(outer, space.hiddenSize, depth).reverse :+ space.hiddenSize)
+    }.distinct
+    gridSearch(train, validation, valuesCol, inputDim, candidates, epochs, seed)
+  }
 
   def gridSearch(train: org.apache.spark.sql.DataFrame,
                  validation: org.apache.spark.sql.DataFrame,

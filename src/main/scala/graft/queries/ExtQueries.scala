@@ -23,15 +23,20 @@ object ExtQueries {
       .select(col("embedding").cast("array<double>"))
       .head().getSeq[Double](0).toArray
 
-  /** IVF index memo, one per sf dir: build once (KMeans fit + assignment,
-    * persisted), probe many times — the FAISS lifecycle. `x_ann_ivf_build`
-    * owns the build cost in the bench; `x_ann_ivf` measures the probe.
+  /** IVF index memo, one per (session, sf dir): build once (KMeans fit +
+    * assignment, persisted), probe many times — the FAISS lifecycle.
+    * `x_ann_ivf_build` owns the build cost in the bench; `x_ann_ivf`
+    * measures the probe. Keyed by the session too: a cached frame is
+    * bound to the SparkSession that built it, so a restarted session in
+    * the same JVM must rebuild, not fail on a stale context.
     */
   private val ivfCache = scala.collection.concurrent.TrieMap[
-    String, (org.apache.spark.sql.DataFrame, org.apache.spark.ml.clustering.KMeansModel)]()
+    (org.apache.spark.sql.SparkSession, String),
+    (org.apache.spark.sql.DataFrame, org.apache.spark.ml.clustering.KMeansModel)]()
 
   private def ivfFor(s: org.apache.spark.sql.SparkSession, d: String) =
-    ivfCache.getOrElseUpdate(d, {
+    ivfCache.getOrElseUpdate((s, d), {
+      ivfCache.keys.filter(_._1 ne s).foreach(ivfCache.remove) // drop stale sessions
       val (assigned, km) = Similarity.ivfIndex(
         Tables.embeddings(s, d).filter(col("vec_id") > 0), "embedding", nlist = 8)
       val cached = assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

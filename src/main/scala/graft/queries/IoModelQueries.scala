@@ -125,6 +125,22 @@ object IoModelQueries {
         "COALESCE(min(CASE WHEN r.rmin > thr.t THEN r.period END), 0) AS anomaly_start " +
         "FROM r, thr GROUP BY thr.t")),
 
+    // Bearing annotation grid (reference src/data/bearing.py:35-51): the
+    // per-segment stats + emphasis flags the reference's annotation plot
+    // encodes, as one distributed aggregation.
+    Q("bearing_annotation",
+      (s, d) => graft.io.Bearing.annotationSegments(ev(s, d), "event_id", "value")
+        .select(col("segment"), col("start_idx"), col("n_rows"),
+          round(col("mean_v"), 6).as("mean_v"), col("max_v"), col("min_v"),
+          col("emphasized"))
+        .orderBy("segment"),
+      Some("WITH n AS (SELECT count(*) AS n FROM events), " +
+        "s AS (SELECT least(event_id // (n.n // 100), 99) AS segment, event_id, value " +
+        "FROM events, n) " +
+        "SELECT segment, min(event_id) AS start_idx, CAST(count(*) AS BIGINT) AS n_rows, " +
+        "round(avg(value), 6) AS mean_v, max(value) AS max_v, min(value) AS min_v, " +
+        "segment % 5 = 0 AS emphasized FROM s GROUP BY segment ORDER BY segment")),
+
     // P8/M11 — config-driven per-client channel selection.
     Q("p8_client_channels",
       (s, d) => {
@@ -185,7 +201,10 @@ object IoModelQueries {
       },
       None),
 
-    // M9 — hyperparameter search over lr with val-loss objective.
+    // M9 — seeded random hyperparameter search over lr × outer size ×
+    // depth with val-loss objective (reference keras-tuner RandomSearch;
+    // the space is scaled down for bench wall time but spans multiple
+    // architectures — TuningSpec pins the best-minimizes-val-MSE contract).
     Q("m9_hyperparam_search",
       (s, d) => {
         val spark = s
@@ -193,10 +212,12 @@ object IoModelQueries {
         val std = Prep.standardize(ev(s, d), ev(s, d), Seq("value"))
         val wins = Windows.slidingWindows(std, "event_id", "value", 32, 32).cache()
         val (train, valid) = Prep.sequentialSplit(wins, "window_id", 0.7, 1)
-        val scored = Tuning.gridSearch(train, valid, "values", 32,
-          Seq(Tuning.Candidate(1e-3, Seq(8)), Tuning.Candidate(1e-2, Seq(8))),
-          epochs = 2)
-        scored.map(c => (c.lr, c.valMse)).toDF("lr", "val_mse")
+        val scored = Tuning.randomSearch(train, valid, "values", 32,
+          trials = 4, epochs = 2,
+          space = Tuning.SearchSpace(lrChoices = Seq(1e-2, 1e-3),
+            outerChoices = Seq(8, 16), depthChoices = Seq(1, 2), hiddenSize = 4))
+        scored.map(c => (c.lr, c.hidden.mkString("-"), c.valMse))
+          .toDF("lr", "arch", "val_mse")
       },
       None),
 

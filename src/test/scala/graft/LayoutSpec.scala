@@ -25,6 +25,51 @@ class LayoutSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("writeBucketed never deletes an external table's data at the warehouse path") {
+    val name = "graft_external_guard"
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val extDir = java.nio.file.Paths.get(warehouse, name)
+    // user-owned external parquet data sitting AT the warehouse path
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    Seq((1L, "keep-me")).toDF("k", "v").write.mode("overwrite")
+      .parquet(extDir.toString)
+    spark.sql(s"CREATE TABLE `$name` (k BIGINT, v STRING) USING parquet " +
+      s"LOCATION '${extDir.toString}'")
+    assert(spark.catalog.getTable(name).tableType == "EXTERNAL")
+    // overwrite must refuse (location occupied by data we don't own) …
+    intercept[Exception] {
+      Layout.writeBucketed(Seq((2L, "clobber")).toDF("k", "v"), name, 2, "k")
+    }
+    // … and the external data must survive
+    val survived = spark.read.parquet(extDir.toString)
+      .as[(Long, String)].collect().toSeq
+    assert(survived == Seq((1L, "keep-me")))
+    // cleanup: drop metadata (external → data untouched), then the files
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    org.apache.commons.io.FileUtils.deleteDirectory(extDir.toFile)
+  }
+
+  test("withInFilePosition tags the partition id it documents") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pos").toString
+    (0 until 4).foreach { f =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, s"part-$f.csv"),
+        (0 until 10).map(i => s"${f * 10 + i}\t$i").mkString("\n"))
+    }
+    val df = graft.io.Sources.directoryCsv(spark, s"$dir/*.csv",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.LongType))))
+    val out = graft.io.Sources.withInFilePosition(df)
+    assert(out.columns.contains("pos") && out.columns.contains("pos_part"))
+    // per (file, partition) the positions are a dense 0..n-1 counter
+    val rows = out.select("_file", "pos", "pos_part").collect()
+    rows.groupBy(r => (r.getString(0), r.getInt(2))).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (0L until rs.length).toSeq)
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("salted join equals the plain join on skewed data") {
     // pathological skew: 90% of the big side shares one key
     val big = (0 until 5000).map(i => (if (i % 10 == 0) i.toLong % 7 else 1L, i.toLong))

@@ -57,6 +57,41 @@ class ModelSpec extends SparkSpec {
     assert(res.global.weights.length == new DenseAutoencoder(Seq(16, 4, 16)).numWeights)
   }
 
+  test("M9: layerSizes matches the reference's geometric interpolation") {
+    // int(hidden * (outer/hidden)^((i+1)/depth)) — autoencoder.py:37-38.
+    // Exact values at power boundaries are FP-representation dependent
+    // (Python's int() truncates the same way), so pin the exact cases that
+    // are FP-safe plus the structural contract: depth entries, geometric
+    // growth, outer size last.
+    assert(graft.model.Tuning.layerSizes(128, 16, 1) == Seq(128))
+    assert(graft.model.Tuning.layerSizes(512, 8, 2) == Seq(64, 512)) // sqrt is exact
+    val s = graft.model.Tuning.layerSizes(128, 16, 3)
+    assert(s.length == 3 && s.last >= 127 && s.last <= 128 && s == s.sorted)
+    assert(s.head >= 31 && s.head <= 32, s"first interpolated size: $s")
+  }
+
+  test("M9: seeded random search spans architectures and ranks by val MSE") {
+    val wins = sineWindows(48, 16).cache()
+    val train = wins.filter(col("window_id") < 32)
+    val valid = wins.filter(col("window_id") >= 32)
+    val space = graft.model.Tuning.SearchSpace(
+      lrChoices = Seq(1e-2, 1e-3), outerChoices = Seq(8, 16),
+      depthChoices = Seq(1, 2), hiddenSize = 4)
+    val scored = graft.model.Tuning.randomSearch(train, valid, "values", 16,
+      trials = 4, epochs = 3, space = space)
+    assert(scored.nonEmpty && scored.size >= 2)
+    // the search actually explored the ARCHITECTURE axis, not just lr
+    assert(scored.map(_.hidden).distinct.size >= 2,
+      s"architectures not explored: ${scored.map(_.hidden)}")
+    // best-first by validation MSE (the reference's objective='val_loss')
+    assert(scored.head.valMse == scored.map(_.valMse).min)
+    assert(scored == scored.sortBy(_.valMse))
+    // deterministic under the seed
+    val again = graft.model.Tuning.randomSearch(train, valid, "values", 16,
+      trials = 4, epochs = 3, space = space)
+    assert(again.map(c => (c.lr, c.hidden)) == scored.map(c => (c.lr, c.hidden)))
+  }
+
   test("S11: model save/load round-trips weights and architecture") {
     val m = new DenseAutoencoder(Seq(8, 4, 8))
     val t = TrainedAutoencoder(m, m.initWeights(), Seq(0.5, 0.4))
