@@ -148,8 +148,15 @@ object Eval {
         validation.agg((avg(col(mseCol)) + lit(k) * stddev_samp(col(mseCol))).as("_thr"))
       else validation.groupBy(groupCols.map(col): _*)
         .agg((avg(col(mseCol)) + lit(k) * stddev_samp(col(mseCol))).as("_thr"))
-    val smoothed = graft.window.Windows.rollingMin(
-      mse, periodCol, mseCol, rollingWidth, groupCols, out = "_rmin")
+    // Ungrouped series → chunk+halo rolling min (no global single-task
+    // window even when the period table itself is large); per-group series
+    // parallelize by the group key.
+    val smoothed =
+      if (groupCols.isEmpty)
+        graft.window.Windows.rollingMinChunked(mse, periodCol, mseCol, rollingWidth,
+          chunkSize = 100000L, out = "_rmin")
+      else graft.window.Windows.rollingMin(
+        mse, periodCol, mseCol, rollingWidth, groupCols, out = "_rmin")
     // LEFT join: a group whose validation slice is empty (fewer than
     // 1/validationFrac periods) must still appear — with a null threshold
     // and the 0 sentinel (the reference yields NaN + no alarm), not vanish.

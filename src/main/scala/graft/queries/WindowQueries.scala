@@ -116,9 +116,10 @@ object WindowQueries {
         "CAST(count(*) AS DOUBLE), 6) AS fraction FROM events")),
 
     // W12 — gaps-and-islands: runs of adjacent over-threshold indexes
-    // → [start, end+1) spans.
+    // → [start, end+1) spans, via the anti-join + bucketed-rank
+    // formulation (no row-sized window anywhere in the plan).
     Q("w12_islands",
-      (s, d) => Windows.islands(ev(s, d).filter(col("value") > 170), "event_id")
+      (s, d) => Windows.islandsScalable(ev(s, d).filter(col("value") > 170), "event_id")
         .select("span_start", "span_end")
         .orderBy("span_start"),
       Some("WITH f AS (SELECT event_id FROM events WHERE value > 170), " +

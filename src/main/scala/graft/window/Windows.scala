@@ -151,6 +151,52 @@ object Windows {
       .drop("_grp")
   }
 
+  /** W12 at scale — islands without any row-sized window: an island START
+    * is an idx whose predecessor (idx−1) is absent — one hash LEFT ANTI
+    * self-join; an island END is an idx whose successor is absent. The
+    * k-th start pairs with the k-th end, and that rank comes from the
+    * two-phase [[rangeBucketedCumSum]] over the (already island-sized,
+    * post-filter) boundary sets — so every stage is either a hash join or
+    * a bucketed cumsum; nothing sorts the full set in one task. Input idx
+    * must be unique (same contract as [[islands]]).
+    */
+  def islandsScalable(df: DataFrame, idxCol: String): DataFrame = {
+    val ids = df.select(col(idxCol).cast("long").as("_i"))
+    val starts = ids.join(ids.select((col("_i") + 1).as("_i")), Seq("_i"), "left_anti")
+    val ends = ids.join(ids.select((col("_i") - 1).as("_i")), Seq("_i"), "left_anti")
+    def ranked(b: DataFrame) =
+      rangeBucketedCumSum(b.withColumn("_c", lit(1L)), "_i", Seq("_c"))
+    ranked(starts).select(col("_c_cum").as("_rk"), col("_i").as("span_start"))
+      .join(ranked(ends).select(col("_c_cum").as("_rk"), (col("_i") + 1).as("span_end")), "_rk")
+      .drop("_rk")
+  }
+
+  /** W6/W7 at scale — [[rollingMin]]/[[rollingMean]] for a single global
+    * series via chunk+halo (halo = width−1 trailing rows): the pandas
+    * null-head rule holds because a frame is only complete when `width`
+    * rows are actually present — chunk 0's head rows see a short frame,
+    * every halo-backed row sees a full one. Requires dense idx, like
+    * every positional operator here.
+    */
+  def rollingMinChunked(df: DataFrame, idxCol: String, valueCol: String, width: Int,
+                        chunkSize: Long = 100000L, out: String = "rolling_min"): DataFrame =
+    rollingChunked(df, idxCol, valueCol, width, chunkSize, out, min)
+
+  def rollingMeanChunked(df: DataFrame, idxCol: String, valueCol: String, width: Int,
+                         chunkSize: Long = 100000L, out: String = "rolling_mean"): DataFrame =
+    rollingChunked(df, idxCol, valueCol, width, chunkSize, out, avg)
+
+  private def rollingChunked(df: DataFrame, idxCol: String, valueCol: String,
+                             width: Int, chunkSize: Long, out: String,
+                             f: Column => Column): DataFrame = {
+    val w = Window.partitionBy(col("_tgt")).orderBy(col(idxCol))
+      .rowsBetween(-(width - 1), 0)
+    withChunkHalo(df, idxCol, width - 1, chunkSize)
+      .withColumn(out, when(count(lit(1)).over(w) === width, f(col(valueCol)).over(w)))
+      .filter(col("_tgt") === expr(s"`$idxCol` DIV $chunkSize"))
+      .drop("_tgt")
+  }
+
   /** W13 — scalable global cumulative sum: two-phase. Bucket rows by
     * `idx div bucketSize`, cumsum within buckets (parallel windows), then
     * add per-bucket offsets (running sum over the tiny bucket-totals

@@ -175,6 +175,33 @@ class WindowsSpec extends SparkSpec {
     assert(out == 5L)
   }
 
+  test("W12-scalable: anti-join islands equals the window formulation") {
+    val idxs = Seq(1L, 2L, 3L, 7L, 8L, 12L, 40L, 41L, 42L, 43L)
+    val df = idxs.toDF("idx")
+    val a = Windows.islands(df, "idx").orderBy("span_start")
+      .as[(Long, Long)].collect().toSeq
+    val b = Windows.islandsScalable(df, "idx").orderBy("span_start")
+      .select("span_start", "span_end").as[(Long, Long)].collect().toSeq
+    assert(a == b)
+    assert(globalDataWindows(Windows.islandsScalable(df, "idx")).isEmpty)
+    // single island and single element edge cases
+    assert(Windows.islandsScalable(Seq(5L).toDF("idx"), "idx")
+      .as[(Long, Long)].collect().toSeq == Seq((5L, 6L)))
+  }
+
+  test("W6-chunked: rollingMinChunked equals rollingMin incl. null head") {
+    val df = series(100)
+    val expect = Windows.rollingMin(df, "idx", "v", 7).orderBy("idx")
+      .select("rolling_min").collect().map(r => Option(r.get(0))).toSeq
+    for (chunk <- Seq(7L, 25L, 1000L)) {
+      val got = Windows.rollingMinChunked(df, "idx", "v", 7, chunkSize = chunk)
+        .orderBy("idx").select("rolling_min").collect().map(r => Option(r.get(0))).toSeq
+      assert(got == expect, s"chunkSize=$chunk")
+      assert(globalDataWindows(
+        Windows.rollingMinChunked(df, "idx", "v", 7, chunkSize = chunk)).isEmpty)
+    }
+  }
+
   test("A8 plans: aucRoc keeps every data-sized window partitioned") {
     val df = (0 until 300).map(i => ((i % 97) * 0.21, i % 3 == 0)).toDF("s", "y")
     val auc = graft.eval.Eval.aucRoc(df, col("s"), col("y"))
