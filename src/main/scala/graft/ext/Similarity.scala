@@ -138,20 +138,35 @@ object Similarity {
     * `bands` signatures equals the query's (OR-amplification — narrow
     * bands keep per-band match probability high for near vectors, many
     * bands amplify recall; a single wide exact-equality signature has
-    * near-zero recall, the round-1 failure mode). The query's signatures
+    * near-zero recall, the round-1 failure mode). The query's sign bits
     * are computed once driver-side over `query.length` hyperplane
-    * components (row signatures use the same dim, so the two sides can
-    * never silently diverge), and candidate selection is a pure narrow
-    * FILTER (no join, no shuffle) followed by the exact distributed
-    * TakeOrdered re-rank of [[bruteForceTopK]].
+    * components (row projections use the same planes, so the two sides
+    * can never silently diverge), and candidate selection is a pure
+    * narrow FILTER — one [[graft.functions.MatVecProduct]] per row,
+    * bound ONCE via a 1-element array so the per-band sign comparisons
+    * reference the lambda variable instead of re-inlining the kernel —
+    * followed by the exact distributed TakeOrdered re-rank of
+    * [[bruteForceTopK]]. No join, no shuffle before the k-row merge.
     */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
               query: Array[Double], k: Int,
               bands: Int = 16, bitsPerBand: Int = 5): DataFrame = {
-    val anyBandMatches = (0 until bands).map { b =>
-      hyperplaneSignature(col(vecCol), query.length, bitsPerBand, offset = b * bitsPerBand) ===
-        lit(signatureLocal(query, bitsPerBand, offset = b * bitsPerBand))
-    }.reduce(_ || _)
+    val nPlanes = bands * bitsPerBand
+    val hMat = Array.tabulate(nPlanes, query.length)((p, i) => hyperplane(p, i))
+    val qSign: IndexedSeq[Boolean] = (0 until nPlanes).map { p =>
+      var d = 0.0; var i = 0
+      while (i < query.length) { d += query(i) * hMat(p)(i); i += 1 }
+      d >= 0
+    }
+    val projOnce = array(graft.functions.GraftFunctions.matvec_product(
+      col(vecCol).cast("array<double>"), hMat))
+    val anyBandMatches = exists(projOnce, pr =>
+      (0 until bands).map { b =>
+        (0 until bitsPerBand).map { bit =>
+          val p = b * bitsPerBand + bit
+          (element_at(pr, p + 1) >= 0) === lit(qSign(p))
+        }.reduce(_ && _)
+      }.reduce(_ || _))
     bruteForceTopK(df.filter(anyBandMatches), idCol, vecCol, query, k)
   }
 

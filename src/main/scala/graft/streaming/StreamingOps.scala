@@ -47,6 +47,20 @@ object StreamingOps {
     periodMeans(stream, tsCol, valueCol, windowDuration, watermark)
       .withColumn("anomaly", col("mse") > threshold)
 
+  /** Exact-dedup streaming (the training-data-pipeline dedup at ingest
+    * time): drop any document whose content hash was already seen within
+    * the watermark horizon. State holds ONE 8-byte hash per distinct
+    * document — never the text — and the watermark bounds it, so a
+    * forever-running ingest job's state can't grow without limit (the
+    * batch form, `ext.Dedup.exact`, owns full-corpus dedup).
+    */
+  def dedupExact(stream: DataFrame, tsCol: String, textCol: String,
+                 watermark: String): DataFrame =
+    stream.withColumn("_h", xxhash64(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("_h")
+      .drop("_h")
+
   final case class KeyedValue(key: String, seq: Long, value: Double)
   final case class WindowOut(key: String, windowId: Long, values: Seq[Double])
 

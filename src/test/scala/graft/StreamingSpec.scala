@@ -56,4 +56,24 @@ class StreamingSpec extends SparkSpec {
       assert(rows(1)._2 == 9.0 && rows(1)._3)
     } finally query.stop()
   }
+
+  test("streaming dedup: duplicate content dropped within the watermark, state is hashes") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("ts", "text")
+    val out = StreamingOps.dedupExact(df, "ts", "text", watermark = "1 minute")
+    val query = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+      input.addData(Seq((ts(1), "alpha"), (ts(2), "beta"), (ts(3), "alpha")))
+      query.processAllAvailable()
+      // duplicate arriving in a LATER micro-batch is also dropped
+      input.addData(Seq((ts(10), "beta"), (ts(11), "gamma")))
+      query.processAllAvailable()
+      val texts = spark.table("dedup_out").select("text").as[String]
+        .collect().sorted.toSeq
+      assert(texts == Seq("alpha", "beta", "gamma"))
+    } finally query.stop()
+  }
 }
