@@ -145,13 +145,18 @@ object ExtQueries {
         s"round(avg(CAST(embedding[$i] AS DOUBLE)), 6) AS dim$i").mkString(", ") +
         " FROM embeddings GROUP BY label ORDER BY label")),
 
-    // BPE-ish subword count — regex pre-tokenizer shape (lookarounds are
-    // engine-specific: rows-only).
+    // BPE-ish subword count — regex pre-tokenizer shape. The lookaround
+    // split isn't RE2-expressible, but its COUNT is: every non-alnum char
+    // is its own piece and every maximal alnum run is one piece, so
+    // n_subwords = #alnum-runs + #non-alnum-chars — the oracle states
+    // that identity.
     Q("x_subword_count",
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"), TextAnalysis.subwordCount(col("text")).cast("long").as("n_subwords"))
         .orderBy("doc_id"),
-      None),
+      Some("SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) + " +
+        "length(text) - length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS BIGINT) " +
+        "AS n_subwords FROM documents ORDER BY doc_id")),
 
     // MinHash+LSH candidate pairs — engine-hash dependent: rows-only check.
     Q("x_minhash_lsh",
@@ -236,9 +241,12 @@ object ExtQueries {
       },
       None),
 
-    // M3 — FFT magnitude per sliding window (native Catalyst expression);
-    // no SQL oracle (DuckDB has no FFT) — pinned by unit tests vs a
-    // direct-DFT reference.
+    // M3 — FFT magnitude per sliding window (native Catalyst expression).
+    // DuckDB has no FFT, but the REPORTED bins are low-order DFT
+    // magnitudes, and a DFT bin is just √((Σv·cos)² + (Σv·sin)²) — plain
+    // SQL. The radix-2 butterfly and the direct sum agree to ~1e-12
+    // absolute, far inside the 4-decimal rounding, so the oracle hashes
+    // match exactly.
     Q("m3_fft_window",
       (s, d) => {
         val wins = Windows.slidingWindows(Tables.events(s, d), "event_id", "value", 64, 32)
@@ -250,7 +258,17 @@ object ExtQueries {
             round(element_at(col("_m"), 3), 4).as("bin2"))
           .orderBy("window_id")
       },
-      None),
+      Some("WITH n AS (SELECT count(*) AS n FROM events), " +
+        "w AS (SELECT unnest(generate_series(0, (n.n - 64) // 32)) AS window_id FROM n), " +
+        "ev AS (SELECT w.window_id, e.value, CAST(e.event_id - w.window_id * 32 AS DOUBLE) AS t " +
+        "FROM w JOIN events e ON e.event_id >= w.window_id * 32 AND e.event_id < w.window_id * 32 + 64), " +
+        "m AS (SELECT window_id, " +
+        "abs(sum(value)) AS m0, " +
+        "sqrt(pow(sum(value * cos(2 * pi() * 1 * t / 64)), 2) + pow(sum(value * sin(2 * pi() * 1 * t / 64)), 2)) AS m1, " +
+        "sqrt(pow(sum(value * cos(2 * pi() * 2 * t / 64)), 2) + pow(sum(value * sin(2 * pi() * 2 * t / 64)), 2)) AS m2 " +
+        "FROM ev GROUP BY window_id) " +
+        "SELECT window_id, round(m0, 4) AS dc, round(m1, 4) AS bin1, round(m2, 4) AS bin2 " +
+        "FROM m ORDER BY window_id")),
 
     // Multimodal plumbing: synthetic media table → stub decode → features.
     Q("x_multimodal_features",
@@ -264,11 +282,16 @@ object ExtQueries {
       },
       None),
 
-    // Multimodal frame sampling: video rows → sampled frame indexes.
+    // Multimodal frame sampling: video rows → sampled frame indexes. The
+    // synthetic table is pure arithmetic (kind = video when id%3 = 2,
+    // n_frames = id%100+1), so the oracle reproduces it exactly.
     Q("x_frame_sample",
       (s, d) => Multimodal.sampleFrames(Multimodal.syntheticMedia(s, 300), stride = 10)
         .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"))
         .orderBy("media_id", "frame_idx"),
-      None)
+      Some("WITH m AS (SELECT unnest(generate_series(0, 299)) AS media_id), " +
+        "v AS (SELECT media_id, media_id % 100 + 1 AS nf FROM m WHERE media_id % 3 = 2) " +
+        "SELECT media_id, unnest(generate_series(0, CAST(nf - 1 AS BIGINT), 10)) AS frame_idx " +
+        "FROM v ORDER BY media_id, frame_idx"))
   )
 }
