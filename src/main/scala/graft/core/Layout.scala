@@ -14,7 +14,8 @@ object Layout {
     * shuffle once at write time, amortize over every later join.
     * BucketingSpec asserts the exchange-free plan.
     */
-  def writeBucketed(df: DataFrame, table: String, buckets: Int, key: String): Unit = {
+  def writeBucketed(df: DataFrame, table: String, buckets: Int, key: String,
+                    moreKeys: String*): Unit = {
     val spark = df.sparkSession
     // A managed-table location can survive a previous JVM whose in-memory
     // catalog is gone; saveAsTable then fails with LOCATION_ALREADY_EXISTS
@@ -33,7 +34,7 @@ object Layout {
       if (fs.exists(loc)) fs.delete(loc, true)
     }
     df.write.mode("overwrite")
-      .bucketBy(buckets, key).sortBy(key)
+      .bucketBy(buckets, key, moreKeys: _*).sortBy(key, moreKeys: _*)
       .format("parquet")
       .saveAsTable(table)
   }

@@ -150,12 +150,23 @@ object Eval {
         .agg((avg(col(mseCol)) + lit(k) * stddev_samp(col(mseCol))).as("_thr"))
     // Ungrouped series → chunk+halo rolling min (no global single-task
     // window even when the period table itself is large); per-group series
-    // parallelize by the group key.
+    // parallelize by the group key. The chunked form requires a DENSE
+    // 0..n-1 index — a filtered/sparse period series would leave chunk
+    // heads without halo rows and silently null the rolling min — so the
+    // position is first densified with the two-phase bucketed rank (rank
+    // over period order; itself scale-safe, no global window). This also
+    // matches the rolling semantics: the frame is the w preceding ROWS of
+    // the series, not the w preceding period VALUES.
     val smoothed =
-      if (groupCols.isEmpty)
-        graft.window.Windows.rollingMinChunked(mse, periodCol, mseCol, rollingWidth,
+      if (groupCols.isEmpty) {
+        val dense = graft.window.Windows.rangeBucketedCumSum(
+            mse.withColumn("_one", lit(1L)), periodCol, Seq("_one"))
+          .withColumn("_pos", (col("_one_cum") - 1).cast("long"))
+          .drop("_one", "_one_cum")
+        graft.window.Windows.rollingMinChunked(dense, "_pos", mseCol, rollingWidth,
           chunkSize = 100000L, out = "_rmin")
-      else graft.window.Windows.rollingMin(
+          .drop("_pos")
+      } else graft.window.Windows.rollingMin(
         mse, periodCol, mseCol, rollingWidth, groupCols, out = "_rmin")
     // LEFT join: a group whose validation slice is empty (fewer than
     // 1/validationFrac periods) must still appear — with a null threshold

@@ -152,14 +152,22 @@ object Dedup {
     */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
                     shingleLen: Int = 3): DataFrame = {
-    // The set frame feeds two joins (id1 side, id2 side); persist so the
-    // shingle construction runs once, not twice per action. Sets are
-    // 64-bit shingle hashes (same Jaccard under uniform hashing; collision
-    // probability negligible), built via the string-free Generate path.
-    val sets = shingleHashRows(docs, idCol, textCol, shingleLen)
+    // Shingle sets are built ONLY for documents that appear in a candidate
+    // pair (LEFT SEMI join first): at 100 TB the candidate id set is
+    // orders of magnitude smaller than the corpus, so verification never
+    // scans non-candidate text. Sets are 64-bit shingle hashes (same
+    // Jaccard under uniform hashing; collision probability negligible),
+    // built via the string-free Generate path. The set frame feeds two
+    // joins (id1 side, id2 side) — both branches share one canonical
+    // subplan, so ReuseExchange computes the heavy scan+aggregate shuffle
+    // once; no persist, no cache-lifetime leak (the round-3 form persisted
+    // here and never unpersisted — one leaked executor copy per call).
+    val ids = pairs.select(col("id1").as(idCol))
+      .union(pairs.select(col("id2").as(idCol)))
+    val sets = shingleHashRows(docs.join(ids, Seq(idCol), "left_semi"),
+        idCol, textCol, shingleLen)
       .groupBy(col("_id").as("_jid"))
       .agg(collect_set(col("_sh")).as("_set"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pairs
       .join(sets.withColumnRenamed("_jid", "id1").withColumnRenamed("_set", "_set1"), "id1")
       .join(sets.withColumnRenamed("_jid", "id2").withColumnRenamed("_set", "_set2"), "id2")

@@ -232,6 +232,11 @@ object Similarity {
       .setK(nlist).setSeed(seed).setFeaturesCol("_ivf_v").setPredictionCol("ivf_cell")
       .fit(withVec)
     val assigned = km.transform(withVec).drop("_ivf_v")
+    // The cache exists to feed the KMeans iterations; after fit it is dead
+    // weight (callers persist the *assigned* frame for probing). Async
+    // unpersist: a caller materializing `assigned` right away recomputes
+    // one narrow normalize pass instead of holding a second copy forever.
+    withVec.unpersist(blocking = false)
     (assigned, km)
   }
 

@@ -29,16 +29,21 @@ object ClientConfig {
   /** Build the per-client channel selection from a loaded config file:
     * each `CLIENT_<k>` section maps an experiment name to the channel
     * indexes that client loads (reference `config.yaml` CLIENT_* blocks,
-    * consumed by `src/federated_learning/training.py:27-32`); the trained
-    * column is the LAST listed channel — the transfer variant (M11) loads
-    * several and trains the last.
+    * consumed by `src/federated_learning/training.py:27-32`). The trained
+    * column is the FIRST loaded channel (`train_columns=[0]`,
+    * `training.py:31`) — only clients in `transferClients` (the M11
+    * CLIENT_0 + TRANSFER_LEARNING branch) load several channels and train
+    * the LAST.
     */
   def fromConfig(cfg: graft.core.GraftConfig, experiment: String, numClients: Int,
-                 colName: Int => String): ClientConfig = {
+                 colName: Int => String,
+                 transferClients: Set[Int] = Set.empty): ClientConfig = {
     val load = (0 until numClients).map { i =>
       i -> cfg.clientChannels(s"CLIENT_$i", experiment).map(colName)
     }.toMap
     ClientConfig(load,
-      load.collect { case (i, cols) if cols.nonEmpty => i -> cols.last })
+      load.collect { case (i, cols) if cols.nonEmpty =>
+        i -> (if (transferClients(i)) cols.last else cols.head)
+      })
   }
 }

@@ -66,6 +66,12 @@ case class CosineSim(left: Expression, right: Expression)
       val dot = ctx.freshName("dot")
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
+      // freshName for EVERY local: raw `x`/`y` spliced into the shared
+      // whole-stage method scope can collide with another expression's
+      // locals — Janino then fails the stage and Spark silently falls back
+      // to interpreted execution, losing the kernel's entire speedup.
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
       s"""
         |final int $n = $a.numElements();
         |if ($n != $b.numElements()) {
@@ -74,9 +80,9 @@ case class CosineSim(left: Expression, right: Expression)
         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
         |  for (int $i = 0; $i < $n; $i++) {
         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-        |    final double x = $a.getDouble($i);
-        |    final double y = $b.getDouble($i);
-        |    $dot += x * y; $na += x * x; $nb += y * y;
+        |    final double $x = $a.getDouble($i);
+        |    final double $y = $b.getDouble($i);
+        |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
         |  }
         |  if (!${ev.isNull}) {
         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));

@@ -25,7 +25,12 @@ object Bearing {
     val n = broadcast(df.agg(count(lit(1)).as("_n")))
     df.crossJoin(n)
       .withColumn("_seg",
-        least(expr(s"CAST(`$idxCol` AS BIGINT) DIV (_n DIV $segments)"),
+        // greatest(..., 1) guards n < segments: `_n DIV segments` would be
+        // 0, Spark DIV-by-zero yields null, and least() skips nulls — every
+        // row would land in the last segment silently. With the guard the
+        // degenerate grid is one row per segment (clamped), consistently on
+        // both engine and oracle sides.
+        least(expr(s"CAST(`$idxCol` AS BIGINT) DIV greatest(_n DIV $segments, 1)"),
           lit(segments - 1L)))
       .groupBy("_seg")
       .agg(

@@ -66,6 +66,10 @@ class ConfigSpec extends AnyFunSuite {
     assert(overridden.int("EPOCHS", -1) == 3)
     // untouched keys keep file values; env keys not in the file don't appear
     assert(overridden.int("BATCH_SIZE", -1) == 64)
+    // GRAFT_-prefixed vars beat bare same-named ones (collision safety)
+    val prefixed = Config.load(path,
+      env = Map("WINDOW_SIZE" -> "256", "GRAFT_WINDOW_SIZE" -> "512"))
+    assert(prefixed.int("WINDOW_SIZE", -1) == 512)
   }
 
   test("load: CONFIG_FILE env redirects to another file") {
@@ -80,12 +84,17 @@ class ConfigSpec extends AnyFunSuite {
     assert(Config.clientName(Map("CLIENT_NAME" -> "CLIENT_3")) == "CLIENT_3")
   }
 
-  test("ClientConfig.fromConfig builds per-client channels; last channel trains") {
+  test("ClientConfig.fromConfig: first channel trains; transfer clients train last") {
     val cfg = Config.parse(yaml)
-    val cc = ClientConfig.fromConfig(cfg, "bearing_experiment-2", 2, i => s"Vibration-$i")
+    val cc = ClientConfig.fromConfig(cfg, "bearing_experiment-2", 2, i => s"Vibration-$i",
+      transferClients = Set(0))
     assert(cc.loadColumns(0) == Seq("Vibration-0", "Vibration-1"))
     assert(cc.trainColumn(0) == "Vibration-1") // transfer shape: trains the last
     assert(cc.loadColumns(1) == Seq("Vibration-1"))
     assert(cc.trainColumn(1) == "Vibration-1")
+    // non-transfer multi-channel client trains the FIRST loaded channel
+    // (reference training.py:31 train_columns=[0])
+    val plain = ClientConfig.fromConfig(cfg, "bearing_experiment-2", 2, i => s"Vibration-$i")
+    assert(plain.trainColumn(0) == "Vibration-0")
   }
 }

@@ -79,6 +79,27 @@ class SimilaritySpec extends SparkSpec {
     assert(precomp == inlineSigs)
   }
 
+  test("LSH index lifecycle: write bucketed by (_band,_sig), reload, verify from storage") {
+    // The 100 TB write-once lifecycle bandedSignatureRows documents: the
+    // (id, band, sig) index is written ONCE bucketed by the join key, and
+    // every later near-dup run verifies from storage — no signature
+    // recomputation (no MatVecProduct) anywhere in the plan.
+    val sigs = Similarity.bandedSignatureRows(fixture, "vec_id", "embedding", dim)
+    graft.core.Layout.writeBucketed(sigs, "lsh_sig_index", 4, "_band", "_sig")
+    val reloaded = spark.table("lsh_sig_index")
+    val fromStore = Similarity.cosineNearDupLsh(fixture, "vec_id", "embedding", dim, 0.9,
+      sigRows = Some(reloaded))
+    val plan = fromStore.queryExecution.executedPlan.toString
+    assert(!plan.contains("matvec_product"),
+      s"stored-index plan recomputes signatures:\n${plan.take(1200)}")
+    assert(plan.contains("lsh_sig_index"), "stored-index plan does not scan the stored table")
+    val inline = Similarity.cosineNearDupLsh(fixture, "vec_id", "embedding", dim, 0.9)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val stored = fromStore.select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(stored == inline,
+      s"missed=${(inline -- stored).take(5)} spurious=${(stored -- inline).take(5)}")
+  }
+
   test("CosineSim kernel: parity with the HOF form, null/mismatch semantics, SQL surface") {
     val df = Seq(
       (1L, Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)),
