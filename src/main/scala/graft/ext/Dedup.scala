@@ -65,6 +65,35 @@ object Dedup {
       .select(col("_id"),
         xxhash64((1 to shingleLen).map(j => element_at(col("_th"), col("_pos") + j)): _*).as("_sh"))
 
+  /** Per-ROW form of the exploded-aggregate minhash signature: identical
+    * values to [[minhashCandidates]]'s internal signature (same token
+    * hashes, same k-token shingle hash, same per-seed min fold), computed
+    * without any shuffle — the shape a STREAMING pipeline needs, where a
+    * row must carry its own signature through a stateful operator.
+    * Documents with fewer than `shingleLen` tokens yield an all-MaxValue
+    * signature; filter them upstream like the batch path does.
+    */
+  def minhashSignatureHashed(text: Column, shingleLen: Int, numHashes: Int): Column = {
+    val th = transform(split(text, " +"), t => xxhash64(t))
+    val shs = when(size(th) >= shingleLen,
+        transform(sequence(lit(0), size(th) - shingleLen),
+          pos => xxhash64((1 to shingleLen).map(j => element_at(th, pos + j)): _*)))
+      .otherwise(array().cast("array<bigint>"))
+    aggregate(shs, array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, sh) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
+        (a, i) => least(a, xxhash64(sh, i))))
+  }
+
+  /** The LSH band keys of a signature array — the same
+    * `xxhash64(h_{b·r} … h_{(b+1)·r − 1}, b)` banding [[minhashCandidates]]
+    * joins on, so batch and streaming candidates agree bucket-for-bucket.
+    */
+  def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      xxhash64(((b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => element_at(sig, i + 1)) :+ lit(b)): _*)
+    }: _*)
+
   /** MinHash LSH candidate pairs: band the signature (`bands` bands of
     * `rows` hashes), hash each band, self-join on (band, bandHash).
     *

@@ -9,6 +9,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 final case class BufState(buf: Array[Double], seen: Long)
 
+/** State for [[StreamingOps.minhashCandidatePairs]]: the doc ids seen in
+  * one (band, bucket) LSH bucket within the watermark horizon.
+  */
+final case class BucketState(ids: Array[Long])
+
 /** Streaming-inference surface (SURVEY.md §2.9 — the reference is
   * batch-only; this is the engine's Structured Streaming extension so the
   * same anomaly semantics run over a live sensor feed).
@@ -63,6 +68,68 @@ object StreamingOps {
 
   final case class KeyedValue(key: String, seq: Long, value: Double)
   final case class WindowOut(key: String, windowId: Long, values: Seq[Double])
+  final case class BandedDoc(id: Long, eventTs: java.sql.Timestamp, band: Int, bucket: Long)
+  final case class CandidatePair(id1: Long, id2: Long)
+
+  /** MinHash-LSH candidate pairs at INGEST time — the streaming half of
+    * the dedup extension ([[graft.ext.Dedup.minhashCandidates]] is the
+    * batch half). Each arriving document computes its banded minhash
+    * signature per-row (no shuffle; bitwise-identical banding to the batch
+    * path via [[graft.ext.Dedup.minhashSignatureHashed]]/`bandHashes`, so
+    * a pair is a streaming candidate iff it would be a batch candidate),
+    * explodes to its `bands` (band, bucket) keys, and is checked against
+    * the ids already seen in each bucket: every (known, new) pair is
+    * emitted as a candidate for downstream exact verification
+    * ([[graft.ext.Dedup.jaccardVerify]]).
+    *
+    * State per bucket is a bounded id array: `maxBucket` caps the
+    * pathological hot bucket (a bucket that large is a degenerate
+    * near-identical cluster — its first `maxBucket` members already link
+    * the cluster for transitive dedup), and the event-time timeout drops
+    * any bucket idle past the watermark horizon, so a forever-running
+    * ingest job's state cannot grow without bound — the [[dedupExact]]
+    * contract. A pair may be emitted once per matching band (the batch
+    * path's `.distinct()` has no bounded-state streaming analogue);
+    * verification is idempotent, so duplicates cost only repeated work.
+    */
+  def minhashCandidatePairs(stream: DataFrame, tsCol: String, idCol: String, textCol: String,
+                            watermark: String, shingleLen: Int = 3, bands: Int = 8,
+                            rowsPerBand: Int = 2, maxBucket: Int = 128): Dataset[CandidatePair] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    import graft.ext.Dedup
+    val sig = Dedup.minhashSignatureHashed(col(textCol), shingleLen, bands * rowsPerBand)
+    val banded = stream.withWatermark(tsCol, watermark)
+      .filter(size(split(col(textCol), " +")) >= shingleLen)
+      .select(col(idCol).cast("long").as("id"), col(tsCol).as("eventTs"),
+        posexplode(Dedup.bandHashes(sig, bands, rowsPerBand)).as(Seq("band", "bucket")))
+      .as[BandedDoc]
+    banded.groupByKey(d => (d.band, d.bucket))
+      .flatMapGroupsWithState[BucketState, CandidatePair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, rows, state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var known = state.getOption.map(_.ids).getOrElse(Array.empty[Long])
+            val out = Seq.newBuilder[CandidatePair]
+            var maxTs = Long.MinValue
+            rows.toSeq.sortBy(_.id).foreach { r =>
+              maxTs = math.max(maxTs, r.eventTs.getTime)
+              if (!known.contains(r.id)) {
+                known.foreach(k =>
+                  out += CandidatePair(math.min(k, r.id), math.max(k, r.id)))
+                if (known.length < maxBucket) known = known :+ r.id
+              }
+            }
+            state.update(BucketState(known))
+            // expire the bucket `watermark` past its newest event (never
+            // behind the current watermark — Spark rejects that)
+            state.setTimeoutTimestamp(
+              math.max(maxTs, state.getCurrentWatermarkMs() + 1), watermark)
+            out.result().iterator
+          }
+      }
+  }
 
   /** W1-streaming: per-key count-based sliding windows (size, step) in
     * `seq` order within each micro-batch. A window is emitted whenever

@@ -131,6 +131,31 @@ class EvalFunctionsSpec extends SparkSpec {
     assert(verified > 0.5)
   }
 
+  test("ext: per-row hashed signature bands reproduce the batch candidate set") {
+    // The streaming path computes signatures per-row; a self-join over its
+    // band keys must find EXACTLY the pairs minhashCandidates finds.
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+      (2L, "completely different content about spark catalyst optimizer internals here"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (4L, "so") // fewer tokens than the shingle length: no signature
+    ).toDF("doc_id", "text")
+    val sig = graft.ext.Dedup.minhashSignatureHashed(col("text"), 3, 16)
+    val banded = docs.filter(size(split(col("text"), " +")) >= 3)
+      .select(col("doc_id"), posexplode(graft.ext.Dedup.bandHashes(sig, 8, 2))
+        .as(Seq("band", "bh")))
+    val perRow = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct().as[(Long, Long)].collect().toSet
+    val batch = graft.ext.Dedup.minhashCandidates(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(perRow == batch, s"perRow=$perRow batch=$batch")
+    assert(batch.contains((0L, 3L))) // exact dup: every band matches
+  }
+
   test("ext: brute-force cosine top-k ranks the identical vector first") {
     val df = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)),

@@ -57,6 +57,40 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming minhash: cross-batch candidate pairs equal the batch LSH candidate set") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = Seq(
+      (0L, s"$base today"),
+      (1L, s"$base tomorrow"), // near-dup of 0
+      (2L, "completely different content about spark catalyst optimizer internals here"),
+      (3L, s"$base today")     // exact dup of 0
+    )
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "doc_id", "text")
+    val out = StreamingOps.minhashCandidatePairs(df, "ts", "doc_id", "text",
+      watermark = "1 minute")
+    val query = out.writeStream.format("memory").queryName("mh_out")
+      .outputMode("append").start()
+    try {
+      def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+      // docs 0 and 2 arrive first; their near-dups only in a LATER batch
+      input.addData(Seq((ts(1), 0L, corpus(0)._2), (ts(2), 2L, corpus(2)._2)))
+      query.processAllAvailable()
+      val afterBatch1 = spark.table("mh_out").count()
+      assert(afterBatch1 == 0, s"no candidate should exist yet, got $afterBatch1")
+      input.addData(Seq((ts(10), 1L, corpus(1)._2), (ts(11), 3L, corpus(3)._2)))
+      query.processAllAvailable()
+      val streamed = spark.table("mh_out").select("id1", "id2")
+        .distinct().as[(Long, Long)].collect().toSet
+      val batch = graft.ext.Dedup.minhashCandidates(
+        corpus.toDF("doc_id", "text"), "doc_id", "text")
+        .as[(Long, Long)].collect().toSet
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      assert(streamed.contains((0L, 3L))) // the cross-batch exact dup
+    } finally query.stop()
+  }
+
   test("streaming dedup: duplicate content dropped within the watermark, state is hashes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]
