@@ -3,13 +3,16 @@ import org.apache.spark.sql.SparkSession
 
 /** Dev tool: run named registry queries against an sf dir, print row count
   * + wall time (+ plan with -explain). `runMain graft.QueryRun <sfDir>
-  * [-explain] [-show] q1 q2 ...`; with no names, runs the whole registry.
+  * [-explain] [-show] [-reps N] q1 q2 ...`; with no names, runs the whole
+  * registry. `-reps N` runs each query N times (per-rep lines), separating
+  * cold JVM/codegen cost from warm query cost.
   */
 object QueryRun {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val flags = args.drop(1).filter(_.startsWith("-")).toSet
     val names = args.drop(1).filterNot(_.startsWith("-"))
+    val reps = args.sliding(2).collectFirst { case Array("-reps", n) => n.toInt }.getOrElse(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.core.GraftSession.configure(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -19,13 +22,15 @@ object QueryRun {
     val qs = if (names.isEmpty) SparkEntry.registry
              else SparkEntry.registry.filter(q => names.contains(q.name))
     qs.foreach { q =>
-      val t0 = System.nanoTime()
-      val df = q.fn(spark, sfDir)
-      val n = df.count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[queryrun] ${q.name}%-28s rows=$n%-8d ${sec}%.2fs")
-      if (flags("-show")) df.show(20, truncate = false)
-      if (flags("-explain")) df.explain("formatted")
+      (1 to reps).foreach { rep =>
+        val t0 = System.nanoTime()
+        val df = q.fn(spark, sfDir)
+        val n = df.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[queryrun] ${q.name}%-28s rep=$rep rows=$n%-8d ${sec}%.2fs")
+        if (rep == reps && flags("-show")) df.show(20, truncate = false)
+        if (rep == reps && flags("-explain")) df.explain("formatted")
+      }
     }
     spark.stop()
   }

@@ -186,20 +186,32 @@ object Dedup {
     // orders of magnitude smaller than the corpus, so verification never
     // scans non-candidate text. Sets are 64-bit shingle hashes (same
     // Jaccard under uniform hashing; collision probability negligible),
-    // built via the string-free Generate path. The set frame feeds two
-    // joins (id1 side, id2 side) — both branches share one canonical
-    // subplan, so ReuseExchange computes the heavy scan+aggregate shuffle
-    // once; no persist, no cache-lifetime leak (the round-3 form persisted
-    // here and never unpersisted — one leaked executor copy per call).
-    val ids = pairs.select(col("id1").as(idCol))
-      .union(pairs.select(col("id2").as(idCol)))
-    val sets = shingleHashRows(docs.join(ids, Seq(idCol), "left_semi"),
+    // built via the string-free Generate path.
+    //
+    // The set frame is referenced ONCE by construction: pairs unpivot to
+    // (id1, id2, side-id) rows, sets join in with a single equi-join, and
+    // the pair reassembles by groupBy. The earlier two-join form (one join
+    // per pair side) relied on ReuseExchange to dedup the heavy
+    // scan+explode+aggregate subplan — which proved nondeterministic under
+    // AQE (measured bimodal 1 s / 8 s at sf0.1); this shape cannot compute
+    // sets twice, and the extra shuffle moves only candidate-pair rows.
+    // (The round-3 form instead persisted `sets` and never unpersisted —
+    // one leaked executor copy per call.)
+    val sides = pairs.select(col("id1"), col("id2"),
+      explode(array(col("id1"), col("id2"))).as("_jid"))
+    val sets = shingleHashRows(
+        docs.join(sides.select(col("_jid").as(idCol)), Seq(idCol), "left_semi"),
         idCol, textCol, shingleLen)
       .groupBy(col("_id").as("_jid"))
       .agg(collect_set(col("_sh")).as("_set"))
-    pairs
-      .join(sets.withColumnRenamed("_jid", "id1").withColumnRenamed("_set", "_set1"), "id1")
-      .join(sets.withColumnRenamed("_jid", "id2").withColumnRenamed("_set", "_set2"), "id2")
+    sides.join(sets, "_jid")
+      .groupBy("id1", "id2")
+      .agg(
+        first(when(col("_jid") === col("id1"), col("_set")), ignoreNulls = true).as("_set1"),
+        first(when(col("_jid") === col("id2"), col("_set")), ignoreNulls = true).as("_set2"))
+      // a pair whose doc is absent from `docs` drops, like the inner joins
+      // of the two-join form
+      .filter(col("_set1").isNotNull && col("_set2").isNotNull)
       .withColumn("jaccard",
         size(array_intersect(col("_set1"), col("_set2"))).cast("double") /
           size(array_union(col("_set1"), col("_set2"))))
