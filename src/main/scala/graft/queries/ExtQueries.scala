@@ -63,6 +63,24 @@ object ExtQueries {
       cached
     })
 
+  /** Stored LSH signature index, written once per (session, sf dir) as a
+    * (_band, _sig)-bucketed table — the write side of the index lifecycle
+    * `x_cosine_near_dup_lsh_stored` probes. Returns the table name.
+    */
+  private val lshIdxCache = scala.collection.concurrent.TrieMap[
+    (org.apache.spark.sql.SparkSession, String), String]()
+
+  private def lshIndexTableFor(s: org.apache.spark.sql.SparkSession, d: String,
+                               dim: Int): String =
+    lshIdxCache.getOrElseUpdate((s, d), {
+      lshIdxCache.keys.filter(_._1 ne s).foreach(lshIdxCache.remove) // drop stale sessions
+      val table = "graft_lsh_sig_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val sigs = Similarity.bandedSignatureRows(
+        Tables.embeddings(s, d), "vec_id", "embedding", dim, bitsPerBand = 8)
+      graft.core.Layout.writeBucketed(sigs, table, buckets = 8, "_band", "_sig")
+      table
+    })
+
   val all: Seq[Q] = Seq(
 
     // Exact dedup via content-hash groupBy (shuffles 8-byte hashes, not text).
@@ -238,6 +256,25 @@ object ExtQueries {
           minCos = 0.5, bitsPerBand = 8)
         .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
         .orderBy("id1", "id2"),
+      None),
+
+    // The stored-index leg of the same pipeline: the banded signature
+    // index is WRITTEN once per (session, sf) as a parquet table bucketed
+    // by its join key (_band, _sig) — Layout.writeBucketed — and the
+    // near-dup query verifies from the RELOADED table via `sigRows`, never
+    // recomputing a signature (plan asserted in SimilaritySpec). This is
+    // the 100 TB lifecycle: pay the signature scan once at index-build
+    // time, amortize over every later near-dup run. Rows-only (same
+    // hash-derived candidates as the inline leg; parity pinned in tests).
+    Q("x_cosine_near_dup_lsh_stored",
+      (s, d) => {
+        val dim = queryVec(s, d).length
+        val table = lshIndexTableFor(s, d, dim)
+        Similarity.cosineNearDupLsh(Tables.embeddings(s, d), "vec_id", "embedding",
+            dim = dim, minCos = 0.5, bitsPerBand = 8, sigRows = Some(s.table(table)))
+          .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
+          .orderBy("id1", "id2")
+      },
       None),
 
     // IVF index build: KMeans coarse quantizer fit + cell assignment,
