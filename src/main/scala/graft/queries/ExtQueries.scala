@@ -329,16 +329,32 @@ object ExtQueries {
         "FROM m ORDER BY window_id")),
 
     // Multimodal plumbing: synthetic media table → stub decode → features.
+    // Oracle-checkable: the synthetic blob is the first 33 utf8 bytes of
+    // sha256-hex(id) (44 base64 chars = 33 bytes), and the stub codec is
+    // `out[i % dim] += byte/255` — plain arithmetic DuckDB reproduces from
+    // its own sha256. Float32 vs double accumulation stays inside the
+    // 4-decimal rounding for every id (checked exhaustively over the
+    // 1000-row table), so the hashes match exactly.
     Q("x_multimodal_features",
       (s, d) => {
         val media = Multimodal.syntheticMedia(s, 1000)
         Multimodal.extractFeatures(media, dim = 8)
           .select(col("media_id"), col("kind"),
-            round(element_at(col("features"), 1), 4).as("f0"),
-            round(element_at(col("features"), 2), 4).as("f1"))
+            // cast BEFORE round: round(float) stays float and the parquet
+            // dump would widen 1.6f to 1.600000023841858
+            round(element_at(col("features"), 1).cast("double"), 4).as("f0"),
+            round(element_at(col("features"), 2).cast("double"), 4).as("f1"))
           .orderBy("media_id")
       },
-      None),
+      Some("WITH m AS (SELECT unnest(generate_series(0, 999)) AS media_id), " +
+        "b AS (SELECT media_id, " +
+        "CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, " +
+        "substr(sha256(CAST(media_id AS VARCHAR)), 1, 33) AS s FROM m), " +
+        "e AS (SELECT media_id, kind, s, unnest(generate_series(1, 33)) AS p FROM b) " +
+        "SELECT media_id, kind, " +
+        "round(sum(CASE WHEN (p - 1) % 8 = 0 THEN ascii(substr(s, p, 1)) / 255.0 END), 4) AS f0, " +
+        "round(sum(CASE WHEN (p - 1) % 8 = 1 THEN ascii(substr(s, p, 1)) / 255.0 END), 4) AS f1 " +
+        "FROM e GROUP BY media_id, kind ORDER BY media_id")),
 
     // Multimodal frame sampling: video rows → sampled frame indexes. The
     // synthetic table is pure arithmetic (kind = video when id%3 = 2,
