@@ -136,38 +136,43 @@ object Eval {
   def anomalyStart(mse: DataFrame, periodCol: String, mseCol: String,
                    validationFrac: Double = 0.1, k: Double = 4.0,
                    rollingWidth: Int = 3, groupCols: Seq[String] = Nil): DataFrame = {
+    // The reference slices and smooths POSITIONALLY (first 10% of rows,
+    // rolling over w preceding rows) — on arrays, position and period id
+    // coincide. Here the period column may be sparse (filtered series,
+    // empty periods), so a dense 0..n-1 position is derived first and
+    // every positional step (validation slice, chunked rolling min) runs
+    // on it; the reported anomaly_start stays the original period value.
+    // Ungrouped: two-phase bucketed rank (scale-safe, no global window) +
+    // chunk+halo rolling min, which REQUIRES the dense index — chunk heads
+    // of a sparse series would lack halo rows and silently null the min.
+    // Grouped: per-group row_number (parallel by key).
+    val positioned =
+      if (groupCols.isEmpty)
+        graft.window.Windows.rangeBucketedCumSum(
+            mse.withColumn("_one", lit(1L)), periodCol, Seq("_one"))
+          .withColumn("_pos", (col("_one_cum") - 1).cast("long"))
+          .drop("_one", "_one_cum")
+      else mse.withColumn("_pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(groupCols.map(col): _*).orderBy(col(periodCol))) - 1)
     val np =
-      if (groupCols.isEmpty) mse.agg(count(lit(1)).as("_np"))
-      else mse.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("_np"))
+      if (groupCols.isEmpty) positioned.agg(count(lit(1)).as("_np"))
+      else positioned.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("_np"))
     val withNp =
-      if (groupCols.isEmpty) mse.crossJoin(broadcast(np))
-      else mse.join(broadcast(np), groupCols)
-    val validation = withNp.filter(col(periodCol) < floor(col("_np") * validationFrac))
+      if (groupCols.isEmpty) positioned.crossJoin(broadcast(np))
+      else positioned.join(broadcast(np), groupCols)
+    val validation = withNp.filter(col("_pos") < floor(col("_np") * validationFrac))
     val thr =
       if (groupCols.isEmpty)
         validation.agg((avg(col(mseCol)) + lit(k) * stddev_samp(col(mseCol))).as("_thr"))
       else validation.groupBy(groupCols.map(col): _*)
         .agg((avg(col(mseCol)) + lit(k) * stddev_samp(col(mseCol))).as("_thr"))
-    // Ungrouped series → chunk+halo rolling min (no global single-task
-    // window even when the period table itself is large); per-group series
-    // parallelize by the group key. The chunked form requires a DENSE
-    // 0..n-1 index — a filtered/sparse period series would leave chunk
-    // heads without halo rows and silently null the rolling min — so the
-    // position is first densified with the two-phase bucketed rank (rank
-    // over period order; itself scale-safe, no global window). This also
-    // matches the rolling semantics: the frame is the w preceding ROWS of
-    // the series, not the w preceding period VALUES.
     val smoothed =
-      if (groupCols.isEmpty) {
-        val dense = graft.window.Windows.rangeBucketedCumSum(
-            mse.withColumn("_one", lit(1L)), periodCol, Seq("_one"))
-          .withColumn("_pos", (col("_one_cum") - 1).cast("long"))
-          .drop("_one", "_one_cum")
-        graft.window.Windows.rollingMinChunked(dense, "_pos", mseCol, rollingWidth,
+      if (groupCols.isEmpty)
+        graft.window.Windows.rollingMinChunked(positioned, "_pos", mseCol, rollingWidth,
           chunkSize = 100000L, out = "_rmin")
-          .drop("_pos")
-      } else graft.window.Windows.rollingMin(
-        mse, periodCol, mseCol, rollingWidth, groupCols, out = "_rmin")
+      else graft.window.Windows.rollingMin(
+        positioned, "_pos", mseCol, rollingWidth, groupCols, out = "_rmin")
     // LEFT join: a group whose validation slice is empty (fewer than
     // 1/validationFrac periods) must still appear — with a null threshold
     // and the 0 sentinel (the reference yields NaN + no alarm), not vanish.

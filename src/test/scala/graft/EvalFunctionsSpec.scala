@@ -95,6 +95,19 @@ class EvalFunctionsSpec extends SparkSpec {
     assert(math.abs(thr - (2.0 + 4 * math.sqrt(2.0))) < 1e-12)
   }
 
+  test("anomalyStart: sparse period ids detect positionally (chunk-gap regression)") {
+    // Period VALUES 60000 apart span many 100k rolling chunks with < width
+    // rows each — before densification, every chunk head lacked halo rows,
+    // the rolling min was null everywhere, and the anomaly was silently
+    // missed (0 sentinel). Positional semantics: validation = first 10% of
+    // ROWS, detection at the 3rd anomalous ROW, reported as its period.
+    val rows = (0 until 200).map(i => (i.toLong * 60000L, if (i >= 160) 100.0 else 1.0))
+    val df = rows.toDF("period", "mse")
+    val res = Eval.anomalyStart(df, "period", "mse").collect().head
+    assert(res.getDouble(0) == 1.0, s"threshold=${res.getDouble(0)}")
+    assert(res.getLong(1) == 162L * 60000L, s"anomaly_start=${res.getLong(1)}")
+  }
+
   test("M3: FFT magnitude matches direct DFT on power-of-two input") {
     val x = Array.tabulate(64)(i => math.sin(2 * math.Pi * 5 * i / 64.0) + 0.3)
     val fft = FftMagnitude.magnitudes(x)
