@@ -100,6 +100,31 @@ class SimilaritySpec extends SparkSpec {
       s"missed=${(inline -- stored).take(5)} spurious=${(stored -- inline).take(5)}")
   }
 
+  test("IVF index lifecycle: cell-partitioned table + saved model, probe prunes partitions") {
+    // The FAISS write-once shape at rest: the assigned table is
+    // PARTITIONED by ivf_cell (one directory per cell — a probe reads only
+    // its nprobe cells' directories), the coarse quantizer persists via
+    // the MLlib writer, and a later session's probe matches the in-memory
+    // probe exactly with the cell filter applied as a PARTITION filter
+    // (directory pruning), never a per-row scan filter.
+    val (assigned, km) = Similarity.ivfIndex(fixture, "embedding", nlist = 4)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString + "/idx"
+    assigned.write.mode("overwrite").partitionBy("ivf_cell").parquet(idxDir)
+    val modelDir = java.nio.file.Files.createTempDirectory("graft_ivf_km").toString + "/model"
+    km.write.overwrite().save(modelDir)
+    val km2 = org.apache.spark.ml.clustering.KMeansModel.load(modelDir)
+    val fromStore = Similarity.ivfTopK(spark.read.parquet(idxDir), km2,
+      "vec_id", "embedding", queryVec, nprobe = 2, k = 10)
+    val plan = fromStore.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [ivf_cell"),
+      s"cell filter did not reach the scan as a partition filter:\n${plan.take(1200)}")
+    val stored = fromStore.select("vec_id").as[Long].collect().toSeq
+    val inMem = Similarity.ivfTopK(assigned, km, "vec_id", "embedding", queryVec,
+        nprobe = 2, k = 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(stored == inMem, s"stored=$stored inMem=$inMem")
+  }
+
   test("CosineSim kernel: parity with the HOF form, null/mismatch semantics, SQL surface") {
     val df = Seq(
       (1L, Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)),
