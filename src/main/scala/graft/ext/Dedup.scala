@@ -174,6 +174,67 @@ object Dedup {
       .distinct()
   }
 
+  /** Transitive duplicate clusters: connected components over verified
+    * near-dup pairs, labeling every member with the MINIMUM id reachable
+    * in its component — the step that turns pairwise candidates into "keep
+    * one survivor per duplicate cluster" (keep = the row whose id equals
+    * its cluster label).
+    *
+    * Iterative min-label propagation WITH pointer doubling: each round a
+    * node takes the min of (its label, its neighbors' labels, its label's
+    * label). Neighbor-min alone converges in diameter(component) rounds —
+    * a long chain silently exceeds any fixed cap; the label-of-label jump
+    * halves the remaining distance per round, so convergence is
+    * O(log diameter) and `maxIter` = 20 covers any component that fits in
+    * storage. Non-convergence throws rather than returning wrong labels.
+    *
+    * Each round's labels are `localCheckpoint`ed — an iterative plan that
+    * is merely persisted keeps its full lineage, and the label tree grows
+    * ~3× per round until ANALYSIS of round k's plan exhausts the driver
+    * heap (observed at 351 edges!); checkpointing truncates the plan to
+    * the materialized rows, and superseded rounds' blocks are reclaimed
+    * by the ContextCleaner once unreferenced (two live rounds at a time).
+    *
+    * The RETURNED frame (id, cluster) is checkpoint-backed; the registry
+    * memoizes one per session/sf.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("b"), col("cluster")), "b")
+        .groupBy(col("a").as("id")).agg(min(col("cluster")).as("_nmin"))
+      val stepped = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("_nmin"), col("cluster"))).as("cluster"))
+      // pointer doubling: follow the current label to ITS label
+      val next = stepped
+        .join(stepped.select(col("id").as("cluster"), col("cluster").as("_pl")),
+          Seq("cluster"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("_pl"), col("cluster"))).as("cluster"))
+        .localCheckpoint(true) // eager: materializes AND truncates lineage
+      val changed = next
+        .join(labels.select(col("id"), col("cluster").as("_old")), "id")
+        .filter(col("cluster") =!= col("_old"))
+        .count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    require(converged, s"duplicateClusters did not converge in $maxIter rounds")
+    labels
+  }
+
   /** Exact n-gram Jaccard similarity for given pairs — the verification
     * stage after LSH candidate generation. `pairs` has (id1, id2);
     * shingle sets are joined in (broadcast when small, shuffle otherwise)

@@ -63,6 +63,22 @@ object ExtQueries {
       cached
     })
 
+  /** Duplicate-cluster memo, one per (session, sf dir): connected
+    * components over the exact cosine near-dup pairs. The returned frame
+    * is the checkpoint-backed label table from
+    * [[Dedup.duplicateClusters]]; memoizing bounds it to one per
+    * session/sf.
+    */
+  private val clusterCache = scala.collection.concurrent.TrieMap[
+    (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]()
+
+  private def clustersFor(s: org.apache.spark.sql.SparkSession, d: String) =
+    clusterCache.getOrElseUpdate((s, d), {
+      clusterCache.keys.filter(_._1 ne s).foreach(clusterCache.remove) // drop stale sessions
+      Dedup.duplicateClusters(Similarity.cosineNearDuplicates(
+        Tables.embeddings(s, d).filter(col("vec_id") < 300), "vec_id", "embedding", 0.3))
+    })
+
   /** Stored LSH signature index, written once per (session, sf dir) as a
     * (_band, _sig)-bucketed table — the write side of the index lifecycle
     * `x_cosine_near_dup_lsh_stored` probes. Returns the table name.
@@ -171,6 +187,29 @@ object ExtQueries {
         "sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS ny FROM d GROUP BY id1, id2) " +
         "SELECT id1, id2, round(dt / (sqrt(nx) * sqrt(ny)), 6) AS cos FROM sm " +
         "WHERE dt / (sqrt(nx) * sqrt(ny)) > 0.3 ORDER BY id1, id2")),
+
+    // Transitive dedup clustering: connected components over the verified
+    // near-dup pairs — every member labeled with its component's minimum
+    // id ("keep one survivor per duplicate CLUSTER", the step after
+    // pairwise verification). Oracle = recursive-CTE reachability closure
+    // over the same exact-cosine pairs.
+    Q("x_dedup_clusters",
+      (s, d) => clustersFor(s, d)
+        .select(col("id").as("vec_id"), col("cluster"))
+        .orderBy("vec_id"),
+      Some("WITH RECURSIVE " +
+        "d AS (SELECT a.vec_id AS id1, b.vec_id AS id2, unnest(a.embedding) AS x, " +
+        "unnest(b.embedding) AS y FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+        "WHERE a.vec_id < 300 AND b.vec_id < 300), " +
+        "sm AS (SELECT id1, id2, sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dt, " +
+        "sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nx, " +
+        "sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS ny FROM d GROUP BY id1, id2), " +
+        "p AS (SELECT id1, id2 FROM sm WHERE dt / (sqrt(nx) * sqrt(ny)) > 0.3), " +
+        "e AS (SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p), " +
+        "r AS (SELECT a AS id, a AS lab FROM e " +
+        "UNION SELECT e.a, r.lab FROM e JOIN r ON r.id = e.b) " +
+        "SELECT id AS vec_id, CAST(min(lab) AS BIGINT) AS cluster FROM r " +
+        "GROUP BY id ORDER BY vec_id")),
 
     // A5 — elementwise mean of vectors per group (the FedAvg aggregation
     // shape, demonstrated on the embeddings table; first 8 dims).

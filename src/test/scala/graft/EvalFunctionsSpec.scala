@@ -144,6 +144,14 @@ class EvalFunctionsSpec extends SparkSpec {
     assert(verified > 0.5)
   }
 
+  test("ext: duplicateClusters labels every member with its component minimum") {
+    // chain 1-2-3 (diameter 2), pair 5-6, plus 9-1 joining the chain late
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (1L, 9L)).toDF("id1", "id2")
+    val got = graft.ext.Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("ext: per-row hashed signature bands reproduce the batch candidate set") {
     // The streaming path computes signatures per-row; a self-join over its
     // band keys must find EXACTLY the pairs minhashCandidates finds.
