@@ -188,6 +188,24 @@ object ExtQueries {
         "SELECT id1, id2, round(dt / (sqrt(nx) * sqrt(ny)), 6) AS cos FROM sm " +
         "WHERE dt / (sqrt(nx) * sqrt(ny)) > 0.3 ORDER BY id1, id2")),
 
+    // Gap-based sessionization over the event stream: running count of
+    // gaps > 600 s splits the stream into episodes; output = per-session
+    // size + start id. Composes the scale decompositions (chunk+halo lag,
+    // two-phase cumsum) — no global window in the plan.
+    Q("x_sessionize",
+      (s, d) => graft.window.Windows.sessionize(
+          Tables.events(s, d), "event_id", "ts_sec", gap = 600)
+        .groupBy("session")
+        .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("start_id"))
+        .orderBy("session"),
+      Some("WITH t AS (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events), " +
+        "g AS (SELECT event_id, CASE WHEN ts_sec - lag(ts_sec) OVER (ORDER BY event_id) > 600 " +
+        "THEN 1 ELSE 0 END AS nw FROM t), " +
+        "s AS (SELECT event_id, sum(nw) OVER (ORDER BY event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session FROM g) " +
+        "SELECT CAST(session AS BIGINT) AS session, CAST(count(*) AS BIGINT) AS n_events, " +
+        "min(event_id) AS start_id FROM s GROUP BY session ORDER BY session")),
+
     // Transitive dedup clustering: connected components over the verified
     // near-dup pairs — every member labeled with its component's minimum
     // id ("keep one survivor per duplicate CLUSTER", the step after

@@ -278,6 +278,36 @@ object Windows {
       .drop("_tgt")
   }
 
+  /** Gap-based sessionization: a new session starts where the time since
+    * the previous event exceeds `gap` (first event = session 0). The
+    * training-data/event-pipeline op for splitting a stream into episodes.
+    *
+    * Ungrouped: composes the scale decompositions — chunk+halo lag for
+    * the previous timestamp, two-phase bucketed cumsum for the running
+    * session id; no global single-task window anywhere, requires the
+    * dense positional `idxCol` like every positional operator here.
+    * Grouped (per user/sensor): one partitioned window, parallel by key.
+    */
+  def sessionize(df: DataFrame, idxCol: String, tsCol: String, gap: Long,
+                 partCols: Seq[String] = Nil, out: String = "session",
+                 chunkSize: Long = 100000L): DataFrame =
+    if (partCols.isEmpty) {
+      // lagShiftChunked coalesces the head row's prev to its own ts →
+      // gap 0 → flag 0 → sessions start at 0
+      val flagged = lagShiftChunked(df, idxCol, tsCol, 1, chunkSize, out = "_prev")
+        .withColumn("_new", when(col(tsCol) - col("_prev") > gap, 1L).otherwise(0L))
+      scalableCumSum(flagged, idxCol, "_new", bucketSize = chunkSize, out = out)
+        .withColumn(out, col(out).cast("long"))
+        .drop("_prev", "_new")
+    } else {
+      val w = Window.partitionBy(partCols.map(col): _*).orderBy(col(idxCol))
+      df.withColumn("_prev", lag(col(tsCol), 1).over(w))
+        .withColumn("_new", when(col(tsCol) - col("_prev") > gap, 1L).otherwise(0L))
+        .withColumn(out,
+          sum(col("_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+        .drop("_prev", "_new")
+    }
+
   /** Two-phase cumulative sums over a DOUBLE ordering key (no dense
     * integer index to `DIV` on — the [[scalableCumSum]] situation for
     * score-ordered sweeps like ROC). Keys are ranged into `numBuckets`

@@ -138,6 +138,22 @@ class WindowsSpec extends SparkSpec {
     }
   }
 
+  test("sessionize: gap threshold splits the stream; grouped and chunked forms agree") {
+    // ts: 0,10,20 | 700,710 | 1400 → 3 sessions at gap=600
+    val ts = Seq(0L, 10L, 20L, 700L, 710L, 1400L)
+    val df = ts.zipWithIndex.map { case (t, i) => (i.toLong, t, "k") }
+      .toDF("idx", "ts", "g")
+    val expect = Seq(0L, 0L, 0L, 1L, 1L, 2L)
+    for (chunk <- Seq(2L, 4L, 100000L)) { // incl. chunk edges mid-session
+      val got = Windows.sessionize(df, "idx", "ts", gap = 600, chunkSize = chunk)
+        .orderBy("idx").select("session").as[Long].collect().toSeq
+      assert(got == expect, s"chunkSize=$chunk got=$got")
+    }
+    val grouped = Windows.sessionize(df, "idx", "ts", gap = 600, partCols = Seq("g"))
+      .orderBy("idx").select("session").as[Long].collect().toSeq
+    assert(grouped == expect, s"grouped=$grouped")
+  }
+
   test("chunked windows: no unpartitioned data window in the plan") {
     val df = series(100)
     assert(globalDataWindows(Windows.temporalizeChunked(df, "idx", "v", 7, 20L)).isEmpty)
