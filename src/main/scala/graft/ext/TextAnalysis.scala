@@ -43,6 +43,25 @@ object TextAnalysis {
         size(filter(toks, t => t.isin(Stopwords: _*))).cast("double") / nTok)
   }
 
+  /** Quality FILTER: the decision step over [[qualitySignals]] — C4/Gopher
+    * rule shape: drop too-short documents, implausibly long average
+    * tokens, punctuation-heavy text, and text with no stopword mass
+    * (gibberish/non-prose). `reason` is the FIRST failing rule in fixed
+    * order (null = kept), so drops are attributable; `keep` is its null
+    * check. Pure narrow expressions on top of the signal pass — still one
+    * scan, no shuffle.
+    */
+  def qualityFilter(df: DataFrame, textCol: String,
+                    minTokens: Int = 20, maxMeanTokenLen: Double = 6.0,
+                    maxPunctRatio: Double = 0.1, minStopwordRatio: Double = 0.05): DataFrame =
+    qualitySignals(df, textCol)
+      .withColumn("reason",
+        when(col("n_tokens") < minTokens, "short")
+          .when(col("mean_token_len") > maxMeanTokenLen, "long_tokens")
+          .when(col("punct_ratio") > maxPunctRatio, "punct")
+          .when(col("stopword_ratio") < minStopwordRatio, "low_stopword"))
+      .withColumn("keep", col("reason").isNull)
+
   /** Language-ID by marker-token voting: count hits against small per-
     * language lexicons, argmax with deterministic tie-break on language
     * code order. (An n-gram heuristic in the fastText spirit; lexicons are

@@ -131,6 +131,25 @@ object ExtQueries {
         "round(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on','for'))) / " +
         "CAST(len(toks) AS DOUBLE), 6) AS stopword_ratio FROM t ORDER BY doc_id")),
 
+    // Quality FILTER decision over the signals: keep flag + first failing
+    // rule per document (~60/40 keep/drop split on this corpus, so both
+    // branches are exercised at every checked sf).
+    Q("x_quality_filter",
+      (s, d) => TextAnalysis.qualityFilter(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("keep"), col("reason"))
+        .orderBy("doc_id"),
+      Some("WITH t AS (SELECT doc_id, text, string_split_regex(text, ' +') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, len(toks) AS n_tokens, " +
+        "(length(text) - len(toks) + 1) / CAST(len(toks) AS DOUBLE) AS mtl, " +
+        "(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))) / " +
+        "CAST(length(text) AS DOUBLE) AS punct, " +
+        "len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on','for'))) / " +
+        "CAST(len(toks) AS DOUBLE) AS stop FROM t), " +
+        "f AS (SELECT doc_id, CASE WHEN n_tokens < 20 THEN 'short' " +
+        "WHEN mtl > 6.0 THEN 'long_tokens' WHEN punct > 0.1 THEN 'punct' " +
+        "WHEN stop < 0.05 THEN 'low_stopword' END AS reason FROM s) " +
+        "SELECT doc_id, reason IS NULL AS keep, reason FROM f ORDER BY doc_id")),
+
     // Language ID by marker-lexicon voting; output = confusion counts
     // against the table's labeled lang.
     Q("x_lang_id",
