@@ -100,6 +100,20 @@ object TextAnalysis {
     df.withColumn(out, aggregate(tokens(col(textCol)), zero, merge, finish))
   }
 
+  /** Vocabulary building: corpus-wide token frequencies, top `k` by
+    * (count desc, token asc) — the seed step for tokenizer/BPE training.
+    * One explode + hash aggregate (map-side combined: the shuffle carries
+    * one (token, partial count) per distinct token per partition, not one
+    * row per token occurrence) + distributed TakeOrdered for the top-k —
+    * no full sort of the vocabulary.
+    */
+  def vocabulary(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), col("token"))
+      .limit(k)
+
   /** Document fingerprint: order-sensitive 64-bit rolling hash of the
     * whitespace tokens — a chained `xxhash64(acc, token)` fold (hash
     * chaining rather than `Σ h·31^k`: identical dedup-key semantics,

@@ -54,6 +54,25 @@ object Prep {
      tagged.filter(col(idxCol) >= col("_split")).drop("_split"))
   }
 
+  /** Deterministic hash split: assign each row to a named split by
+    * hashing its id into 10,000 buckets — the reproducible
+    * train/val/test assignment for unordered corpora (the ordered
+    * time-series case is [[sequentialSplit]]). `fracs` are cumulative-
+    * free (name → fraction, must sum to ≤ 1; remainder falls in the last
+    * split). Pure narrow expression — a row's split never depends on
+    * other rows, so it is stable under repartition, appends, and reruns.
+    */
+  def hashSplit(df: DataFrame, idCol: String, fracs: Seq[(String, Double)],
+                out: String = "split"): DataFrame = {
+    require(fracs.nonEmpty && fracs.map(_._2).sum <= 1.0 + 1e-9, "fractions must sum to <= 1")
+    val bucket = pmod(xxhash64(col(idCol)), lit(10000L))
+    val bounds = fracs.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val expr0 = fracs.zip(bounds).foldLeft(when(lit(false), "")) {
+      case (acc, ((name, _), hi)) => acc.when(bucket < math.round(hi * 10000), name)
+    }
+    df.withColumn(out, coalesce(expr0, lit(fracs.last._1)))
+  }
+
   /** P11 — z-score standardization. The reference fits scalers on three
     * different slices depending on call-site (full data, train slice, raw
     * file) — so the fit frame and the transform frame are explicit,

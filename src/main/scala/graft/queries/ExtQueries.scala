@@ -131,6 +131,23 @@ object ExtQueries {
         "round(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on','for'))) / " +
         "CAST(len(toks) AS DOUBLE), 6) AS stopword_ratio FROM t ORDER BY doc_id")),
 
+    // Vocabulary building: corpus-wide token top-k by (freq desc, token) —
+    // map-side-combined aggregate + distributed TakeOrdered.
+    Q("x_vocab_topk",
+      (s, d) => TextAnalysis.vocabulary(Tables.documents(s, d), "text", 100),
+      Some("WITH tok AS (SELECT unnest(string_split_regex(text, ' +')) AS token FROM documents) " +
+        "SELECT token, CAST(count(*) AS BIGINT) AS freq FROM tok WHERE length(token) > 0 " +
+        "GROUP BY token ORDER BY freq DESC, token LIMIT 100")),
+
+    // Deterministic hash split (train/val/test by id hash) — engine-hash
+    // dependent: rows-only; proportions/stability pinned in PrepSpec.
+    Q("x_hash_split",
+      (s, d) => graft.prep.Prep.hashSplit(Tables.documents(s, d), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split").agg(count(lit(1)).as("n"))
+        .orderBy("split"),
+      None),
+
     // Quality FILTER decision over the signals: keep flag + first failing
     // rule per document (~60/40 keep/drop split on this corpus, so both
     // branches are exercised at every checked sf).

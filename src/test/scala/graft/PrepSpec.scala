@@ -79,6 +79,22 @@ class PrepSpec extends SparkSpec {
     assert(graft.eval.Eval.rangesToIndexes(df, col("a"), col("b"), 100).count() == 0)
   }
 
+  test("hashSplit: deterministic, exhaustive, roughly proportional, append-stable") {
+    val df = (0L until 2000L).toDF("id")
+    val fracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = Prep.hashSplit(df, "id", fracs).as[(Long, String)].collect().toMap
+    val b = Prep.hashSplit(df, "id", fracs).as[(Long, String)].collect().toMap
+    assert(a == b) // reproducible
+    val counts = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > 1500 && counts("train") < 1700, s"counts=$counts")
+    assert(counts("val") > 120 && counts("val") < 280, s"counts=$counts")
+    // a row's split does not depend on what else is in the frame
+    val subset = Prep.hashSplit(df.filter(col("id") < 100), "id", fracs)
+      .as[(Long, String)].collect().toMap
+    assert(subset.forall { case (id, s) => a(id) == s })
+  }
+
   test("P4: multi-format timestamp parse falls back per row") {
     val df = Seq("2024-01-02 03:04:05", "02/01/2024 03:04:05", "garbage").toDF("s")
     val out = df.select(Prep.parseTimestampMulti(col("s"),
