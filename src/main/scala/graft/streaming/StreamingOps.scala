@@ -52,6 +52,31 @@ object StreamingOps {
     periodMeans(stream, tsCol, valueCol, windowDuration, watermark)
       .withColumn("anomaly", col("mse") > threshold)
 
+  /** Sessionization-streaming: event-time session windows — a session
+    * closes after `gap` of silence, exactly the batch
+    * [[graft.window.Windows.sessionize]] semantics but assembled
+    * incrementally as events arrive. Uses Spark's NATIVE `session_window`
+    * (dynamic-gap merging state under the hood) rather than hand-rolled
+    * `mapGroupsWithState`: the built-in merges overlapping/late events
+    * within the watermark and expires state automatically. Output one row
+    * per closed session: start/end, event count, value mean.
+    *
+    * `keyCols` must be NON-EMPTY on a streaming frame (sessions are
+    * per-entity — user, sensor, client; Spark rejects a global streaming
+    * session aggregation outright). Batch frames may pass none.
+    */
+  def sessionWindows(stream: DataFrame, tsCol: String, valueCol: String,
+                     gap: String, watermark: String,
+                     keyCols: Seq[String] = Nil): DataFrame = {
+    val keys = session_window(col(tsCol), gap) +: keyCols.map(col)
+    stream.withWatermark(tsCol, watermark)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_events"), avg(col(valueCol)).as("mean_v"))
+      .select(col("session_window.start").as("session_start") +:
+        col("session_window.end").as("session_end") +:
+        (keyCols.map(col) :+ col("n_events") :+ col("mean_v")): _*)
+  }
+
   /** Exact-dedup streaming (the training-data-pipeline dedup at ingest
     * time): drop any document whose content hash was already seen within
     * the watermark horizon. State holds ONE 8-byte hash per distinct

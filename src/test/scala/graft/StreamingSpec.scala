@@ -57,6 +57,36 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming sessionize: native session windows close after the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "user", "v")
+    val out = StreamingOps.sessionWindows(df, "ts", "v",
+      gap = "10 seconds", watermark = "5 seconds", keyCols = Seq("user"))
+    val query = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:${s / 60}%02d:${s % 60}%02d")
+      // u1 session 1: events at 1,5,8 (gaps < 10s); u1 session 2: 30,35
+      input.addData(Seq((ts(1), "u1", 1.0), (ts(5), "u1", 2.0), (ts(8), "u1", 3.0),
+        (ts(30), "u1", 10.0)))
+      query.processAllAvailable()
+      input.addData(Seq((ts(35), "u1", 20.0)))
+      query.processAllAvailable()
+      // push the watermark far past both sessions so they emit
+      input.addData(Seq((ts(300), "u2", 0.0)))
+      query.processAllAvailable()
+      input.addData(Seq((ts(600), "u2", 0.0)))
+      query.processAllAvailable()
+      val rows = spark.table("sess_out").filter(col("user") === "u1")
+        .select("session_start", "n_events", "mean_v")
+        .as[(java.sql.Timestamp, Long, Double)].collect().sortBy(_._1.getTime)
+      assert(rows.length == 2, s"sessions=${rows.toSeq}")
+      assert(rows(0)._1 == ts(1) && rows(0)._2 == 3L && rows(0)._3 == 2.0, s"${rows(0)}")
+      assert(rows(1)._1 == ts(30) && rows(1)._2 == 2L && rows(1)._3 == 15.0, s"${rows(1)}")
+    } finally query.stop()
+  }
+
   test("streaming minhash: cross-batch candidate pairs equal the batch LSH candidate set") {
     implicit val sqlCtx = spark.sqlContext
     val base = "the quick brown fox jumps over the lazy dog again and again"
