@@ -114,6 +114,18 @@ object TextAnalysis {
       .orderBy(desc("freq"), col("token"))
       .limit(k)
 
+  /** N-gram frequency top-k (n ≥ 2; n = 1 is [[vocabulary]]) — the
+    * language-model co-occurrence statistic. Reuses the word-shingle
+    * builder from the dedup family ([[Dedup.shingles]]); same
+    * explode → map-side-combined aggregate → TakeOrdered shape as
+    * [[vocabulary]].
+    */
+  def ngramCounts(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
+    df.select(explode(Dedup.shingles(col(textCol), n)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), col("ngram"))
+      .limit(k)
+
   /** Document fingerprint: order-sensitive 64-bit rolling hash of the
     * whitespace tokens — a chained `xxhash64(acc, token)` fold (hash
     * chaining rather than `Σ h·31^k`: identical dedup-key semantics,

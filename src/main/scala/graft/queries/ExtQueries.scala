@@ -139,6 +139,16 @@ object ExtQueries {
         "SELECT token, CAST(count(*) AS BIGINT) AS freq FROM tok WHERE length(token) > 0 " +
         "GROUP BY token ORDER BY freq DESC, token LIMIT 100")),
 
+    // Bigram top-k — LM co-occurrence stats, same aggregate shape as the
+    // vocabulary query over 2-token shingles.
+    Q("x_ngram_topk",
+      (s, d) => TextAnalysis.ngramCounts(Tables.documents(s, d), "text", n = 2, k = 100),
+      Some("WITH t AS (SELECT string_split_regex(text, ' +') AS toks FROM documents), " +
+        "e AS (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS p FROM t), " +
+        "g AS (SELECT array_to_string(toks[p:p+1], ' ') AS ngram FROM e) " +
+        "SELECT ngram, CAST(count(*) AS BIGINT) AS freq FROM g " +
+        "GROUP BY ngram ORDER BY freq DESC, ngram LIMIT 100")),
+
     // Deterministic hash split (train/val/test by id hash) — engine-hash
     // dependent: rows-only; proportions/stability pinned in PrepSpec.
     Q("x_hash_split",
