@@ -2,13 +2,15 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Window => LWindow}
 
-/** Dev tool: sweep every registry query for scale anti-patterns in its
-  * OPTIMIZED LOGICAL plan — unpartitioned Window nodes over data-sized
-  * frames (the bucket-ledger windows over `_b` aggregates are exempt:
-  * numBuckets rows by construction), and non-equi/cross joins where
-  * NEITHER side is provably ≤ 1 row (a broadcast scalar-aggregate cross
-  * join is the intended lazy-count pattern, not an all-pairs product).
-  * `runMain graft.ExplainAudit [sfDir] [-full]`.
+/** Sweep every registry query (and the builder plans behind memoized
+  * queries) for scale anti-patterns in its OPTIMIZED LOGICAL plan —
+  * unpartitioned Window nodes over data-sized frames (the bucket-ledger
+  * windows over `_b` aggregates are exempt: numBuckets rows by
+  * construction), and non-equi/cross joins where NEITHER side is provably
+  * ≤ 1 row (a broadcast scalar-aggregate cross join is the intended
+  * lazy-count pattern, not an all-pairs product). CI gate via
+  * ExplainAuditSpec; interactive: `runMain graft.ExplainAudit [sfDir]
+  * [-full]` (-full dumps each flagged plan's tree).
   */
 object ExplainAudit {
 
@@ -22,25 +24,34 @@ object ExplainAudit {
         case a: Aggregate if a.groupingExpressions.exists(_.references.exists(_.name == "_b")) => a
       }.isDefined
 
-  /** Queries whose flagged pattern is documented as intentional:
+  /** Plans whose flagged pattern is documented as intentional:
     * `x_cosine_near_dup` is the EXACT all-pairs verification anchor — its
     * non-equi self-join over a bounded id slice is the point of the query
-    * (candidate generation at scale is `x_cosine_near_dup_lsh`).
+    * (candidate generation at scale is `x_cosine_near_dup_lsh`) — and
+    * `memo:cluster_pairs` is the same shape feeding `x_dedup_clusters`.
     */
-  val exempt: Set[String] = Set("x_cosine_near_dup")
+  val exempt: Set[String] = Set("x_cosine_near_dup", "memo:cluster_pairs")
 
-  /** Sweep every registry query's optimized plan; returns
-    * (queryName, notes) for each query with an unexempted global window,
+  /** Sweep the optimized plan of every registry query AND of the
+    * unmaterialized builder plans behind the memoized queries (a memo
+    * returns a cache/checkpoint scan, which would hide its construction
+    * plan from the sweep — `ExtQueries.auditablePlans`). Returns
+    * (name, notes) for each plan with an unexempted global window,
     * non-equi/cross data-sized join, or plan-construction error.
     * Run by ExplainAuditSpec in CI so the scale posture can't silently
     * regress; `main` prints the same sweep for interactive use.
     */
-  def audit(spark: SparkSession, sfDir: String,
-            queries: Seq[graft.queries.Q] = SparkEntry.registry): Seq[(String, Seq[String])] =
-    queries.flatMap { q =>
+  def audit(spark: SparkSession, sfDir: String): Seq[(String, Seq[String], String)] = {
+    val targets: Seq[(String, () => org.apache.spark.sql.DataFrame)] =
+      SparkEntry.registry.map(q => (q.name, () => q.fn(spark, sfDir))) ++
+        graft.queries.ExtQueries.auditablePlans(spark, sfDir)
+          .map { case (n, df) => (n, () => df) }
+    targets.flatMap { case (name, mk) =>
+      var tree = ""
       val notes =
         try {
-          val lp = q.fn(spark, sfDir).queryExecution.optimizedPlan
+          val lp = mk().queryExecution.optimizedPlan
+          tree = lp.treeString
           val globalWindows = lp.collect {
             case w: LWindow if w.partitionSpec.isEmpty && !ledgerWindow(w) => w
           }
@@ -52,23 +63,27 @@ object ExplainAudit {
           globalWindows.map(w => s"GLOBAL-WINDOW order=${w.orderSpec.mkString(",").take(80)}") ++
             badJoins.map(j => s"NON-EQUI-JOIN ${j.joinType} cond=${j.condition.map(_.toString.take(90))}")
         } catch { case e: Throwable =>
-          Seq(s"PLAN-ERROR ${Option(e.getMessage).getOrElse(e.toString).linesIterator.next()}")
+          val msg = Option(e.getMessage).getOrElse(e.toString)
+          Seq(s"PLAN-ERROR ${msg.linesIterator.nextOption().getOrElse(e.getClass.getSimpleName)}")
         }
-      if (notes.nonEmpty) Some(q.name -> notes) else None
+      if (notes.nonEmpty) Some((name, notes, tree)) else None
     }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.filterNot(_.startsWith("-"))
       .getOrElse("/root/testdata/sf0.001")
+    val full = args.contains("-full")
     val spark = graft.core.GraftSession.configure(SparkSession.builder()
       .master("local[4]").config("spark.sql.shuffle.partitions", "4")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val flagged = audit(spark, sfDir)
-    flagged.foreach { case (name, notes) =>
+    flagged.foreach { case (name, notes, tree) =>
       println(s"[audit] $name:" + (if (exempt(name)) " (exempt)" else ""))
       notes.foreach(n => println(s"[audit]     $n"))
+      if (full) println(tree.take(4000))
     }
-    println(s"[audit] done: ${flagged.size} of ${SparkEntry.registry.size} queries flagged " +
+    println(s"[audit] done: ${flagged.size} plans flagged " +
       s"(${flagged.count(f => !exempt(f._1))} unexempted)")
     spark.stop()
   }

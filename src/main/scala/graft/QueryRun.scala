@@ -11,8 +11,12 @@ object QueryRun {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val flags = args.drop(1).filter(_.startsWith("-")).toSet
-    val names = args.drop(1).filterNot(_.startsWith("-"))
     val reps = args.sliding(2).collectFirst { case Array("-reps", n) => n.toInt }.getOrElse(1)
+    // the value after -reps is an option argument, not a query name
+    val repsIdx = args.indexOf("-reps")
+    val names = args.zipWithIndex.drop(1)
+      .filterNot { case (a, i) => a.startsWith("-") || i == repsIdx + 1 }
+      .map(_._1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.core.GraftSession.configure(SparkSession.builder()
       .master(s"local[$cpus]")

@@ -84,18 +84,37 @@ object ExtQueries {
     * `x_cosine_near_dup_lsh_stored` probes. Returns the table name.
     */
   private val lshIdxCache = scala.collection.concurrent.TrieMap[
-    (org.apache.spark.sql.SparkSession, String), String]()
+    (org.apache.spark.sql.SparkSession, String, Int), String]()
 
   private def lshIndexTableFor(s: org.apache.spark.sql.SparkSession, d: String,
                                dim: Int): String =
-    lshIdxCache.getOrElseUpdate((s, d), {
+    // dim is part of the key AND the name: an index built for one
+    // dimensionality must never serve a differently-dimensioned probe
+    lshIdxCache.getOrElseUpdate((s, d, dim), {
       lshIdxCache.keys.filter(_._1 ne s).foreach(lshIdxCache.remove) // drop stale sessions
-      val table = "graft_lsh_sig_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val table = s"graft_lsh_sig_${dim}_" + d.replaceAll("[^a-zA-Z0-9]", "_")
       val sigs = Similarity.bandedSignatureRows(
         Tables.embeddings(s, d), "vec_id", "embedding", dim, bitsPerBand = 8)
       graft.core.Layout.writeBucketed(sigs, table, buckets = 8, "_band", "_sig")
       table
     })
+
+  /** The UNMATERIALIZED plans behind the memoized queries, for the plan
+    * audit (ExplainAuditSpec): a memo returns a checkpoint/persisted
+    * frame whose audited plan is just a cache scan — a scale
+    * anti-pattern hidden behind a memo would otherwise evade the gate.
+    * `memo:cluster_pairs` is the exact all-pairs anchor feeding
+    * `x_dedup_clusters` (exempt, same documented shape as
+    * `x_cosine_near_dup`).
+    */
+  def auditablePlans(s: org.apache.spark.sql.SparkSession, d: String):
+      Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+    "memo:minhash_candidates" ->
+      Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text"),
+    "memo:lsh_signature_index" -> Similarity.bandedSignatureRows(
+      Tables.embeddings(s, d), "vec_id", "embedding", queryVec(s, d).length, bitsPerBand = 8),
+    "memo:cluster_pairs" -> Similarity.cosineNearDuplicates(
+      Tables.embeddings(s, d).filter(col("vec_id") < 300), "vec_id", "embedding", 0.3))
 
   val all: Seq[Q] = Seq(
 

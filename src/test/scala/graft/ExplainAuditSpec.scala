@@ -11,13 +11,15 @@ class ExplainAuditSpec extends SparkSpec {
 
   test("no registry query plan has an unexempted global window or non-equi join") {
     val flagged = ExplainAudit.audit(spark, "/root/testdata/sf0.001")
-    val bad = flagged.filterNot { case (name, _) => ExplainAudit.exempt(name) }
-    assert(bad.isEmpty, bad.map { case (n, notes) =>
+    val bad = flagged.filterNot { case (name, _, _) => ExplainAudit.exempt(name) }
+    assert(bad.isEmpty, bad.map { case (n, notes, _) =>
       s"$n:\n  ${notes.mkString("\n  ")}"
     }.mkString("scale anti-patterns found:\n", "\n", ""))
-    // the exemption list must not rot: every exempted name still exists
-    val names = SparkEntry.registry.map(_.name).toSet
-    assert(ExplainAudit.exempt.subsetOf(names),
-      s"stale exemptions: ${ExplainAudit.exempt -- names}")
+    // the exemption list must not rot: every exempted plan must STILL be
+    // flagged — an exemption whose plan went clean is a silent hole a
+    // future regression could hide behind
+    val flaggedNames = flagged.map(_._1).toSet
+    assert(ExplainAudit.exempt.subsetOf(flaggedNames),
+      s"stale exemptions (no longer flagged): ${ExplainAudit.exempt -- flaggedNames}")
   }
 }
