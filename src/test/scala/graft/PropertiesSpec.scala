@@ -72,6 +72,48 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: duplicateClusters equals a local union-find on random graphs") {
+    val gen = for {
+      n <- Gen.choose(5, 60)          // node id space
+      m <- Gen.choose(1, 80)          // edges (dups/self-loops filtered)
+      edges <- Gen.listOfN(m, Gen.zip(Gen.choose(0L, n.toLong), Gen.choose(0L, n.toLong)))
+    } yield edges.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }.distinct
+    cases(gen, 4).filter(_.nonEmpty).foreach { edges =>
+      // local union-find reference
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = parent.keys.map(k => k -> find(k)).toMap
+      val got = graft.ext.Dedup.duplicateClusters(edges.toDF("id1", "id2"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expect, s"edges=$edges")
+    }
+  }
+
+  test("property: sessionize session count = 1 + gaps over threshold") {
+    val gen = for {
+      n <- Gen.choose(5, 120)
+      gaps <- Gen.listOfN(n, Gen.choose(1L, 1000L))
+      thr <- Gen.choose(100L, 900L)
+    } yield (gaps, thr)
+    cases(gen, 4).foreach { case (gaps, thr) =>
+      val ts = gaps.scanLeft(0L)(_ + _)
+      val df = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("idx", "ts")
+      val sessions = Windows.sessionize(df, "idx", "ts", gap = thr, chunkSize = 16L)
+        .orderBy("idx").select("session").as[Long].collect()
+      assert(sessions.max + 1 == 1 + gaps.count(_ > thr), s"thr=$thr")
+      // session ids are 0-based, contiguous, non-decreasing in idx order
+      assert(sessions.head == 0L && sessions.distinct.length == sessions.max + 1)
+      sessions.sliding(2).foreach(p => assert(p.length < 2 || p(0) <= p(1)))
+    }
+  }
+
   test("property: confusion counts always sum to the universe") {
     val gen = for {
       n <- Gen.choose(10, 80)
