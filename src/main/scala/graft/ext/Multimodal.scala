@@ -46,6 +46,22 @@ object Multimodal {
     /** Frame sampling stub: byte offsets of every `stride`-th frame. */
     def sampleFrames(nFrames: Int, stride: Int): Array[Int] =
       (0 until nFrames by stride).toArray
+
+    /** Resize stub: nearest-neighbor re-sampling of the byte stream to the
+      * target pixel count — deterministic pure function standing in for a
+      * real image resampler (same contract: output length = w·h bytes).
+      */
+    def resize(blob: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val out = new Array[Byte](w * h)
+      if (blob.nonEmpty) {
+        var i = 0
+        while (i < out.length) {
+          out(i) = blob((i.toLong * blob.length / out.length).toInt)
+          i += 1
+        }
+      }
+      out
+    }
   }
 
   /** Decode + feature-extract: binary blob → `array<float>` features.
@@ -61,6 +77,33 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Resize image rows to `w`×`h`: blob re-sampled by the (stub) codec,
+    * width/height metadata updated in the same pass. Partition-local,
+    * zero shuffle — the resize stage of an image-preprocessing pipeline.
+    * Non-image rows pass through untouched.
+    */
+  def resizeImages(df: DataFrame, w: Int, h: Int): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema
+    val blobIdx = schema.fieldIndex("blob")
+    val wIdx = schema.fieldIndex("width")
+    val hIdx = schema.fieldIndex("height")
+    val kindIdx = schema.fieldIndex("kind")
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        if (r.getString(kindIdx) != "image") r
+        else {
+          val vals = r.toSeq.toArray
+          vals(blobIdx) = StubCodec.resize(r.getAs[Array[Byte]](blobIdx), w, h)
+          vals(wIdx) = w
+          vals(hIdx) = h
+          Row.fromSeq(vals.toSeq)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
   }
 
   /** Frame sampling for video rows: explode sampled frame indexes. */

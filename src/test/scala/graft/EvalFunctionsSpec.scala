@@ -265,4 +265,25 @@ class EvalFunctionsSpec extends SparkSpec {
     assert(f1.toSeq == f2.toSeq)
     assert(f1.forall(_.length == 8))
   }
+
+  test("ext: resize re-samples image blobs and updates metadata; other kinds untouched") {
+    val media = graft.ext.Multimodal.syntheticMedia(spark, 12)
+    val resized = graft.ext.Multimodal.resizeImages(media, 4, 4)
+    assert(resized.schema == media.schema) // resize never changes the shape
+    val out = resized.select("media_id", "kind", "blob", "width", "height")
+      .orderBy("media_id").collect()
+    assert(out.length == 12)
+    out.foreach { r =>
+      val blob = r.getAs[Array[Byte]]("blob")
+      if (r.getString(1) == "image") {
+        assert(blob.length == 16 && r.getInt(3) == 4 && r.getInt(4) == 4, s"${r.getLong(0)}")
+      } else {
+        assert(blob.length == 33 && r.getInt(3) == 64, s"${r.getLong(0)}") // original
+      }
+    }
+    // deterministic: nearest-neighbour of the same source bytes
+    val again = graft.ext.Multimodal.resizeImages(media, 4, 4)
+      .orderBy("media_id").select("blob").as[Array[Byte]].collect()
+    assert(out.map(_.getAs[Array[Byte]]("blob").toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }
