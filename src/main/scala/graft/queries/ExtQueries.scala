@@ -478,6 +478,31 @@ object ExtQueries {
         "round(sum(CASE WHEN (p - 1) % 8 = 1 THEN ascii(substr(s, p, 1)) / 255.0 END), 4) AS f1 " +
         "FROM e GROUP BY media_id, kind ORDER BY media_id")),
 
+    // Resize → feature-extract composition over image rows: both codec
+    // stubs are deterministic byte arithmetic over the sha256-hex blob,
+    // so the oracle reproduces the resized features exactly (resize =
+    // nearest-neighbor byte pick at floor(p·src/dst), features = bucket
+    // sums / 255).
+    Q("x_resize_features",
+      (s, d) => {
+        val images = Multimodal.syntheticMedia(s, 300).filter(col("kind") === "image")
+        Multimodal.extractFeatures(Multimodal.resizeImages(images, 4, 4), dim = 4)
+          .select(col("media_id"),
+            round(element_at(col("features"), 1).cast("double"), 4).as("f0"),
+            round(element_at(col("features"), 2).cast("double"), 4).as("f1"))
+          .orderBy("media_id")
+      },
+      Some("WITH m AS (SELECT unnest(generate_series(0, 299)) AS media_id), " +
+        "i AS (SELECT media_id, substr(sha256(CAST(media_id AS VARCHAR)), 1, 33) AS s " +
+        "FROM m WHERE media_id % 3 = 0), " +
+        "e AS (SELECT media_id, s, unnest(generate_series(0, 15)) AS p FROM i), " +
+        "b AS (SELECT media_id, p % 4 AS k, " +
+        "ascii(substr(s, CAST(p * 33 // 16 AS INT) + 1, 1)) AS byte FROM e) " +
+        "SELECT media_id, " +
+        "round(sum(CASE WHEN k = 0 THEN byte / 255.0 END), 4) AS f0, " +
+        "round(sum(CASE WHEN k = 1 THEN byte / 255.0 END), 4) AS f1 " +
+        "FROM b GROUP BY media_id ORDER BY media_id")),
+
     // Multimodal frame sampling: video rows → sampled frame indexes. The
     // synthetic table is pure arithmetic (kind = video when id%3 = 2,
     // n_frames = id%100+1), so the oracle reproduces it exactly.
