@@ -45,28 +45,31 @@ object ExplainAudit {
     val targets: Seq[(String, () => org.apache.spark.sql.DataFrame)] =
       SparkEntry.registry.map(q => (q.name, () => q.fn(spark, sfDir))) ++
         graft.queries.ExtQueries.auditablePlans(spark, sfDir)
-          .map { case (n, df) => (n, () => df) }
     targets.flatMap { case (name, mk) =>
-      var tree = ""
-      val notes =
-        try {
-          val lp = mk().queryExecution.optimizedPlan
-          tree = lp.treeString
-          val globalWindows = lp.collect {
-            case w: LWindow if w.partitionSpec.isEmpty && !ledgerWindow(w) => w
-          }
-          val badJoins = lp.collect {
-            case j: Join if j.condition.forall(c =>
-                !c.toString.contains(" = ") || j.joinType.sql == "CROSS") &&
-              !maxRowsOne(j.left) && !maxRowsOne(j.right) => j
-          }
+      // everything per-plan stays inside the try: a memo-builder that
+      // fails to even construct must report PLAN-ERROR for ITS row, not
+      // abort the sweep
+      try {
+        val lp = mk().queryExecution.optimizedPlan
+        val globalWindows = lp.collect {
+          case w: LWindow if w.partitionSpec.isEmpty && !ledgerWindow(w) => w
+        }
+        val badJoins = lp.collect {
+          case j: Join if j.condition.forall(c =>
+              !c.toString.contains(" = ") || j.joinType.sql == "CROSS") &&
+            !maxRowsOne(j.left) && !maxRowsOne(j.right) => j
+        }
+        val notes =
           globalWindows.map(w => s"GLOBAL-WINDOW order=${w.orderSpec.mkString(",").take(80)}") ++
             badJoins.map(j => s"NON-EQUI-JOIN ${j.joinType} cond=${j.condition.map(_.toString.take(90))}")
-        } catch { case e: Throwable =>
-          val msg = Option(e.getMessage).getOrElse(e.toString)
-          Seq(s"PLAN-ERROR ${msg.linesIterator.nextOption().getOrElse(e.getClass.getSimpleName)}")
-        }
-      if (notes.nonEmpty) Some((name, notes, tree)) else None
+        // tree rendered only for flagged plans (-full consumer)
+        if (notes.nonEmpty) Some((name, notes, lp.treeString)) else None
+      } catch { case e: Throwable =>
+        val msg = Option(e.getMessage).getOrElse(e.toString)
+        Some((name,
+          Seq(s"PLAN-ERROR ${msg.linesIterator.nextOption().getOrElse(e.getClass.getSimpleName)}"),
+          ""))
+      }
     }
   }
 

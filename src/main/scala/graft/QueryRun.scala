@@ -9,7 +9,8 @@ import org.apache.spark.sql.SparkSession
   */
 object QueryRun {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val sfDir = args.headOption.filterNot(_.startsWith("-"))
+      .getOrElse("/root/testdata/sf0.01")
     val flags = args.drop(1).filter(_.startsWith("-")).toSet
     val reps = args.sliding(2).collectFirst { case Array("-reps", n) => n.toInt }.getOrElse(1)
     // the value after -reps is an option argument, not a query name

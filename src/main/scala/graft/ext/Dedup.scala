@@ -198,6 +198,27 @@ object Dedup {
     * The RETURNED frame (id, cluster) is checkpoint-backed; the registry
     * memoizes one per session/sf.
     */
+  /** One propagation round of [[duplicateClusters]]: neighbor-min then
+    * pointer doubling over (id, cluster) labels. Exposed separately so
+    * the plan audit can sweep the round's plan — inside the loop every
+    * round hides behind a localCheckpoint.
+    */
+  private[graft] def clusterRound(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val neighborMin = edges
+      .join(labels.select(col("id").as("b"), col("cluster")), "b")
+      .groupBy(col("a").as("id")).agg(min(col("cluster")).as("_nmin"))
+    val stepped = labels
+      .join(neighborMin, Seq("id"), "left")
+      .select(col("id"),
+        least(col("cluster"), coalesce(col("_nmin"), col("cluster"))).as("cluster"))
+    // pointer doubling: follow the current label to ITS label
+    stepped
+      .join(stepped.select(col("id").as("cluster"), col("cluster").as("_pl")),
+        Seq("cluster"), "left")
+      .select(col("id"),
+        least(col("cluster"), coalesce(col("_pl"), col("cluster"))).as("cluster"))
+  }
+
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
@@ -209,19 +230,7 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val neighborMin = edges
-        .join(labels.select(col("id").as("b"), col("cluster")), "b")
-        .groupBy(col("a").as("id")).agg(min(col("cluster")).as("_nmin"))
-      val stepped = labels
-        .join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("_nmin"), col("cluster"))).as("cluster"))
-      // pointer doubling: follow the current label to ITS label
-      val next = stepped
-        .join(stepped.select(col("id").as("cluster"), col("cluster").as("_pl")),
-          Seq("cluster"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("_pl"), col("cluster"))).as("cluster"))
+      val next = clusterRound(edges, labels)
         .localCheckpoint(true) // eager: materializes AND truncates lineage
       val changed = next
         .join(labels.select(col("id"), col("cluster").as("_old")), "id")

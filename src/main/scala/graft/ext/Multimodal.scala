@@ -52,6 +52,8 @@ object Multimodal {
       * real image resampler (same contract: output length = w·h bytes).
       */
     def resize(blob: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      require(w > 0 && h > 0 && w.toLong * h <= Int.MaxValue,
+        s"target size ${w}x$h out of range") // Int w*h would overflow silently
       val out = new Array[Byte](w * h)
       if (blob.nonEmpty) {
         var i = 0

@@ -213,20 +213,27 @@ object Similarity {
     * Returns (assigned table with `ivf_cell`, trained model) — build once,
     * query many times via [[ivfTopK]].
     */
-  def ivfIndex(df: DataFrame, vecCol: String, nlist: Int, seed: Long = 42L):
-      (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = {
+  /** The KMeans fit-input plan: spherical quantization clusters
+    * L2-NORMALIZED vectors, because the search metric is cosine — L2
+    * cells over raw magnitudes would send a high-cosine,
+    * different-magnitude vector to a far cell the query never probes.
+    * Ranking still uses the original vectors (cosine is
+    * magnitude-invariant). Nulls are excluded up front (KMeans.fit throws
+    * on a null feature; the brute-force path just sorts them last).
+    * Exposed separately so the plan audit can sweep it — inside
+    * [[ivfIndex]] it hides behind a persist.
+    */
+  private[graft] def ivfFitInput(df: DataFrame, vecCol: String): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
-    // Spherical quantization: cluster L2-NORMALIZED vectors, because the
-    // search metric is cosine — L2 cells over raw magnitudes would send a
-    // high-cosine, different-magnitude vector to a far cell the query
-    // never probes. Ranking still uses the original vectors (cosine is
-    // magnitude-invariant). Nulls are excluded up front (KMeans.fit
-    // throws on a null feature; the brute-force path just sorts them last).
     val vecD = col(vecCol).cast("array<double>")
     val unit = transform(vecD, v => v / sqrt(aggregate(
       zip_with(vecD, vecD, (a, b) => a * b), lit(0.0), (acc, x) => acc + x)))
-    val withVec = df.filter(col(vecCol).isNotNull)
-      .withColumn("_ivf_v", array_to_vector(unit))
+    df.filter(col(vecCol).isNotNull).withColumn("_ivf_v", array_to_vector(unit))
+  }
+
+  def ivfIndex(df: DataFrame, vecCol: String, nlist: Int, seed: Long = 42L):
+      (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = {
+    val withVec = ivfFitInput(df, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setK(nlist).setSeed(seed).setFeaturesCol("_ivf_v").setPredictionCol("ivf_cell")

@@ -103,18 +103,34 @@ object ExtQueries {
     * audit (ExplainAuditSpec): a memo returns a checkpoint/persisted
     * frame whose audited plan is just a cache scan — a scale
     * anti-pattern hidden behind a memo would otherwise evade the gate.
-    * `memo:cluster_pairs` is the exact all-pairs anchor feeding
-    * `x_dedup_clusters` (exempt, same documented shape as
-    * `x_cosine_near_dup`).
+    * One entry per memo family: minhash candidates, the LSH signature
+    * index, the IVF KMeans fit input, the cluster pairs (exempt — the
+    * exact all-pairs anchor, same documented shape as
+    * `x_cosine_near_dup`), and one cluster propagation round (over a
+    * synthetic narrow pairs source, so the round's own joins are audited
+    * without the exempt pairs subplan). Thunks, not frames: a builder
+    * that fails to construct must PLAN-ERROR its own row, not abort the
+    * sweep.
     */
   def auditablePlans(s: org.apache.spark.sql.SparkSession, d: String):
-      Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
-    "memo:minhash_candidates" ->
-      Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text"),
-    "memo:lsh_signature_index" -> Similarity.bandedSignatureRows(
-      Tables.embeddings(s, d), "vec_id", "embedding", queryVec(s, d).length, bitsPerBand = 8),
-    "memo:cluster_pairs" -> Similarity.cosineNearDuplicates(
-      Tables.embeddings(s, d).filter(col("vec_id") < 300), "vec_id", "embedding", 0.3))
+      Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+    "memo:minhash_candidates" -> (() =>
+      Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text")),
+    "memo:lsh_signature_index" -> (() => Similarity.bandedSignatureRows(
+      Tables.embeddings(s, d), "vec_id", "embedding", queryVec(s, d).length, bitsPerBand = 8)),
+    "memo:ivf_fit_input" -> (() => Similarity.ivfFitInput(
+      Tables.embeddings(s, d).filter(col("vec_id") > 0), "embedding")),
+    "memo:cluster_pairs" -> (() => Similarity.cosineNearDuplicates(
+      Tables.embeddings(s, d).filter(col("vec_id") < 300), "vec_id", "embedding", 0.3)),
+    "memo:cluster_round" -> (() => {
+      val syntheticPairs = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id1"), (col("vec_id") + 1).as("id2"))
+      val edges = syntheticPairs.select(col("id1").as("a"), col("id2").as("b"))
+        .union(syntheticPairs.select(col("id2").as("a"), col("id1").as("b"))).distinct()
+      val labels = edges.select(col("a").as("id")).distinct()
+        .withColumn("cluster", col("id"))
+      Dedup.clusterRound(edges, labels)
+    }))
 
   val all: Seq[Q] = Seq(
 
