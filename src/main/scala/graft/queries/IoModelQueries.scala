@@ -149,7 +149,10 @@ object IoModelQueries {
 
     // §3.3 — the reference's core evaluation query end-to-end:
     // chunk-mean periods → validation threshold μ+4σ → rolling-min →
-    // first-over-threshold (with 0 sentinel).
+    // first-over-threshold (with 0 sentinel). Costs ~0.7s more than the
+    // round-3 form: anomalyStart now densifies the period index first
+    // (bucketed rank), which buys correctness on sparse/filtered period
+    // series — constant stage overhead, not data-proportional.
     Q("anomaly_pipeline",
       (s, d) => {
         val periods = Prep.downsample(ev(s, d), "event_id", 100, Seq("value"))
