@@ -166,6 +166,34 @@ object ExtQueries {
         "round(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on','for'))) / " +
         "CAST(len(toks) AS DOUBLE), 6) AS stopword_ratio FROM t ORDER BY doc_id")),
 
+    // The training-data pipeline composite, end-to-end: quality filter →
+    // exact dedup among the kept docs → survivor counts. One row:
+    // (n_input, n_quality, n_survivors) — the funnel a real corpus build
+    // reports at each stage. Each stage is the registered operator, not a
+    // re-implementation.
+    Q("x_pipeline_filter_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val kept = TextAnalysis.qualityFilter(docs, "text").filter(col("keep"))
+        val survivors = Dedup.exact(kept, "doc_id", "text")
+        docs.agg(count(lit(1)).as("n_input"))
+          .crossJoin(broadcast(kept.agg(count(lit(1)).as("n_quality"))))
+          .crossJoin(broadcast(survivors.agg(count(lit(1)).as("n_survivors"))))
+      },
+      Some("WITH t AS (SELECT doc_id, text, string_split_regex(text, ' +') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, text, len(toks) AS n_tokens, " +
+        "(length(text) - len(toks) + 1) / CAST(len(toks) AS DOUBLE) AS mtl, " +
+        "(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))) / " +
+        "CAST(length(text) AS DOUBLE) AS punct, " +
+        "len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on','for'))) / " +
+        "CAST(len(toks) AS DOUBLE) AS stop FROM t), " +
+        "k AS (SELECT doc_id, text FROM s WHERE n_tokens >= 20 AND mtl <= 6.0 " +
+        "AND punct <= 0.1 AND stop >= 0.05), " +
+        "u AS (SELECT min(doc_id) AS keep_id FROM k GROUP BY text) " +
+        "SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_input, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM k) AS n_quality, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM u) AS n_survivors")),
+
     // Vocabulary building: corpus-wide token top-k by (freq desc, token) —
     // map-side-combined aggregate + distributed TakeOrdered.
     Q("x_vocab_topk",
