@@ -121,6 +121,30 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming text ops: quality filter runs narrow at ingest, no state, no watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "doc_id", "text")
+    // narrow single-scan expressions compose onto a stream unchanged —
+    // the filter decision happens per micro-batch with zero state
+    val out = graft.ext.TextAnalysis.qualityFilter(df, "text")
+      .select("doc_id", "keep", "reason")
+    val query = out.writeStream.format("memory").queryName("qf_out")
+      .outputMode("append").start()
+    try {
+      def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+      val good = "the quick brown fox jumps over the lazy dog and then the " +
+        "dog naps on the warm porch for most of the afternoon in the sun"
+      input.addData(Seq((ts(1), 1L, good), (ts(2), 2L, "too short")))
+      query.processAllAvailable()
+      val rows = spark.table("qf_out").as[(Long, Boolean, String)].collect()
+        .sortBy(_._1)
+      assert(rows.length == 2)
+      assert(rows(0) == ((1L, true, null)))
+      assert(rows(1) == ((2L, false, "short")))
+    } finally query.stop()
+  }
+
   test("streaming dedup: duplicate content dropped within the watermark, state is hashes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]
