@@ -11,12 +11,16 @@ object QueryRun {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.filterNot(_.startsWith("-"))
       .getOrElse("/root/testdata/sf0.01")
-    val flags = args.drop(1).filter(_.startsWith("-")).toSet
+    // flags may appear anywhere, including first (sfDir then defaults)
+    val flags = args.filter(_.startsWith("-")).toSet
     val reps = args.sliding(2).collectFirst { case Array("-reps", n) => n.toInt }.getOrElse(1)
-    // the value after -reps is an option argument, not a query name
+    // skip the sfDir (when present) and the value after -reps
     val repsIdx = args.indexOf("-reps")
-    val names = args.zipWithIndex.drop(1)
-      .filterNot { case (a, i) => a.startsWith("-") || i == repsIdx + 1 }
+    val firstIsDir = args.headOption.exists(!_.startsWith("-"))
+    val names = args.zipWithIndex
+      .filterNot { case (a, i) =>
+        a.startsWith("-") || i == repsIdx + 1 || (firstIsDir && i == 0)
+      }
       .map(_._1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.core.GraftSession.configure(SparkSession.builder()

@@ -198,6 +198,40 @@ object Dedup {
     * The RETURNED frame (id, cluster) is checkpoint-backed; the registry
     * memoizes one per session/sf.
     */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = clusterEdges(pairs).localCheckpoint(true)
+    var labels = clusterLabelsInit(edges).localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = clusterRound(edges, labels)
+        .localCheckpoint(true) // eager: materializes AND truncates lineage
+      val changed = next
+        .join(labels.select(col("id"), col("cluster").as("_old")), "id")
+        .filter(col("cluster") =!= col("_old"))
+        .count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    require(converged, s"duplicateClusters did not converge in $maxIter rounds")
+    labels
+  }
+
+  /** Symmetric, de-duplicated (a, b) edge frame of a (id1, id2) pair
+    * frame — shared by [[duplicateClusters]] and the plan audit so the
+    * audited round plan can never drift from the production one.
+    */
+  private[graft] def clusterEdges(pairs: DataFrame): DataFrame =
+    pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .distinct()
+
+  /** Initial labels: every node its own cluster. */
+  private[graft] def clusterLabelsInit(edges: DataFrame): DataFrame =
+    edges.select(col("a").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+
   /** One propagation round of [[duplicateClusters]]: neighbor-min then
     * pointer doubling over (id, cluster) labels. Exposed separately so
     * the plan audit can sweep the round's plan — inside the loop every
@@ -217,31 +251,6 @@ object Dedup {
         Seq("cluster"), "left")
       .select(col("id"),
         least(col("cluster"), coalesce(col("_pl"), col("cluster"))).as("cluster"))
-  }
-
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
-      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("cluster", col("id"))
-      .localCheckpoint(true)
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIter) {
-      val next = clusterRound(edges, labels)
-        .localCheckpoint(true) // eager: materializes AND truncates lineage
-      val changed = next
-        .join(labels.select(col("id"), col("cluster").as("_old")), "id")
-        .filter(col("cluster") =!= col("_old"))
-        .count()
-      labels = next
-      converged = changed == 0
-      i += 1
-    }
-    require(converged, s"duplicateClusters did not converge in $maxIter rounds")
-    labels
   }
 
   /** Exact n-gram Jaccard similarity for given pairs — the verification

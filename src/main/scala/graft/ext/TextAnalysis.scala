@@ -51,9 +51,18 @@ object TextAnalysis {
     * check. Pure narrow expressions on top of the signal pass — still one
     * scan, no shuffle.
     */
+  // Default rule thresholds — referenced by the registry oracles too, so
+  // a tuning change cannot desynchronize the Spark side from the SQL side.
+  val DefaultMinTokens = 20
+  val DefaultMaxMeanTokenLen = 6.0
+  val DefaultMaxPunctRatio = 0.1
+  val DefaultMinStopwordRatio = 0.05
+
   def qualityFilter(df: DataFrame, textCol: String,
-                    minTokens: Int = 20, maxMeanTokenLen: Double = 6.0,
-                    maxPunctRatio: Double = 0.1, minStopwordRatio: Double = 0.05): DataFrame =
+                    minTokens: Int = DefaultMinTokens,
+                    maxMeanTokenLen: Double = DefaultMaxMeanTokenLen,
+                    maxPunctRatio: Double = DefaultMaxPunctRatio,
+                    minStopwordRatio: Double = DefaultMinStopwordRatio): DataFrame =
     qualitySignals(df, textCol)
       .withColumn("reason",
         when(col("n_tokens") < minTokens, "short")

@@ -123,14 +123,35 @@ object ExtQueries {
     "memo:cluster_pairs" -> (() => Similarity.cosineNearDuplicates(
       Tables.embeddings(s, d).filter(col("vec_id") < 300), "vec_id", "embedding", 0.3)),
     "memo:cluster_round" -> (() => {
+      // the production edge/label builders over a synthetic NARROW pairs
+      // source, so the round's own joins are audited without the exempt
+      // all-pairs subplan
       val syntheticPairs = Tables.embeddings(s, d)
         .select(col("vec_id").as("id1"), (col("vec_id") + 1).as("id2"))
-      val edges = syntheticPairs.select(col("id1").as("a"), col("id2").as("b"))
-        .union(syntheticPairs.select(col("id2").as("a"), col("id1").as("b"))).distinct()
-      val labels = edges.select(col("a").as("id")).distinct()
-        .withColumn("cluster", col("id"))
-      Dedup.clusterRound(edges, labels)
+      val edges = Dedup.clusterEdges(syntheticPairs)
+      Dedup.clusterRound(edges, Dedup.clusterLabelsInit(edges))
     }))
+
+  /** Shared oracle fragments for the quality rules — ONE copy of the
+    * signal CTEs and threshold chain, interpolating the SAME constants
+    * the Spark-side [[TextAnalysis.qualityFilter]] defaults to, so a
+    * tuning change can never desynchronize the two oracles from the
+    * engine.
+    */
+  private val QualitySignalsCte =
+    "t AS (SELECT doc_id, text, string_split_regex(text, ' +') AS toks FROM documents), " +
+    "s AS (SELECT doc_id, text, len(toks) AS n_tokens, " +
+    "(length(text) - len(toks) + 1) / CAST(len(toks) AS DOUBLE) AS mtl, " +
+    "(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))) / " +
+    "CAST(length(text) AS DOUBLE) AS punct, " +
+    "len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on','for'))) / " +
+    "CAST(len(toks) AS DOUBLE) AS stop FROM t)"
+
+  private val QualityReasonSql =
+    s"CASE WHEN n_tokens < ${TextAnalysis.DefaultMinTokens} THEN 'short' " +
+    s"WHEN mtl > ${TextAnalysis.DefaultMaxMeanTokenLen} THEN 'long_tokens' " +
+    s"WHEN punct > ${TextAnalysis.DefaultMaxPunctRatio} THEN 'punct' " +
+    s"WHEN stop < ${TextAnalysis.DefaultMinStopwordRatio} THEN 'low_stopword' END"
 
   val all: Seq[Q] = Seq(
 
@@ -180,15 +201,8 @@ object ExtQueries {
           .crossJoin(broadcast(kept.agg(count(lit(1)).as("n_quality"))))
           .crossJoin(broadcast(survivors.agg(count(lit(1)).as("n_survivors"))))
       },
-      Some("WITH t AS (SELECT doc_id, text, string_split_regex(text, ' +') AS toks FROM documents), " +
-        "s AS (SELECT doc_id, text, len(toks) AS n_tokens, " +
-        "(length(text) - len(toks) + 1) / CAST(len(toks) AS DOUBLE) AS mtl, " +
-        "(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))) / " +
-        "CAST(length(text) AS DOUBLE) AS punct, " +
-        "len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on','for'))) / " +
-        "CAST(len(toks) AS DOUBLE) AS stop FROM t), " +
-        "k AS (SELECT doc_id, text FROM s WHERE n_tokens >= 20 AND mtl <= 6.0 " +
-        "AND punct <= 0.1 AND stop >= 0.05), " +
+      Some(s"WITH $QualitySignalsCte, " +
+        s"k AS (SELECT doc_id, text FROM s WHERE ($QualityReasonSql) IS NULL), " +
         "u AS (SELECT min(doc_id) AS keep_id FROM k GROUP BY text) " +
         "SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_input, " +
         "(SELECT CAST(count(*) AS BIGINT) FROM k) AS n_quality, " +
@@ -228,16 +242,8 @@ object ExtQueries {
       (s, d) => TextAnalysis.qualityFilter(Tables.documents(s, d), "text")
         .select(col("doc_id"), col("keep"), col("reason"))
         .orderBy("doc_id"),
-      Some("WITH t AS (SELECT doc_id, text, string_split_regex(text, ' +') AS toks FROM documents), " +
-        "s AS (SELECT doc_id, len(toks) AS n_tokens, " +
-        "(length(text) - len(toks) + 1) / CAST(len(toks) AS DOUBLE) AS mtl, " +
-        "(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))) / " +
-        "CAST(length(text) AS DOUBLE) AS punct, " +
-        "len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on','for'))) / " +
-        "CAST(len(toks) AS DOUBLE) AS stop FROM t), " +
-        "f AS (SELECT doc_id, CASE WHEN n_tokens < 20 THEN 'short' " +
-        "WHEN mtl > 6.0 THEN 'long_tokens' WHEN punct > 0.1 THEN 'punct' " +
-        "WHEN stop < 0.05 THEN 'low_stopword' END AS reason FROM s) " +
+      Some(s"WITH $QualitySignalsCte, " +
+        s"f AS (SELECT doc_id, $QualityReasonSql AS reason FROM s) " +
         "SELECT doc_id, reason IS NULL AS keep, reason FROM f ORDER BY doc_id")),
 
     // Language ID by marker-lexicon voting; output = confusion counts
