@@ -393,6 +393,31 @@ object ExtQueries {
         .orderBy("id1", "id2"),
       None),
 
+    // The same verification math over DETERMINISTIC pairs (adjacent ids),
+    // so the Jaccard computation itself is hash-checked: Jaccard over
+    // 64-bit shingle hashes equals Jaccard over the shingle strings
+    // (injective modulo ~2^-64 collisions), which DuckDB computes from
+    // string 3-gram sets directly.
+    Q("x_jaccard_exact",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = docs.filter(col("doc_id") < 50)
+          .select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"))
+        Dedup.jaccardVerify(pairs, docs, "doc_id", "text")
+          .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("id1", "id2")
+      },
+      Some("WITH t AS (SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents), " +
+        "e AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS p FROM t " +
+        "WHERE len(toks) >= 3), " +
+        "g AS (SELECT doc_id, list(DISTINCT array_to_string(toks[p:p+2], ' ')) AS sh " +
+        "FROM e GROUP BY doc_id), " +
+        "pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.sh AS s1, b.sh AS s2 " +
+        "FROM g a JOIN g b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id < 50) " +
+        "SELECT id1, id2, round(CAST(len(list_intersect(s1, s2)) AS DOUBLE) / " +
+        "len(list_distinct(list_concat(s1, s2))), 6) AS jaccard " +
+        "FROM pr ORDER BY id1, id2")),
+
     // Document fingerprint (rolling hash) — rows-only check.
     Q("x_fingerprint",
       (s, d) => Tables.documents(s, d)
