@@ -144,6 +144,23 @@ class EvalFunctionsSpec extends SparkSpec {
     assert(verified > 0.5)
   }
 
+  test("ext: vocabulary and ngramCounts rank by frequency with token tie-break") {
+    val docs = Seq(
+      (0L, "a b a c"),
+      (1L, "b a d d")
+    ).toDF("doc_id", "text")
+    val vocab = graft.ext.TextAnalysis.vocabulary(docs, "text", 3)
+      .as[(String, Long)].collect().toSeq
+    // a×3, b×2, d×2 (c×1 cut); tie b-before-d by token order
+    assert(vocab == Seq(("a", 3L), ("b", 2L), ("d", 2L)), s"vocab=$vocab")
+    val bigrams = graft.ext.TextAnalysis.ngramCounts(docs, "text", n = 2, k = 10)
+      .as[(String, Long)].collect().toSeq
+    // doc0: "a b","b a","a c"; doc1: "b a","a d","d d" → "b a"×2 first
+    assert(bigrams.head == (("b a", 2L)), s"bigrams=$bigrams")
+    assert(bigrams.toMap == Map("a b" -> 1L, "b a" -> 2L, "a c" -> 1L,
+      "a d" -> 1L, "d d" -> 1L), s"bigrams=$bigrams")
+  }
+
   test("ext: duplicateClusters labels every member with its component minimum") {
     // chain 1-2-3 (diameter 2), pair 5-6, plus 9-1 joining the chain late
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (1L, 9L)).toDF("id1", "id2")
