@@ -109,6 +109,20 @@ object TextAnalysis {
     df.withColumn(out, aggregate(tokens(col(textCol)), zero, merge, finish))
   }
 
+  /** Repetition signal (Gopher rule family): the fraction of a document's
+    * tokens taken by its single most frequent token — near 1.0 flags
+    * degenerate/repetitive text. Explode → two hash aggregates (per-doc
+    * token counts, then per-doc max/total); both map-side combined, keys
+    * are (doc, token) — scales with corpus size, never with vocabulary.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("_t"))
+      .filter(length(col("_t")) > 0)
+      .groupBy(col(idCol), col("_t")).agg(count(lit(1)).as("_c"))
+      .groupBy(col(idCol))
+      .agg((max(col("_c")) / sum(col("_c"))).as("top_token_ratio"),
+        count(lit(1)).as("n_distinct_tokens"))
+
   /** Vocabulary building: corpus-wide token frequencies, top `k` by
     * (count desc, token asc) — the seed step for tokenizer/BPE training.
     * One explode + hash aggregate (map-side combined: the shuffle carries

@@ -208,6 +208,21 @@ object ExtQueries {
         "(SELECT CAST(count(*) AS BIGINT) FROM k) AS n_quality, " +
         "(SELECT CAST(count(*) AS BIGINT) FROM u) AS n_survivors")),
 
+    // Repetition signal (Gopher rule): top-token mass + distinct-token
+    // count per document.
+    Q("x_repetition",
+      (s, d) => TextAnalysis.repetitionSignals(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), round(col("top_token_ratio"), 6).as("top_token_ratio"),
+          col("n_distinct_tokens"))
+        .orderBy("doc_id"),
+      Some("WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, ' +')) AS t " +
+        "FROM documents), " +
+        "c AS (SELECT doc_id, t, count(*) AS c FROM tok WHERE length(t) > 0 " +
+        "GROUP BY doc_id, t) " +
+        "SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_token_ratio, " +
+        "CAST(count(*) AS BIGINT) AS n_distinct_tokens FROM c " +
+        "GROUP BY doc_id ORDER BY doc_id")),
+
     // Vocabulary building: corpus-wide token top-k by (freq desc, token) —
     // map-side-combined aggregate + distributed TakeOrdered.
     Q("x_vocab_topk",
