@@ -93,6 +93,15 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("matvec_product"),
       s"stored-index plan recomputes signatures:\n${plan.take(1200)}")
     assert(plan.contains("lsh_sig_index"), "stored-index plan does not scan the stored table")
+    // the payoff of bucketing by the join key: the candidate self-join
+    // over the stored index needs NO shuffle — both sides report the
+    // bucketed hash partitioning straight off the scan
+    val selfJoin = reloaded.as("a").join(reloaded.as("b"),
+      col("a._band") === col("b._band") && col("a._sig") === col("b._sig") &&
+        col("a._sid") < col("b._sid"))
+    val sjPlan = selfJoin.queryExecution.executedPlan.toString
+    assert(!sjPlan.contains("Exchange hashpartitioning"),
+      s"bucketed self-join still shuffles:\n${sjPlan.take(1200)}")
     val inline = Similarity.cosineNearDupLsh(fixture, "vec_id", "embedding", dim, 0.9)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     val stored = fromStore.select("id1", "id2").as[(Long, Long)].collect().toSet
