@@ -121,6 +121,40 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming session windows agree with batch sessionize on the same events") {
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic event times: bursts separated by > gap silences
+    val secs = Seq(1, 3, 5, 40, 42, 80, 81, 83, 130)
+    def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:${s / 60}%02d:${s % 60}%02d")
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val out = StreamingOps.sessionWindows(input.toDF().toDF("ts", "user", "v"),
+      "ts", "v", gap = "10 seconds", watermark = "5 seconds", keyCols = Seq("user"))
+    val query = out.writeStream.format("memory").queryName("sess_par_out")
+      .outputMode("append").start()
+    try {
+      input.addData(secs.map(s => (ts(s), "u", 1.0)))
+      query.processAllAvailable()
+      input.addData(Seq((ts(500), "z", 0.0)))
+      query.processAllAvailable()
+      input.addData(Seq((ts(900), "z", 0.0)))
+      query.processAllAvailable()
+      val streamed = spark.table("sess_par_out").filter(col("user") === "u")
+        .select("session_start", "n_events")
+        .as[(java.sql.Timestamp, Long)].collect().sortBy(_._1.getTime).toSeq
+      // batch sessionize over the identical rows: same gap rule (> 10 s
+      // since the previous event opens a new session)
+      val batch = graft.window.Windows.sessionize(
+          secs.zipWithIndex.map { case (s, i) => (i.toLong, s.toLong) }.toDF("idx", "tsec"),
+          "idx", "tsec", gap = 10)
+        .groupBy("session").agg(count(lit(1)).as("n"), min(col("tsec")).as("start"))
+        .orderBy("session").as[(Long, Long, Long)].collect().toSeq
+      assert(streamed.map(_._2) == batch.map(_._2),
+        s"sizes differ: streamed=$streamed batch=$batch")
+      assert(streamed.map(_._1) == batch.map(b => ts(b._3.toInt)),
+        s"starts differ: streamed=$streamed batch=$batch")
+    } finally query.stop()
+  }
+
   test("streaming text ops: quality filter runs narrow at ingest, no state, no watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long, String)]
