@@ -260,6 +260,10 @@ object IoModelQueries {
           trials = 4, epochs = 2,
           space = Tuning.SearchSpace(lrChoices = Seq(1e-2, 1e-3),
             outerChoices = Seq(8, 16), depthChoices = Seq(1, 2), hiddenSize = 4))
+        // randomSearch trains EAGERLY — the cached windows are consumed by
+        // the time it returns; release them (a rep'd bench otherwise
+        // accumulates one cached copy per invocation)
+        wins.unpersist(blocking = false)
         scored.map(c => (c.lr, c.hidden.mkString("-"), c.valMse))
           .toDF("lr", "arch", "val_mse")
       },
