@@ -189,6 +189,16 @@ object Trainer {
     import spark.implicits._
     val data = windows.select(col(valuesCol).cast("array<double>")).as[Seq[Double]]
       .rdd.map(_.toArray).cache()
+    try fitCached(model, init, data, epochs, lr, lrDecay, l2, clipNorm, clipValue,
+      batchFraction, seed)
+    finally data.unpersist(blocking = false) // also on a failed epoch
+  }
+
+  private def fitCached(model: WindowModel, init: Array[Double],
+                        data: org.apache.spark.rdd.RDD[Array[Double]],
+                        epochs: Int, lr: Double, lrDecay: Double, l2: Double,
+                        clipNorm: Double, clipValue: Double,
+                        batchFraction: Double, seed: Long): TrainedAutoencoder = {
     val w = init.clone()
     val mAdam = new Array[Double](w.length)
     val vAdam = new Array[Double](w.length)
@@ -198,7 +208,7 @@ object Trainer {
     val losses = Seq.newBuilder[Double]
 
     (1 to epochs).foreach { epoch =>
-      val bw = spark.sparkContext.broadcast(w)
+      val bw = data.sparkContext.broadcast(w)
       val sampled = if (batchFraction >= 1.0) data
                     else data.sample(withReplacement = false, batchFraction, seed + epoch)
       val (gradSum, lossSum, cnt) = sampled.treeAggregate(
@@ -240,7 +250,6 @@ object Trainer {
       lrT *= lrDecay // reference: lr · (1 − 0.01) per epoch
       losses += lossSum / m0
     }
-    data.unpersist()
     TrainedAutoencoder(model, w, losses.result())
   }
 }
