@@ -13,13 +13,23 @@ object QueryRun {
       .getOrElse("/root/testdata/sf0.01")
     // flags may appear anywhere, including first (sfDir then defaults)
     val flags = args.filter(_.startsWith("-")).toSet
-    val reps = args.sliding(2).collectFirst { case Array("-reps", n) => n.toInt }.getOrElse(1)
-    // skip the sfDir (when present) and the value after -reps
-    val repsIdx = args.indexOf("-reps")
+    // -reps must be followed by a bare number; anything else (flag, query
+    // name, end of args) is a usage error, not a NumberFormatException
+    if (args.lastOption.contains("-reps") ||
+        args.sliding(2).exists { case Array("-reps", n) => !n.forall(_.isDigit) || n.isEmpty
+                                 case _ => false }) {
+      System.err.println("usage: QueryRun [sfDir] [-explain] [-show] [-reps N] [query ...]")
+      sys.exit(2)
+    }
+    val reps = args.sliding(2).collectFirst {
+      case Array("-reps", n) if n.nonEmpty && n.forall(_.isDigit) => n.toInt
+    }.getOrElse(1)
+    // skip the sfDir (when present) and the value after EVERY -reps
+    val repsValueIdx = args.zipWithIndex.collect { case ("-reps", i) => i + 1 }.toSet
     val firstIsDir = args.headOption.exists(!_.startsWith("-"))
     val names = args.zipWithIndex
       .filterNot { case (a, i) =>
-        a.startsWith("-") || i == repsIdx + 1 || (firstIsDir && i == 0)
+        a.startsWith("-") || repsValueIdx(i) || (firstIsDir && i == 0)
       }
       .map(_._1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -95,10 +95,12 @@ object Config {
     * via an `os.getenv(key, value)` loop, then assigns
     * `SimpleNamespace(**config_data)` with `# config = new_config`
     * commented out — so this implements the intended behavior, not the
-    * shipped one. To avoid accidental collisions with ambient process
-    * variables (`USER`, `PATH`…), a `GRAFT_`-prefixed variable
-    * (`GRAFT_<KEY>`) takes precedence over a bare same-named one.
-    * `env` is injectable for tests.
+    * shipped one. Only `GRAFT_`-prefixed variables (`GRAFT_<KEY>`)
+    * participate in the overlay: a bare same-named process variable
+    * (`USER`, `HOSTNAME`, `LANG`…) would silently override a config key
+    * in every environment, so the bare-name fallback the reference's
+    * dead code implies is intentionally NOT honored. `env` is
+    * injectable for tests.
     */
   def load(path: String, env: Map[String, String] = sys.env.toMap): GraftConfig = {
     val file = env.getOrElse("CONFIG_FILE", path)
@@ -106,7 +108,7 @@ object Config {
       java.nio.charset.StandardCharsets.UTF_8)
     val parsed = parse(text)
     parsed.copy(top = parsed.top.map { case (k, v) =>
-      k -> env.getOrElse(s"GRAFT_$k", env.getOrElse(k, v))
+      k -> env.getOrElse(s"GRAFT_$k", v)
     })
   }
 

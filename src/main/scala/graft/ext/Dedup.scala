@@ -257,6 +257,14 @@ object Dedup {
     * stage after LSH candidate generation. `pairs` has (id1, id2);
     * shingle sets are joined in (broadcast when small, shuffle otherwise)
     * and Jaccard = |∩| / |∪| computed via array ops.
+    *
+    * Repeated (id1, id2) rows in `pairs` collapse to ONE output row: the
+    * groupBy reassembly deduplicates candidate pairs, unlike the old
+    * two-join form which preserved input multiplicity. This is the
+    * desirable contract for candidate feeds that can emit a pair more
+    * than once (e.g. the streaming per-band candidates) — but callers
+    * passing weighted/duplicated pair frames must pre-aggregate their
+    * weights, since multiplicity does not survive verification.
     */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
                     shingleLen: Int = 3): DataFrame = {

@@ -23,6 +23,19 @@ object ExtQueries {
       .select(col("embedding").cast("array<double>"))
       .head().getSeq[Double](0).toArray
 
+  /** Evict another session's memo entries, releasing whatever storage the
+    * evicted value holds: dropping a persisted frame from the map without
+    * unpersisting it would leak the cached copy for the old session's
+    * lifetime (and a re-request would persist a second one) when two
+    * sessions are live in one JVM. Release errors (dead session) are
+    * ignored — the blocks died with the context anyway.
+    */
+  private def evictStale[K, V](cache: scala.collection.concurrent.TrieMap[K, V])
+                              (stale: K => Boolean)(release: V => Unit): Unit =
+    cache.keys.filter(stale).foreach { k =>
+      cache.remove(k).foreach(v => try release(v) catch { case _: Throwable => () })
+    }
+
   /** IVF index memo, one per (session, sf dir): build once (KMeans fit +
     * assignment, persisted), probe many times — the FAISS lifecycle.
     * `x_ann_ivf_build` owns the build cost in the bench; `x_ann_ivf`
@@ -36,7 +49,7 @@ object ExtQueries {
 
   private def ivfFor(s: org.apache.spark.sql.SparkSession, d: String) =
     ivfCache.getOrElseUpdate((s, d), {
-      ivfCache.keys.filter(_._1 ne s).foreach(ivfCache.remove) // drop stale sessions
+      evictStale(ivfCache)(_._1 ne s) { case (df, _) => df.unpersist() }
       val (assigned, km) = Similarity.ivfIndex(
         Tables.embeddings(s, d).filter(col("vec_id") > 0), "embedding", nlist = 8)
       val cached = assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -56,7 +69,7 @@ object ExtQueries {
 
   private def minhashCandsFor(s: org.apache.spark.sql.SparkSession, d: String) =
     candCache.getOrElseUpdate((s, d), {
-      candCache.keys.filter(_._1 ne s).foreach(candCache.remove) // drop stale sessions
+      evictStale(candCache)(_._1 ne s)(_.unpersist())
       val cached = Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       cached.count() // materialize: verification reads only the cached pairs
@@ -74,7 +87,7 @@ object ExtQueries {
 
   private def clustersFor(s: org.apache.spark.sql.SparkSession, d: String) =
     clusterCache.getOrElseUpdate((s, d), {
-      clusterCache.keys.filter(_._1 ne s).foreach(clusterCache.remove) // drop stale sessions
+      evictStale(clusterCache)(_._1 ne s)(_.unpersist()) // checkpoint blocks
       Dedup.duplicateClusters(Similarity.cosineNearDuplicates(
         Tables.embeddings(s, d).filter(col("vec_id") < 300), "vec_id", "embedding", 0.3))
     })
@@ -91,7 +104,7 @@ object ExtQueries {
     // dim is part of the key AND the name: an index built for one
     // dimensionality must never serve a differently-dimensioned probe
     lshIdxCache.getOrElseUpdate((s, d, dim), {
-      lshIdxCache.keys.filter(_._1 ne s).foreach(lshIdxCache.remove) // drop stale sessions
+      evictStale(lshIdxCache)(_._1 ne s)(_ => ()) // value is a table name; no blocks
       val table = s"graft_lsh_sig_${dim}_" + d.replaceAll("[^a-zA-Z0-9]", "_")
       val sigs = Similarity.bandedSignatureRows(
         Tables.embeddings(s, d), "vec_id", "embedding", dim, bitsPerBand = 8)

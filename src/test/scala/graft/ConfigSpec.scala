@@ -61,15 +61,19 @@ class ConfigSpec extends AnyFunSuite {
     val path = tmpFile(yaml)
     val plain = Config.load(path, env = Map.empty)
     assert(plain.int("WINDOW_SIZE", -1) == 100)
-    val overridden = Config.load(path, env = Map("WINDOW_SIZE" -> "256", "EPOCHS" -> "3"))
+    val overridden = Config.load(path,
+      env = Map("GRAFT_WINDOW_SIZE" -> "256", "GRAFT_EPOCHS" -> "3"))
     assert(overridden.int("WINDOW_SIZE", -1) == 256)
     assert(overridden.int("EPOCHS", -1) == 3)
     // untouched keys keep file values; env keys not in the file don't appear
     assert(overridden.int("BATCH_SIZE", -1) == 64)
-    // GRAFT_-prefixed vars beat bare same-named ones (collision safety)
-    val prefixed = Config.load(path,
+    // bare same-named vars are ignored (ambient USER/HOSTNAME/LANG would
+    // otherwise silently override config keys in every environment)
+    val bare = Config.load(path,
       env = Map("WINDOW_SIZE" -> "256", "GRAFT_WINDOW_SIZE" -> "512"))
-    assert(prefixed.int("WINDOW_SIZE", -1) == 512)
+    assert(bare.int("WINDOW_SIZE", -1) == 512)
+    assert(Config.load(path, env = Map("WINDOW_SIZE" -> "256"))
+      .int("WINDOW_SIZE", -1) == 100)
   }
 
   test("load: CONFIG_FILE env redirects to another file") {
