@@ -304,4 +304,38 @@ object Dedup {
           size(array_union(col("_set1"), col("_set2"))))
       .drop("_set1", "_set2")
   }
+
+  /** Benchmark decontamination: flag each corpus document that shares any
+    * length-`n` token n-gram with a document of the `benchmark` (eval)
+    * set — the Gopher/Dolma-style train/test-overlap check a training
+    * corpus runs before release.
+    *
+    * Scale shape: n-grams travel as 64-bit `xxhash64` keys (no n-gram
+    * strings cross the wire — same hashed-shingle identity as
+    * [[jaccardVerify]]; collision probability is negligible). The
+    * benchmark gram set — eval suites are tiny next to a 100 TB corpus —
+    * is `broadcast()`, so the corpus side joins map-side with NO shuffle;
+    * only MATCHED (id, gram) rows reach the per-doc aggregate, and the
+    * distinct-gram dedup happens inside that aggregate
+    * (`countDistinct`) rather than as a corpus-wide `dropDuplicates`
+    * shuffle. The final left join attaches `n_shared = 0` to clean
+    * documents; the hit table carries one row per CONTAMINATED doc only,
+    * so AQE broadcasts it in the common (mostly-clean) case.
+    *
+    * Output: (idCol, contaminated: boolean, n_shared: bigint) where
+    * `n_shared` counts distinct shared n-grams per corpus document.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, n: Int): DataFrame = {
+    val benchGrams = broadcast(
+      shingleHashRows(benchmark, idCol, textCol, n).select("_sh").distinct())
+    val hits = shingleHashRows(corpus, idCol, textCol, n)
+      .join(benchGrams, "_sh")
+      .groupBy(col("_id").as(idCol))
+      .agg(countDistinct(col("_sh")).as("n_shared"))
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_shared"))
+      .select(col(idCol), (col("n_shared") > 0).as("contaminated"), col("n_shared"))
+  }
 }

@@ -446,6 +446,33 @@ object ExtQueries {
         "len(list_distinct(list_concat(s1, s2))), 6) AS jaccard " +
         "FROM pr ORDER BY id1, id2")),
 
+    // Benchmark decontamination: flag corpus docs sharing any 4-gram
+    // with the held-out "benchmark" slice (doc_id % 20 == 0). Hashed
+    // n-grams join broadcast; the oracle states the same overlap over
+    // string n-grams (identical counts under collision-free hashing —
+    // the x_jaccard_exact identity). n=4 is the smallest n where this
+    // corpus has both contaminated (~50) and clean docs.
+    Q("x_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.decontaminate(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", n = 4)
+          .orderBy("doc_id")
+      },
+      Some("WITH t AS (SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents), " +
+        "e AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 3)) AS p FROM t " +
+        "WHERE len(toks) >= 4), " +
+        "g AS (SELECT doc_id, array_to_string(toks[p:p+3], ' ') AS ngram FROM e), " +
+        "bench AS (SELECT DISTINCT ngram FROM g WHERE doc_id % 20 = 0), " +
+        "hit AS (SELECT doc_id, count(DISTINCT ngram) AS n_shared FROM g " +
+        "JOIN bench USING (ngram) WHERE doc_id % 20 <> 0 GROUP BY doc_id) " +
+        "SELECT d.doc_id, coalesce(n_shared, 0) > 0 AS contaminated, " +
+        "CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared " +
+        "FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d " +
+        "LEFT JOIN hit USING (doc_id) ORDER BY d.doc_id")),
+
     // Document fingerprint (rolling hash) — rows-only check.
     Q("x_fingerprint",
       (s, d) => Tables.documents(s, d)

@@ -144,6 +144,20 @@ class EvalFunctionsSpec extends SparkSpec {
     assert(verified > 0.5)
   }
 
+  test("ext: decontaminate flags n-gram overlap with the benchmark set only") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),   // shares 4-grams w/ bench
+      (1L, "one two three four five six seven"),     // clean
+      (2L, "alpha beta gamma delta unrelated tail")  // shares exactly one 4-gram
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "prefix alpha beta gamma delta epsilon suffix"))
+      .toDF("doc_id", "text")
+    val got = graft.ext.Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 4)
+      .orderBy("doc_id").as[(Long, Boolean, Long)].collect().toSeq
+    // doc 0: "alpha beta gamma delta" + "beta gamma delta epsilon" = 2 shared
+    assert(got == Seq((0L, true, 2L), (1L, false, 0L), (2L, true, 1L)))
+  }
+
   test("ext: vocabulary and ngramCounts rank by frequency with token tie-break") {
     val docs = Seq(
       (0L, "a b a c"),
