@@ -166,4 +166,47 @@ object TextAnalysis {
       tokens(text),
       lit(1125899906842597L),
       (acc, t) => xxhash64(acc, t))
+
+  /** Per-document language-model quality score: the mean natural-log
+    * probability of the document's token bigrams under an add-one-
+    * smoothed bigram model fit on the whole corpus —
+    * `P(w2|w1) = (c(w1 w2) + 1) / (c(w1·) + V)` with `c(w1·)` the
+    * bigram-prefix count and `V` the corpus vocabulary size. Low scores
+    * mark documents whose word transitions are atypical for the corpus
+    * (the cheap LM-perplexity filter of training-data pipelines).
+    *
+    * Scale shape: tokens travel as 64-bit `xxhash64` keys. The LM is two
+    * map-side-combined aggregates — bigram counts from the pair rows,
+    * prefix counts summed from the ALREADY-SHRUNK bigram table (never a
+    * second pass over pair rows) — and scoring is one hash join of pair
+    * rows against the LM plus a per-doc aggregate. GroupBy (not window)
+    * throughout: partial aggregation absorbs hot-bigram skew that a
+    * `count over (partition by bigram)` window would concentrate in one
+    * task. At 100 TB the LM table is built once and persisted (the
+    * [[graft.ext.Similarity.bandedSignatureRows]] write-once lifecycle);
+    * this method states the one-shot form.
+    *
+    * Output: (idCol, n_bigrams: bigint, avg_logprob: double) — documents
+    * with fewer than 2 tokens have no bigrams and drop.
+    */
+  def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("_id"),
+      transform(tokens(col(textCol)), t => xxhash64(t)).as("_th"))
+    val pairs = toks.filter(size(col("_th")) >= 2)
+      .select(col("_id"), col("_th"),
+        posexplode(sequence(lit(0), size(col("_th")) - 2)).as(Seq("_p", "_d")))
+      .select(col("_id"),
+        element_at(col("_th"), col("_p") + 1).as("_w1"),
+        element_at(col("_th"), col("_p") + 2).as("_w2"))
+    val c2 = pairs.groupBy("_w1", "_w2").agg(count(lit(1)).as("_c2"))
+    val c1 = c2.groupBy("_w1").agg(sum(col("_c2")).cast("long").as("_c1"))
+    val vocab = toks.select(explode(col("_th")).as("_t"))
+      .agg(countDistinct(col("_t")).as("_v"))
+    val lm = c2.join(c1, "_w1").crossJoin(broadcast(vocab))
+      .select(col("_w1"), col("_w2"),
+        log((col("_c2") + 1).cast("double") / (col("_c1") + col("_v"))).as("_lp"))
+    pairs.join(lm, Seq("_w1", "_w2"))
+      .groupBy(col("_id").as(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), avg(col("_lp")).as("avg_logprob"))
+  }
 }

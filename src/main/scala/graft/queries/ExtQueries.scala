@@ -254,6 +254,28 @@ object ExtQueries {
         "SELECT ngram, CAST(count(*) AS BIGINT) AS freq FROM g " +
         "GROUP BY ngram ORDER BY freq DESC, ngram LIMIT 100")),
 
+    // Bigram-LM quality score: mean log-prob of each doc's bigrams under
+    // an add-one-smoothed corpus bigram model — the cheap LM-perplexity
+    // filter. Hashed join keys; oracle states the same model over token
+    // strings (identical counts under collision-free hashing).
+    Q("x_lm_score",
+      (s, d) => TextAnalysis.lmScore(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("avg_logprob"), 6).as("avg_logprob"))
+        .orderBy("doc_id"),
+      Some("WITH t AS (SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents), " +
+        "e AS (SELECT doc_id, toks[p] AS w1, toks[p+1] AS w2 FROM " +
+        "(SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS p FROM t " +
+        "WHERE len(toks) >= 2)), " +
+        "c2 AS (SELECT w1, w2, count(*) AS c2 FROM e GROUP BY w1, w2), " +
+        "c1 AS (SELECT w1, count(*) AS c1 FROM e GROUP BY w1), " +
+        "v AS (SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(toks) AS tok FROM t)), " +
+        "lm AS (SELECT w1, w2, ln((c2 + 1.0) / (c1 + v)) AS lp " +
+        "FROM c2 JOIN c1 USING (w1) CROSS JOIN v) " +
+        "SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
+        "round(avg(lp), 6) AS avg_logprob " +
+        "FROM e JOIN lm USING (w1, w2) GROUP BY e.doc_id ORDER BY e.doc_id")),
+
     // Deterministic hash split (train/val/test by id hash) — engine-hash
     // dependent: rows-only; proportions/stability pinned in PrepSpec.
     Q("x_hash_split",

@@ -158,6 +158,19 @@ class EvalFunctionsSpec extends SparkSpec {
     assert(got == Seq((0L, true, 2L), (1L, false, 0L), (2L, true, 1L)))
   }
 
+  test("ext: lmScore = mean ln of add-one bigram probabilities") {
+    val docs = Seq((0L, "a b a b"), (1L, "a b c"), (2L, "c"))
+      .toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis.lmScore(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    // counts: ab=3, ba=1, bc=1; prefixes: a=3, b=2; V=3 (a,b,c)
+    // P(b|a)=(3+1)/(3+3)  P(a|b)=(1+1)/(2+3)  P(c|b)=(1+1)/(2+3)
+    val pAB = math.log(4.0 / 6); val pBA = math.log(2.0 / 5); val pBC = math.log(2.0 / 5)
+    assert(got.map(r => (r._1, r._2)) == Seq((0L, 3L), (1L, 2L))) // doc 2: no bigrams
+    assert(math.abs(got(0)._3 - (2 * pAB + pBA) / 3) < 1e-9)
+    assert(math.abs(got(1)._3 - (pAB + pBC) / 2) < 1e-9)
+  }
+
   test("ext: vocabulary and ngramCounts rank by frequency with token tie-break") {
     val docs = Seq(
       (0L, "a b a c"),
