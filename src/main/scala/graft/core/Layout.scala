@@ -54,4 +54,22 @@ object Layout {
       .withColumn("_salt", explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Training-corpus shard writer: assign every row to one of `numShards`
+    * shards by the SQL-portable [[graft.prep.Prep.portableHash]] of its
+    * id and write one directory per shard
+    * (`path/shard=N/part-*.parquet`) — the deterministic, re-derivable
+    * layout a downstream training job reads shard-by-shard. The
+    * repartition puts each shard's rows in one task, so a shard
+    * directory gets ONE file instead of one per upstream task (a 100 TB
+    * corpus written from 10k tasks into 1k shards would otherwise
+    * produce 10M small files — the classic small-files failure).
+    * Readers re-derive the assignment from the id alone, in Spark or any
+    * ANSI SQL engine.
+    */
+  def writeShards(df: DataFrame, path: String, idCol: String,
+                  numShards: Int): Unit =
+    df.withColumn("shard", pmod(graft.prep.Prep.portableHash(col(idCol)), lit(numShards.toLong)))
+      .repartition(numShards, col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
 }

@@ -73,6 +73,61 @@ object Prep {
     df.withColumn(out, coalesce(expr0, lit(fracs.last._1)))
   }
 
+  /** SQL-portable deterministic hash of an integer id into [0, 2^32):
+    * Knuth multiplicative hashing, `(id * 2654435761) mod 2^32`. Unlike
+    * [[hashSplit]]'s xxhash64, any ANSI SQL engine can recompute it —
+    * so shards, samples, and splits derived from it can be re-derived
+    * and audited by external tools (the cross-engine reproducibility a
+    * training-data lineage check needs). Requires |id| < 2^31 so the
+    * product stays in long range under ANSI arithmetic; for string or
+    * adversarial keys use [[hashSplit]].
+    */
+  def portableHash(id: Column): Column =
+    pmod(id.cast("long") * 2654435761L, lit(4294967296L))
+
+  /** Deterministic per-stratum token-budget sampling: within each
+    * stratum (language, domain, source…), documents are taken in
+    * [[portableHash]] order until the running `weightCol` total (token
+    * count) exceeds `budget` — the "N tokens per language" corpus-mixing
+    * step, reproducible across engines and stable under corpus growth
+    * (a doc's selection changes only if earlier-hashed mass changes).
+    *
+    * Scale shape: the cumulative sum is two-phase — hashes range into
+    * `numBuckets` equal-width buckets, per-(stratum, bucket) partial
+    * sums run in parallel, and the only unpartitioned-by-hash window
+    * runs over the numBuckets-row per-stratum totals ledger (ordered by
+    * `_b`, the bounded-ledger audit convention). A plain
+    * `Window.partitionBy(stratum)` would serialize each stratum — the
+    * dominant language of a 100 TB corpus in ONE task.
+    *
+    * Output: the selected rows of `df` plus `_cum` (running token total
+    * inclusive of the row, ≤ budget).
+    */
+  def tokenBudgetSample(df: DataFrame, idCol: String, stratumCol: String,
+                        weightCol: String, budget: Long,
+                        numBuckets: Int = 256): DataFrame = {
+    require(4294967296L % numBuckets == 0, "numBuckets must divide 2^32")
+    val bucketWidth = 4294967296L / numBuckets
+    val hashed = df.withColumn("_h", portableHash(col(idCol)))
+      .withColumn("_b", (col("_h") / bucketWidth).cast("long"))
+    val totals = hashed.groupBy(col(stratumCol), col("_b"))
+      .agg(sum(col(weightCol)).cast("long").as("_t"))
+    val wOff = Window.partitionBy(col(stratumCol)).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("_off", coalesce(sum(col("_t")).over(wOff), lit(0L)))
+      .drop("_t")
+    val wLocal = Window.partitionBy(col(stratumCol), col("_b"))
+      .orderBy(col("_h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    hashed
+      .withColumn("_loc", sum(col(weightCol)).over(wLocal).cast("long"))
+      .join(broadcast(offsets), Seq(stratumCol, "_b"))
+      .withColumn("_cum", col("_loc") + col("_off"))
+      .filter(col("_cum") <= budget)
+      .drop("_h", "_b", "_loc", "_off")
+  }
+
   /** P11 — z-score standardization. The reference fits scalers on three
     * different slices depending on call-site (full data, train slice, raw
     * file) — so the fit frame and the transform frame are explicit,

@@ -285,6 +285,43 @@ object ExtQueries {
         .orderBy("split"),
       None),
 
+    // Shard assignment stats: SQL-portable Knuth multiplicative hash →
+    // shard, with doc/token counts per shard. The oracle recomputes the
+    // hash arithmetic directly — the cross-engine re-derivability the
+    // shard layout promises (Layout.writeShards writes this assignment).
+    Q("x_shard_stats",
+      (s, d) => Tables.documents(s, d)
+        .select(pmod(graft.prep.Prep.portableHash(col("doc_id")), lit(8L)).as("shard"),
+          TextAnalysis.tokenCount(col("text")).as("_ntok"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("_ntok")).cast("long").as("n_tokens"))
+        .orderBy("shard"),
+      Some("WITH s AS (SELECT ((doc_id * 2654435761) % 4294967296) % 8 AS shard, " +
+        "len(string_split_regex(text, ' +')) AS ntok FROM documents) " +
+        "SELECT CAST(shard AS BIGINT) AS shard, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(ntok) AS BIGINT) AS n_tokens FROM s GROUP BY shard ORDER BY shard")),
+
+    // Per-language token-budget sampling: take docs in portable-hash
+    // order until 1000 tokens per language — the corpus-mixing step.
+    // Two-phase bucketed cumsum inside (no per-stratum serialization);
+    // the oracle states the same running total as ONE window (fine at
+    // oracle scale).
+    Q("x_token_budget_sample",
+      (s, d) => graft.prep.Prep.tokenBudgetSample(
+          Tables.documents(s, d).select(col("doc_id"), col("lang"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+          "doc_id", "lang", "n_tokens", budget = 1000L)
+        .select(col("doc_id"), col("lang"), col("n_tokens").cast("long").as("n_tokens"),
+          col("_cum").as("cum_tokens"))
+        .orderBy("doc_id"),
+      Some("WITH s AS (SELECT doc_id, lang, " +
+        "len(string_split_regex(text, ' +')) AS n_tokens, " +
+        "(doc_id * 2654435761) % 4294967296 AS h FROM documents), " +
+        "c AS (SELECT doc_id, lang, n_tokens, " +
+        "sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id) AS cum FROM s) " +
+        "SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, " +
+        "CAST(cum AS BIGINT) AS cum_tokens FROM c WHERE cum <= 1000 ORDER BY doc_id")),
+
     // Quality FILTER decision over the signals: keep flag + first failing
     // rule per document (~60/40 keep/drop split on this corpus, so both
     // branches are exercised at every checked sf).

@@ -95,6 +95,27 @@ class PrepSpec extends SparkSpec {
     assert(subset.forall { case (id, s) => a(id) == s })
   }
 
+  test("tokenBudgetSample: per-stratum hash-order prefix within budget") {
+    // weights 10..29 over 2 strata; local simulation is the contract
+    val rows = (0L until 20L).map(i => (i, if (i % 2 == 0) "a" else "b", 10L + i))
+    val df = rows.toDF("id", "stratum", "w")
+    val budget = 60L
+    def knuth(id: Long) = java.lang.Math.floorMod(id * 2654435761L, 4294967296L)
+    val expected = rows.groupBy(_._2).flatMap { case (_, rs) =>
+      val ordered = rs.sortBy(r => (knuth(r._1), r._1))
+      val cums = ordered.scanLeft(0L)(_ + _._3).tail
+      ordered.zip(cums).takeWhile(_._2 <= budget).map { case (r, c) => (r._1, c) }
+    }.toMap
+    // small bucket count exercises the cross-bucket offset path
+    val got = Prep.tokenBudgetSample(df, "id", "stratum", "w", budget, numBuckets = 4)
+      .select(col("id"), col("_cum")).as[(Long, Long)].collect().toMap
+    assert(got == expected, s"got=$got expected=$expected")
+    // larger budget only ever adds rows (append-stable mixing)
+    val wider = Prep.tokenBudgetSample(df, "id", "stratum", "w", budget * 2, numBuckets = 4)
+      .select(col("id")).as[Long].collect().toSet
+    assert(expected.keySet.subsetOf(wider))
+  }
+
   test("P4: multi-format timestamp parse falls back per row") {
     val df = Seq("2024-01-02 03:04:05", "02/01/2024 03:04:05", "garbage").toDF("s")
     val out = df.select(Prep.parseTimestampMulti(col("s"),
