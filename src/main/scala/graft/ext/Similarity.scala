@@ -274,4 +274,44 @@ object Similarity {
       .filter(col("cos") > minCos)
       .select("id1", "id2", "cos")
   }
+
+  /** Scalar int8-style quantization of an embedding column: per-dimension
+    * affine codes `q_i = clamp(floor((v_i - lo_i)/(hi_i - lo_i)*255 + .5))`
+    * against corpus-wide per-dim (min, max) — 4× smaller vectors for the
+    * ANN candidate stage, with the reconstruction error reported per
+    * vector so a pipeline can gate on quantization loss.
+    *
+    * Scale shape: the stats pass is a posexplode + groupBy over DIM keys
+    * (map-side combined; 64 groups, not 64×rows shuffled), collapsed to
+    * ONE broadcast row of (lo[], hi[]) arrays — the quantize pass is then
+    * a crossJoin(broadcast) + per-row array transform: no explode of the
+    * corpus, no re-collect of vectors, no second shuffle. `floor(x + .5)`
+    * (not `round`) keeps the code arithmetic bit-identical across
+    * engines. Reconstruction uses the same sequential left-fold
+    * `aggregate`, so the MSE is deterministic.
+    *
+    * Output: (idCol, codes: array<int>, mse: double).
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val dims = df.select(posexplode(v).as(Seq("_dim", "_x")))
+      .groupBy("_dim").agg(min(col("_x")).as("_lo"), max(col("_x")).as("_hi"))
+    val stats = broadcast(dims
+      .agg(array_sort(collect_list(struct(col("_dim"), col("_lo"), col("_hi")))).as("_s"))
+      .select(transform(col("_s"), s => s.getField("_lo")).as("_los"),
+              transform(col("_s"), s => s.getField("_hi")).as("_his")))
+    def lo(i: Column) = element_at(col("_los"), i + 1)
+    def hi(i: Column) = element_at(col("_his"), i + 1)
+    def code(x: Column, i: Column): Column =
+      when(hi(i) === lo(i), lit(0)).otherwise(
+        least(greatest(floor((x - lo(i)) / (hi(i) - lo(i)) * 255.0 + 0.5), lit(0.0)),
+          lit(255.0)).cast("int"))
+    df.select(col(idCol), v.as("_v")).crossJoin(stats)
+      .select(col(idCol),
+        transform(col("_v"), (x, i) => code(x, i)).as("codes"),
+        (aggregate(
+          transform(col("_v"), (x, i) =>
+            pow(x - (lo(i) + code(x, i).cast("double") / 255.0 * (hi(i) - lo(i))), 2)),
+          lit(0.0), (a, e) => a + e) / size(col("_v"))).as("mse"))
+  }
 }

@@ -505,6 +505,28 @@ object ExtQueries {
         "len(list_distinct(list_concat(s1, s2))), 6) AS jaccard " +
         "FROM pr ORDER BY id1, id2")),
 
+    // Int8 quantization of the embedding corpus: per-dim affine codes +
+    // per-vector reconstruction MSE. q_sum is an exact integer checksum
+    // of the codes; floor(x+.5) keeps code arithmetic bit-identical to
+    // the oracle's, and MSE (64 tiny positive terms) rounds at 1e-12,
+    // far above any summation-order difference.
+    Q("x_quantize_int8",
+      (s, d) => Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
+        .select(col("vec_id"), size(col("codes")).cast("long").as("n_dims"),
+          aggregate(col("codes"), lit(0L), (a, q) => a + q).as("q_sum"),
+          round(col("mse"), 12).as("mse"))
+        .orderBy("vec_id"),
+      Some("WITH x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v, " +
+        "generate_subscripts(embedding, 1) AS dim FROM embeddings), " +
+        "st AS (SELECT dim, min(v) AS lo, max(v) AS hi FROM x GROUP BY dim), " +
+        "q AS (SELECT vec_id, v, lo, hi, CASE WHEN hi = lo THEN 0 ELSE " +
+        "CAST(least(greatest(floor((v - lo) / (hi - lo) * 255 + 0.5), 0), 255) AS BIGINT) " +
+        "END AS code FROM x JOIN st USING (dim)) " +
+        "SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dims, " +
+        "CAST(sum(code) AS BIGINT) AS q_sum, " +
+        "round(sum(power(v - (lo + code / 255.0 * (hi - lo)), 2)) / count(*), 12) AS mse " +
+        "FROM q GROUP BY vec_id ORDER BY vec_id")),
+
     // Benchmark decontamination: flag corpus docs sharing any 4-gram
     // with the held-out "benchmark" slice (doc_id % 20 == 0). Hashed
     // n-grams join broadcast; the oracle states the same overlap over

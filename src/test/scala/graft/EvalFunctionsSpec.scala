@@ -144,6 +144,27 @@ class EvalFunctionsSpec extends SparkSpec {
     assert(verified > 0.5)
   }
 
+  test("ext: quantizeInt8 codes hit the range ends; constant dims code to 0") {
+    val vecs = Seq(
+      (0L, Array(0.0f, 5.0f, 7.0f)),
+      (1L, Array(10.0f, 5.0f, 3.0f)),
+      (2L, Array(5.0f, 5.0f, 5.0f))
+    ).toDF("vec_id", "embedding")
+    val got = graft.ext.Similarity.quantizeInt8(vecs, "vec_id", "embedding")
+      .orderBy("vec_id").select("codes", "mse")
+      .as[(Seq[Int], Double)].collect()
+    // dim0 spans [0,10]: codes 0/255/128 (5/10*255+.5 floors to 128)
+    // dim1 constant: code 0 everywhere, zero error contribution
+    // dim2 spans [3,7]: codes 255/0/128
+    assert(got(0)._1 == Seq(0, 0, 255) && got(1)._1 == Seq(255, 0, 0) &&
+      got(2)._1 == Seq(128, 0, 128))
+    // range-end codes reconstruct exactly; only the midpoints carry error
+    val mid0 = math.pow(5.0 - 128.0 / 255 * 10, 2)
+    val mid2 = math.pow(5.0 - (3 + 128.0 / 255 * 4), 2)
+    assert(math.abs(got(0)._2) < 1e-12 && math.abs(got(1)._2) < 1e-12)
+    assert(math.abs(got(2)._2 - (mid0 + mid2) / 3) < 1e-12)
+  }
+
   test("ext: decontaminate flags n-gram overlap with the benchmark set only") {
     val corpus = Seq(
       (0L, "alpha beta gamma delta epsilon zeta"),   // shares 4-grams w/ bench
