@@ -14,6 +14,11 @@ final case class BufState(buf: Array[Double], seen: Long)
   */
 final case class BucketState(ids: Array[Long])
 
+/** State for [[StreamingOps.sessionEpisodes]]: the newest event time seen
+  * for the key and its current episode number.
+  */
+final case class EpisodeState(lastTsMs: Long, episode: Long)
+
 /** Streaming-inference surface (SURVEY.md §2.9 — the reference is
   * batch-only; this is the engine's Structured Streaming extension so the
   * same anomaly semantics run over a live sensor feed).
@@ -152,6 +157,57 @@ object StreamingOps {
             state.setTimeoutTimestamp(
               math.max(maxTs, state.getCurrentWatermarkMs() + 1), watermark)
             out.result().iterator
+          }
+      }
+  }
+
+  final case class KeyedEvent(key: String, eventTs: java.sql.Timestamp)
+  final case class EpisodeOut(key: String, eventTs: java.sql.Timestamp, episode: Long)
+
+  /** Per-EVENT episode labeling at ingest — the streaming analogue of the
+    * batch [[graft.window.Windows.sessionize]] EVENT labeling, where
+    * [[sessionWindows]] is the analogue of its closed-session summary: an
+    * arriving event is tagged with its key's running episode number
+    * (0-based; a silence longer than `gapMs` opens the next episode), so
+    * downstream operators can group by episode without waiting for the
+    * session to close.
+    *
+    * State per key is two longs (newest event time, episode counter) —
+    * bounded regardless of stream length — and the event-time timeout
+    * drops keys idle past the watermark horizon. Two documented
+    * append-mode consequences: an event arriving late but within the
+    * watermark is numbered by the state at its PROCESSING batch (each
+    * batch's group is sorted by event time, so only cross-batch
+    * reordering is visible); and a key silent past the horizon restarts
+    * at episode 0 when it returns (its state was reclaimed — by then the
+    * silence itself guarantees a new episode; only the absolute number
+    * resets).
+    */
+  def sessionEpisodes(stream: DataFrame, keyCol: String, tsCol: String,
+                      gapMs: Long, watermark: String): Dataset[EpisodeOut] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.withWatermark(tsCol, watermark)
+      .select(col(keyCol).cast("string").as("key"), col(tsCol).as("eventTs"))
+      .as[KeyedEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[EpisodeState, EpisodeOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, rows, state: GroupState[EpisodeState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var (last, ep) = state.getOption
+              .map(s => (s.lastTsMs, s.episode)).getOrElse((Long.MinValue, 0L))
+            val out = rows.toSeq.sortBy(_.eventTs.getTime).map { r =>
+              val t = r.eventTs.getTime
+              if (last != Long.MinValue && t - last > gapMs) ep += 1
+              last = math.max(last, t)
+              EpisodeOut(key, r.eventTs, ep)
+            }
+            state.update(EpisodeState(last, ep))
+            state.setTimeoutTimestamp(
+              math.max(last, state.getCurrentWatermarkMs() + 1), watermark)
+            out.iterator
           }
       }
   }

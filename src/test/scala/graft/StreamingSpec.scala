@@ -155,6 +155,47 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming episodes: per-event labels match batch sessionize across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val secs = Seq(1, 3, 5, 40, 42, 80, 81, 83, 130)
+    def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:${s / 60}%02d:${s % 60}%02d")
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val out = StreamingOps.sessionEpisodes(input.toDF().toDF("ts", "user"),
+      "user", "ts", gapMs = 10000L, watermark = "5 seconds")
+    val query = out.writeStream.format("memory").queryName("episode_out")
+      .outputMode("append").start()
+    try {
+      // split mid-episode across micro-batches: state must carry over
+      val (b1, b2) = secs.splitAt(4)
+      input.addData(b1.map(s => (ts(s), "u")))
+      query.processAllAvailable()
+      input.addData(b2.map(s => (ts(s), "u")))
+      query.processAllAvailable()
+      // z goes idle past the horizon: a watermark-pushing key (w) fires
+      // its timeout, so z's return restarts at episode 0
+      input.addData(Seq((ts(500), "z")))
+      query.processAllAvailable()
+      input.addData(Seq((ts(1000), "w")))
+      query.processAllAvailable()
+      input.addData(Seq((ts(1200), "z")))
+      query.processAllAvailable()
+      val streamed = spark.table("episode_out").filter(col("key") === "u")
+        .select("eventTs", "episode")
+        .as[(java.sql.Timestamp, Long)].collect().sortBy(_._1.getTime).toSeq
+      val batch = graft.window.Windows.sessionize(
+          secs.zipWithIndex.map { case (s, i) => (i.toLong, s.toLong) }.toDF("idx", "tsec"),
+          "idx", "tsec", gap = 10)
+        .orderBy("idx").select("tsec", "session")
+        .as[(Long, Long)].collect().toSeq
+      assert(streamed == batch.map { case (s, e) => (ts(s.toInt), e) },
+        s"streamed=$streamed batch=$batch")
+      // the reclaimed key restarts at 0 — both z events label episode 0
+      val z = spark.table("episode_out").filter(col("key") === "z")
+        .select("episode").as[Long].collect().toSeq.sorted
+      assert(z == Seq(0L, 0L))
+    } finally query.stop()
+  }
+
   test("streaming text ops: quality filter runs narrow at ingest, no state, no watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long, String)]
