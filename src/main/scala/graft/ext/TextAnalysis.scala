@@ -167,6 +167,33 @@ object TextAnalysis {
       lit(1125899906842597L),
       (acc, t) => xxhash64(acc, t))
 
+  /** Gopher-style intra-document repetition via n-grams: the fraction of
+    * a document's n-gram occurrences that duplicate an earlier one
+    * (`1 − distinct/total`) — high values mark looped/boilerplate text
+    * the quality rules should drop. Entirely per-row (token-hash array →
+    * gram-hash array → `array_distinct`): ZERO shuffle, so it composes
+    * into an ingest stream as a narrow projection like
+    * [[qualityFilter]]. Same hashed-n-gram identity as
+    * [[graft.ext.Dedup.jaccardVerify]].
+    *
+    * Output: (idCol, n_ngrams, n_distinct, dup_frac rounded to 1e-6;
+    * documents shorter than n tokens report (0, 0, 0.0)).
+    */
+  def dupNgramStats(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val th = transform(tokens(col(textCol)), t => xxhash64(t))
+    val grams = when(size(th) >= n,
+        transform(sequence(lit(0), size(th) - n),
+          pos => xxhash64((1 to n).map(j => element_at(th, pos + j)): _*)))
+      .otherwise(array().cast("array<bigint>"))
+    df.select(col(idCol),
+        size(grams).cast("long").as("n_ngrams"),
+        size(array_distinct(grams)).cast("long").as("n_distinct"))
+      .withColumn("dup_frac",
+        when(col("n_ngrams") > 0,
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams"), 6))
+          .otherwise(lit(0.0)))
+  }
+
   /** Per-document language-model quality score: the mean natural-log
     * probability of the document's token bigrams under an add-one-
     * smoothed bigram model fit on the whole corpus —

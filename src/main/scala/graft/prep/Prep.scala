@@ -128,6 +128,66 @@ object Prep {
       .drop("_h", "_b", "_loc", "_off")
   }
 
+  /** Sequence packing ("concat-then-chunk"): documents are laid out in
+    * [[portableHash]] order, conceptually concatenated, and chunked into
+    * fixed `seqLen`-token training sequences. Each document gets the
+    * sequence id and in-sequence offset where its tokens start; a
+    * document whose `offset + weight > seqLen` straddles a boundary and
+    * is split by the downstream tokenizer — the standard LM-pretraining
+    * layout (no padding waste, deterministic and re-derivable from ids).
+    *
+    * The exclusive running total is the same two-phase bucketed cumsum
+    * as [[tokenBudgetSample]] (global, not per-stratum): per-bucket
+    * partials in parallel, one ledger window over numBuckets rows
+    * ordered by `_b`.
+    *
+    * Output: input rows plus `_start` (exclusive token cumsum), `seq_id`
+    * (`_start div seqLen`) and `seq_offset` (`_start mod seqLen`).
+    */
+  def packSequences(df: DataFrame, idCol: String, weightCol: String, seqLen: Long,
+                    numBuckets: Int = 256): DataFrame = {
+    require(4294967296L % numBuckets == 0, "numBuckets must divide 2^32")
+    val bucketWidth = 4294967296L / numBuckets
+    val hashed = df.withColumn("_h", portableHash(col(idCol)))
+      .withColumn("_b", (col("_h") / bucketWidth).cast("long"))
+    val totals = hashed.groupBy(col("_b"))
+      .agg(sum(col(weightCol)).cast("long").as("_t"))
+    // numBuckets-row ledger: the only unpartitioned window, ordered by _b
+    val wOff = Window.orderBy(col("_b")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("_off", coalesce(sum(col("_t")).over(wOff), lit(0L)))
+      .drop("_t")
+    val wLocal = Window.partitionBy(col("_b")).orderBy(col("_h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hashed
+      .withColumn("_loc", coalesce(sum(col(weightCol)).over(wLocal), lit(0L)).cast("long"))
+      .join(broadcast(offsets), "_b")
+      .withColumn("_start", col("_loc") + col("_off"))
+      .withColumn("seq_id", expr(s"_start DIV $seqLen"))
+      .withColumn("seq_offset", col("_start") % seqLen)
+      .drop("_h", "_b", "_loc", "_off")
+  }
+
+  /** Stratum-balancing mixture sampler: downsample every stratum
+    * (language, domain, source…) to the size of the SMALLEST one —
+    * `rate_s = min_n / n_s`, keep a row iff
+    * `portableHash(id) < rate_s · 2^32`. The keep decision is per-row
+    * O(1) against a broadcast rate table: the corpus itself never
+    * shuffles, so the sampler runs narrow at ingest — and any SQL engine
+    * can re-derive exactly which rows were kept. (Counts are
+    * rate-proportional, not exact; for exact-N-per-stratum use
+    * [[tokenBudgetSample]].)
+    */
+  def balancedSample(df: DataFrame, idCol: String, stratumCol: String): DataFrame = {
+    val n = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_n"))
+    val mn = n.agg(min(col("_n")).as("_mn"))
+    val rates = broadcast(n.crossJoin(broadcast(mn))
+      .select(col(stratumCol), (col("_mn").cast("double") / col("_n")).as("_rate")))
+    df.join(rates, stratumCol)
+      .filter(portableHash(col(idCol)).cast("double") < col("_rate") * 4294967296.0)
+      .drop("_rate")
+  }
+
   /** P11 — z-score standardization. The reference fits scalers on three
     * different slices depending on call-site (full data, train slice, raw
     * file) — so the fit frame and the transform frame are explicit,

@@ -322,6 +322,63 @@ object ExtQueries {
         "SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, " +
         "CAST(cum AS BIGINT) AS cum_tokens FROM c WHERE cum <= 1000 ORDER BY doc_id")),
 
+    // Sequence packing: lay documents out in portable-hash order and
+    // chunk into 512-token training sequences; each doc gets the
+    // (seq_id, seq_offset) where its tokens start. Two-phase bucketed
+    // exclusive cumsum; the oracle states it as one window.
+    Q("x_sequence_pack",
+      (s, d) => graft.prep.Prep.packSequences(
+          Tables.documents(s, d).select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+          "doc_id", "n_tokens", seqLen = 512L)
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("seq_id"), col("seq_offset"))
+        .orderBy("doc_id"),
+      Some("WITH s AS (SELECT doc_id, len(string_split_regex(text, ' +')) AS n_tokens, " +
+        "(doc_id * 2654435761) % 4294967296 AS h FROM documents), " +
+        "c AS (SELECT doc_id, n_tokens, coalesce(sum(n_tokens) OVER " +
+        "(ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt " +
+        "FROM s) " +
+        "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, " +
+        "CAST(strt // 512 AS BIGINT) AS seq_id, CAST(strt % 512 AS BIGINT) AS seq_offset " +
+        "FROM c ORDER BY doc_id")),
+
+    // Stratum-balancing mixture sampling: every language downsampled to
+    // the smallest one's size by a portable-hash rate threshold — the
+    // keep decision is per-row O(1) against a broadcast rate table (the
+    // corpus never shuffles). en dominates this corpus ~3:1, so the
+    // sampler visibly rebalances at every checked sf.
+    Q("x_mixture_sample",
+      (s, d) => graft.prep.Prep.balancedSample(
+          Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          "doc_id", "lang")
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id"),
+      Some("WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang), " +
+        "m AS (SELECT min(n) AS mn FROM n), " +
+        "r AS (SELECT lang, CAST(mn AS DOUBLE) / n AS rate FROM n CROSS JOIN m) " +
+        "SELECT doc_id, lang FROM documents JOIN r USING (lang) " +
+        "WHERE (doc_id * 2654435761) % 4294967296 < rate * 4294967296 " +
+        "ORDER BY doc_id")),
+
+    // Gopher intra-doc repetition: duplicate 3-gram fraction per doc —
+    // a zero-shuffle narrow projection (array_distinct on hashed grams;
+    // oracle counts string grams, the usual collision-free identity).
+    Q("x_dup_ngrams",
+      (s, d) => TextAnalysis.dupNgramStats(Tables.documents(s, d), "doc_id", "text", n = 3)
+        .orderBy("doc_id"),
+      Some("WITH t AS (SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents), " +
+        "e AS (SELECT doc_id, array_to_string(toks[p:p+2], ' ') AS g FROM " +
+        "(SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS p FROM t " +
+        "WHERE len(toks) >= 3)), " +
+        "a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams, " +
+        "CAST(count(DISTINCT g) AS BIGINT) AS n_distinct FROM e GROUP BY doc_id) " +
+        "SELECT d.doc_id, coalesce(n_ngrams, 0) AS n_ngrams, " +
+        "coalesce(n_distinct, 0) AS n_distinct, " +
+        "CASE WHEN coalesce(n_ngrams, 0) > 0 " +
+        "THEN round(1.0 - CAST(n_distinct AS DOUBLE) / n_ngrams, 6) ELSE 0.0 END AS dup_frac " +
+        "FROM (SELECT doc_id FROM documents) d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id")),
+
     // Quality FILTER decision over the signals: keep flag + first failing
     // rule per document (~60/40 keep/drop split on this corpus, so both
     // branches are exercised at every checked sf).
