@@ -13,16 +13,20 @@ object QueryRun {
       .getOrElse("/root/testdata/sf0.01")
     // flags may appear anywhere, including first (sfDir then defaults)
     val flags = args.filter(_.startsWith("-")).toSet
-    // -reps must be followed by a bare number; anything else (flag, query
-    // name, end of args) is a usage error, not a NumberFormatException
+    // -reps must be followed by a bare Int-ranged number; anything else
+    // (flag, query name, overflow, end of args) is a usage error, not a
+    // NumberFormatException
+    def parseReps(n: String): Option[Int] =
+      if (n.nonEmpty && n.forall(_.isDigit)) scala.util.Try(n.toInt).toOption
+      else None
     if (args.lastOption.contains("-reps") ||
-        args.sliding(2).exists { case Array("-reps", n) => !n.forall(_.isDigit) || n.isEmpty
+        args.sliding(2).exists { case Array("-reps", n) => parseReps(n).isEmpty
                                  case _ => false }) {
       System.err.println("usage: QueryRun [sfDir] [-explain] [-show] [-reps N] [query ...]")
       sys.exit(2)
     }
     val reps = args.sliding(2).collectFirst {
-      case Array("-reps", n) if n.nonEmpty && n.forall(_.isDigit) => n.toInt
+      case Array("-reps", n) if parseReps(n).isDefined => parseReps(n).get
     }.getOrElse(1)
     // skip the sfDir (when present) and the value after EVERY -reps
     val repsValueIdx = args.zipWithIndex.collect { case ("-reps", i) => i + 1 }.toSet

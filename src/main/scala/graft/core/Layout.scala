@@ -65,7 +65,10 @@ object Layout {
     * corpus written from 10k tasks into 1k shards would otherwise
     * produce 10M small files — the classic small-files failure).
     * Readers re-derive the assignment from the id alone, in Spark or any
-    * ANSI SQL engine.
+    * ANSI SQL engine. Inherits [[graft.prep.Prep.portableHash]]'s
+    * |id| < 2^31 precondition — an out-of-range id silently wraps under
+    * non-ANSI arithmetic and the external re-derivation no longer
+    * matches.
     */
   def writeShards(df: DataFrame, path: String, idCol: String,
                   numShards: Int): Unit =

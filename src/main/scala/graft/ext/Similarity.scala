@@ -290,6 +290,15 @@ object Similarity {
     * engines. Reconstruction uses the same sequential left-fold
     * `aggregate`, so the MSE is deterministic.
     *
+    * Dimensionality: the stats arrays are as long as the LONGEST vector
+    * in the corpus, so shorter rows quantize fine (their transform never
+    * reaches the missing tail) — but a corpus where no single row spans
+    * the max dimensionality has no per-dim stats beyond each row's own
+    * length either, by construction. Ragged rows are first-class: every
+    * row is guarded by `size(v) <= size(stats)`, which always holds, so
+    * no `element_at` can run past the stats arrays (null codes under
+    * non-ANSI, a runtime error under ANSI) even if the contract changes.
+    *
     * Output: (idCol, codes: array<int>, mse: double).
     */
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
@@ -306,10 +315,14 @@ object Similarity {
       when(hi(i) === lo(i), lit(0)).otherwise(
         least(greatest(floor((x - lo(i)) / (hi(i) - lo(i)) * 255.0 + 0.5), lit(0.0)),
           lit(255.0)).cast("int"))
+    // CaseWhen evaluates only the matching branch, so a (hypothetical)
+    // over-long row yields null codes/mse instead of reading past _los
+    def guarded(c: Column): Column =
+      when(size(col("_v")) <= size(col("_los")), c)
     df.select(col(idCol), v.as("_v")).crossJoin(stats)
       .select(col(idCol),
-        transform(col("_v"), (x, i) => code(x, i)).as("codes"),
-        (aggregate(
+        guarded(transform(col("_v"), (x, i) => code(x, i))).as("codes"),
+        guarded(aggregate(
           transform(col("_v"), (x, i) =>
             pow(x - (lo(i) + code(x, i).cast("double") / 255.0 * (hi(i) - lo(i))), 2)),
           lit(0.0), (a, e) => a + e) / size(col("_v"))).as("mse"))

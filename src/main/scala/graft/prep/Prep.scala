@@ -101,7 +101,9 @@ object Prep {
     * dominant language of a 100 TB corpus in ONE task.
     *
     * Output: the selected rows of `df` plus `_cum` (running token total
-    * inclusive of the row, ≤ budget).
+    * inclusive of the row, ≤ budget). Inherits [[portableHash]]'s
+    * |id| < 2^31 precondition — out-of-range ids silently wrap under
+    * non-ANSI arithmetic and the cross-engine re-derivation breaks.
     */
   def tokenBudgetSample(df: DataFrame, idCol: String, stratumCol: String,
                         weightCol: String, budget: Long,
@@ -143,6 +145,8 @@ object Prep {
     *
     * Output: input rows plus `_start` (exclusive token cumsum), `seq_id`
     * (`_start div seqLen`) and `seq_offset` (`_start mod seqLen`).
+    * Inherits [[portableHash]]'s |id| < 2^31 precondition (see
+    * [[tokenBudgetSample]]).
     */
   def packSequences(df: DataFrame, idCol: String, weightCol: String, seqLen: Long,
                     numBuckets: Int = 256): DataFrame = {
@@ -176,7 +180,8 @@ object Prep {
     * shuffles, so the sampler runs narrow at ingest — and any SQL engine
     * can re-derive exactly which rows were kept. (Counts are
     * rate-proportional, not exact; for exact-N-per-stratum use
-    * [[tokenBudgetSample]].)
+    * [[tokenBudgetSample]].) Inherits [[portableHash]]'s |id| < 2^31
+    * precondition (see [[tokenBudgetSample]]).
     */
   def balancedSample(df: DataFrame, idCol: String, stratumCol: String): DataFrame = {
     val n = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_n"))

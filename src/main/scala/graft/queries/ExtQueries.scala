@@ -87,7 +87,15 @@ object ExtQueries {
 
   private def clustersFor(s: org.apache.spark.sql.SparkSession, d: String) =
     clusterCache.getOrElseUpdate((s, d), {
-      evictStale(clusterCache)(_._1 ne s)(_.unpersist()) // checkpoint blocks
+      // the memoized frame is localCheckpoint-backed, not CacheManager-
+      // registered: Dataset.unpersist would be a no-op, so release the
+      // checkpoint blocks through the LogicalRDD's own RDD
+      evictStale(clusterCache)(_._1 ne s) { df =>
+        df.queryExecution.analyzed match {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+          case _ => df.unpersist()
+        }
+      }
       Dedup.duplicateClusters(Similarity.cosineNearDuplicates(
         Tables.embeddings(s, d).filter(col("vec_id") < 300), "vec_id", "embedding", 0.3))
     })
