@@ -275,6 +275,52 @@ object WindowQueries {
         "UNION ALL SELECT 'big' AS tag, event_id FROM events WHERE value > 180 " +
         "ORDER BY tag, event_id")),
 
+    // As-of join, grouped: every event gets the latest 'purchase' value
+    // by the SAME user at-or-before its timestamp (the "latest campaign
+    // touch" attribution lookup). Union + keyed window — no non-equi
+    // join; oracle = DuckDB's native ASOF JOIN, so the tie/no-match
+    // semantics are pinned against an independent implementation. Both
+    // sides join on MICROSECONDS (ts DIV 1000 / epoch_us): DuckDB's
+    // TIMESTAMP truncates the parquet nanos to µs on read, and the ns
+    // tail would desynchronize asof_ts (timestamps stay µs-unique).
+    Q("x_asof_join",
+      (s, d) => {
+        val e = ev(s, d).withColumn("ts_us", expr("ts DIV 1000L"))
+        Windows.asofJoin(
+            e.select("event_id", "user_id", "ts_us"),
+            e.filter(col("event_type") === "purchase").select("user_id", "ts_us", "value"),
+            "ts_us", "ts_us", Seq("value"), partCols = Seq("user_id"))
+          .select(col("event_id"), col("user_id"), col("asof_ts"),
+            round(col("asof_value"), 6).as("asof_value"))
+          .orderBy("event_id")
+      },
+      Some("WITH r AS (SELECT user_id, epoch_us(ts) AS rt, value AS rv " +
+        "FROM events WHERE event_type = 'purchase') " +
+        "SELECT l.event_id, l.user_id, r.rt AS asof_ts, round(r.rv, 6) AS asof_value " +
+        "FROM events l ASOF LEFT JOIN r ON l.user_id = r.user_id AND epoch_us(l.ts) >= r.rt " +
+        "ORDER BY l.event_id")),
+
+    // As-of join, global (no key): every event gets the latest 'error'
+    // value corpus-wide at-or-before its timestamp. Exercises the
+    // range-bucketed decomposition — per-bucket windows + a bounded
+    // carry ledger, no global window over the data. µs axis as above.
+    Q("x_asof_global",
+      (s, d) => {
+        val e = ev(s, d).withColumn("ts_us", expr("ts DIV 1000L"))
+        Windows.asofJoin(
+            e.select("event_id", "ts_us"),
+            e.filter(col("event_type") === "error").select("ts_us", "value"),
+            "ts_us", "ts_us", Seq("value"))
+          .select(col("event_id"), col("asof_ts"),
+            round(col("asof_value"), 6).as("asof_value"))
+          .orderBy("event_id")
+      },
+      Some("WITH r AS (SELECT epoch_us(ts) AS rt, value AS rv " +
+        "FROM events WHERE event_type = 'error') " +
+        "SELECT l.event_id, r.rt AS asof_ts, round(r.rv, 6) AS asof_value " +
+        "FROM events l ASOF LEFT JOIN r ON epoch_us(l.ts) >= r.rt " +
+        "ORDER BY l.event_id")),
+
     // O4 — sort of (metric, label) pairs.
     Q("o4_sort_pairs",
       (s, d) => ev(s, d).select("value", "event_type", "event_id")

@@ -308,6 +308,95 @@ object Windows {
         .drop("_prev", "_new")
     }
 
+  /** As-of join (backward, inclusive): every left row is joined to the
+    * single right row with the greatest `rightTime` <= the left row's
+    * `leftTime` — the "latest state at or before this instant" lookup
+    * (price marks, calibration readings, latest campaign touch). The
+    * matched right time comes back as `asof_ts` and each requested value
+    * column as `asof_<name>`; all null when no right row precedes.
+    * Right-side times must be unique per group — a duplicate time makes
+    * "the" latest row ambiguous (same contract as DuckDB ASOF JOIN,
+    * which this operator's oracle uses).
+    *
+    * Scale shape — never a non-equi join or an all-pairs product, both
+    * of which the naive formulation (`l.t >= r.t` + max) produces:
+    *  - Grouped (`partCols` non-empty): tag-union both sides and take
+    *    the last right-row struct (`ignoreNulls`) over a window
+    *    partitioned by the keys, ordered by (time, tag) with right rows
+    *    first at a tie (inclusive semantics). Parallelism = #groups —
+    *    the idiomatic many-key shape.
+    *  - Global (`partCols` empty): the same union range-bucketed over
+    *    the broadcast (min, max) time bounds ([[rangeBucketedCumSum]]'s
+    *    decomposition): per-bucket windows run in parallel, and each
+    *    bucket's carry-in — the latest right row of any EARLIER bucket —
+    *    comes from a numBuckets-row ledger whose only unpartitioned
+    *    window is ordered by `_b` (the bounded-ledger audit convention).
+    *
+    * The right-row payload travels as ONE struct, so a right row whose
+    * VALUE is legitimately null still wins the as-of match (per-column
+    * `last(ignoreNulls)` would skip past it to an older row).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, leftTime: String,
+               rightTime: String, valueCols: Seq[String],
+               partCols: Seq[String] = Nil, numBuckets: Int = 1024): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val lu = left
+      .withColumn("_t", col(leftTime).cast("long"))
+      .withColumn("_tag", lit(1))
+    val luFull = valueCols.foldLeft(lu) { (d, c) =>
+      d.withColumn(s"_rv_$c", lit(null).cast(right.schema(c).dataType))
+    }
+    val ru0 = right.select(
+      partCols.map(col) ++
+        Seq(col(rightTime).cast("long").as("_t"), lit(0).as("_tag")) ++
+        valueCols.map(c => col(c).as(s"_rv_$c")): _*)
+    // align the right rows to the union schema: left-only columns as
+    // typed nulls, then positional re-select in the left frame's order
+    val ru = leftCols.foldLeft(ru0) { (d, c) =>
+      if (d.columns.contains(c)) d
+      else d.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.select(luFull.columns.map(col): _*)
+    val unioned = luFull.union(ru)
+    // the whole right-row payload as one nullable struct (null on left rows)
+    val rstruct = when(col("_tag") === 0,
+      struct(col("_t").as("ts") +: valueCols.map(c => col(s"_rv_$c").as(c)): _*))
+    def finish(d: DataFrame, m: Column): DataFrame =
+      d.filter(col("_tag") === 1).select(
+        leftCols.map(col) ++ (m.getField("ts").as("asof_ts") +:
+          valueCols.map(c => m.getField(c).as(s"asof_$c"))): _*)
+    if (partCols.nonEmpty) {
+      val w = Window.partitionBy(partCols.map(col): _*)
+        .orderBy(col("_t"), col("_tag"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      finish(unioned.withColumn("_m", last(rstruct, ignoreNulls = true).over(w)),
+        col("_m"))
+    } else {
+      val t = col("_t").cast("double")
+      val bounds = broadcast(unioned.agg(min(t).as("_lo"), max(t).as("_hi")))
+      val rawB = floor((t - col("_lo")) / (col("_hi") - col("_lo")) * numBuckets)
+      val bucketed = unioned.crossJoin(bounds)
+        .withColumn("_b", when(col("_hi") === col("_lo"), lit(0L))
+          .otherwise(least(rawB, lit(numBuckets - 1.0))).cast("long"))
+        .drop("_lo", "_hi")
+      val wLocal = Window.partitionBy(col("_b")).orderBy(col("_t"), col("_tag"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val local = bucketed.withColumn("_m", last(rstruct, ignoreNulls = true).over(wLocal))
+      // ledger: every bucket that appears, left-joined with its last
+      // right row; the carry-in is the latest right row over all
+      // EARLIER buckets (bounded numBuckets-row window, ordered by _b)
+      val perBucket = bucketed.filter(col("_tag") === 0)
+        .groupBy("_b").agg(max_by(rstruct, col("_t")).as("_lastr"))
+      val wCarry = Window.orderBy(col("_b"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ledger = bucketed.select("_b").distinct()
+        .join(perBucket, Seq("_b"), "left")
+        .withColumn("_carry", last(col("_lastr"), ignoreNulls = true).over(wCarry))
+        .select("_b", "_carry")
+      finish(local.join(broadcast(ledger), "_b"),
+        coalesce(col("_m"), col("_carry")))
+    }
+  }
+
   /** Two-phase cumulative sums over a DOUBLE ordering key (no dense
     * integer index to `DIV` on — the [[scalableCumSum]] situation for
     * score-ordered sweeps like ROC). Keys are ranged into `numBuckets`

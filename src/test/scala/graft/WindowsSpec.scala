@@ -218,6 +218,55 @@ class WindowsSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin: grouped — latest right row at-or-before, inclusive ties, nulls before first") {
+    val left = Seq((0L, "a", 10L), (1L, "a", 20L), (2L, "a", 30L), (3L, "b", 15L), (4L, "b", 5L))
+      .toDF("id", "k", "t")
+    val right = Seq(("a", 20L, 2.0), ("a", 25L, 2.5), ("b", 10L, 1.0))
+      .toDF("k", "rt", "v")
+    val got = Windows.asofJoin(left, right, "t", "rt", Seq("v"), partCols = Seq("k"))
+      .orderBy("id")
+      .select("id", "asof_ts", "asof_v")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSeq
+    assert(got == Seq(
+      (0L, None, None),            // before any right row in group a
+      (1L, Some(20L), Some(2.0)),  // tie: inclusive — matches rt == t
+      (2L, Some(25L), Some(2.5)),  // strictly-later right row ignored? no: 25 <= 30
+      (3L, Some(10L), Some(1.0)),
+      (4L, None, None)))           // b@5 precedes b's first right row
+  }
+
+  test("asofJoin: a right row with a NULL value still wins the match") {
+    val left = Seq((0L, "a", 30L)).toDF("id", "k", "t")
+    val right = Seq(("a", 10L, Some(1.0)), ("a", 20L, Option.empty[Double]))
+      .toDF("k", "rt", "v")
+    val got = Windows.asofJoin(left, right, "t", "rt", Seq("v"), partCols = Seq("k"))
+      .select("asof_ts", "asof_v").collect()
+    // the t=20 row is the as-of match even though its value is null —
+    // per-column last(ignoreNulls) would have leaked 1.0 from t=10
+    assert(got.head.getLong(0) == 20L && got.head.isNullAt(1))
+  }
+
+  test("asofJoin: global bucketed form equals the single-group keyed form") {
+    val n = 500
+    val left = spark.range(n.toLong)
+      .select(col("id"), (col("id") * 7 % 1000).as("t"), lit("g").as("k"))
+    val right = spark.range(40L)
+      .select((col("id") * 25 + 3).as("rt"), (col("id") * 1.5).as("v"), lit("g").as("k"))
+    val expect = Windows.asofJoin(left, right, "t", "rt", Seq("v"), partCols = Seq("k"))
+      .orderBy("id").select("id", "asof_ts", "asof_v")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSeq
+    for (buckets <- Seq(1, 7, 64)) {
+      val got = Windows.asofJoin(left.drop("k"), right.drop("k"), "t", "rt", Seq("v"),
+          numBuckets = buckets)
+        .orderBy("id").select("id", "asof_ts", "asof_v")
+        .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSeq
+      assert(got == expect, s"numBuckets=$buckets")
+    }
+    // scale posture: no unpartitioned data-sized window in the global plan
+    assert(globalDataWindows(
+      Windows.asofJoin(left.drop("k"), right.drop("k"), "t", "rt", Seq("v"))).isEmpty)
+  }
+
   test("A8 plans: aucRoc keeps every data-sized window partitioned") {
     val df = (0 until 300).map(i => ((i % 97) * 0.21, i % 3 == 0)).toDF("s", "y")
     val auc = graft.eval.Eval.aucRoc(df, col("s"), col("y"))
