@@ -236,4 +236,64 @@ object TextAnalysis {
       .groupBy(col("_id").as(idCol))
       .agg(count(lit(1)).as("n_bigrams"), avg(col("_lp")).as("avg_logprob"))
   }
+
+  /** PII patterns for [[redactPii]] — deliberately restricted to syntax
+    * Java regex and RE2 (DuckDB/Go scrubbers) interpret identically:
+    * character classes, bounded repetition, ASCII `\b`/`\d` — no
+    * lookaround, no backreferences, so a redaction run is re-derivable
+    * by an external auditor on any engine.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  /** PII redaction: replace emails, IPv4 addresses, and phone-shaped
+    * numbers with typed placeholder tags, and report the per-document
+    * match counts (counted on the ORIGINAL text, each pattern
+    * independently). A narrow zero-shuffle projection — the standard
+    * pre-training scrub pass runs at ingest rate.
+    *
+    * Replacement order (email → ip → phone) is part of the contract:
+    * earlier replacements cannot create or destroy later matches for
+    * these patterns (the tags contain no digits), but a custom pattern
+    * set must preserve the documented order to be re-derivable.
+    *
+    * Output: df plus n_emails, n_ips, n_phones (int) and `redacted`.
+    */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails", size(regexp_extract_all(t, lit(EmailRe), lit(0))))
+      .withColumn("n_ips", size(regexp_extract_all(t, lit(Ipv4Re), lit(0))))
+      .withColumn("n_phones", size(regexp_extract_all(t, lit(PhoneRe), lit(0))))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(regexp_replace(t,
+          EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>"))
+  }
+
+  /** TF-IDF top-`k` terms per document: tf = in-document term count,
+    * idf = ln(N / df) over the corpus, ties broken by token ascending.
+    *
+    * Scale shape: tokenize-explode → (doc, token) count (map-side
+    * combined) → document-frequency aggregate joined back ON TOKEN (a
+    * hash join keyed by the vocabulary, not the corpus) → corpus size as
+    * a broadcast 1-row aggregate → per-document top-k via a window
+    * partitioned by document id (parallelism = #documents). Nothing
+    * global, nothing quadratic.
+    *
+    * Output: (idCol, token, tf: long, rank: int, tfidf: double).
+    */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+    val tf = toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("_df"))
+    val n = broadcast(df.agg(count(lit(1)).as("_n")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("token").asc)
+    tf.join(dfreq, "token").crossJoin(n)
+      .withColumn("tfidf", col("tf") * log(col("_n").cast("double") / col("_df")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("token"), col("tf"), col("rank"), col("tfidf"))
+  }
 }

@@ -418,6 +418,81 @@ object ExtQueries {
         "SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS cnt FROM p " +
         "GROUP BY lang, lang_pred ORDER BY lang, lang_pred")),
 
+    // PII redaction: emails / IPv4 / phone-shaped numbers → typed tags +
+    // per-doc match counts. The corpus has no organic PII, so both
+    // engines append the SAME deterministic doc_id-derived contacts to a
+    // rotating subset of rows (%3 email, %4 ip, %5 phone) — the checked
+    // result has redacted and untouched rows at every sf, and the
+    // patterns are the Java/RE2-portable set from TextAnalysis.
+    Q("x_pii_redact",
+      (s, d) => {
+        val aug = concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" reach user"), col("doc_id").cast("string"),
+              lit("@mail.example"))).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0,
+            concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+              lit(".7"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" call 555-"), (col("doc_id") % 900 + 100).cast("string"),
+              lit("-"), (col("doc_id") % 9000 + 1000).cast("string"))).otherwise(lit("")))
+        TextAnalysis.redactPii(
+            Tables.documents(s, d).withColumn("text", aug), "text")
+          .select(col("doc_id"), col("n_emails").cast("long").as("n_emails"),
+            col("n_ips").cast("long").as("n_ips"),
+            col("n_phones").cast("long").as("n_phones"), col("redacted"))
+          .orderBy("doc_id")
+      },
+      Some("WITH a AS (SELECT doc_id, text || " +
+        "CASE WHEN doc_id % 3 = 0 THEN ' reach user' || doc_id || '@mail.example' ELSE '' END || " +
+        "CASE WHEN doc_id % 4 = 0 THEN ' from 10.0.' || (doc_id % 256) || '.7' ELSE '' END || " +
+        "CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || (doc_id % 900 + 100) || '-' || " +
+        "(doc_id % 9000 + 1000) ELSE '' END AS t FROM documents) " +
+        "SELECT doc_id, " +
+        s"CAST(len(regexp_extract_all(t, '${TextAnalysis.EmailRe}')) AS BIGINT) AS n_emails, " +
+        s"CAST(len(regexp_extract_all(t, '${TextAnalysis.Ipv4Re}')) AS BIGINT) AS n_ips, " +
+        s"CAST(len(regexp_extract_all(t, '${TextAnalysis.PhoneRe}')) AS BIGINT) AS n_phones, " +
+        s"regexp_replace(regexp_replace(regexp_replace(t, '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'), " +
+        s"'${TextAnalysis.Ipv4Re}', '<IP>', 'g'), '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS redacted " +
+        "FROM a ORDER BY doc_id")),
+
+    // TF-IDF top-3 terms per document — tf over the doc, ln(N/df) idf
+    // over the corpus, token-ascending tie break.
+    Q("x_tfidf_topk",
+      (s, d) => TextAnalysis.tfidfTopK(Tables.documents(s, d), "doc_id", "text", 3)
+        .select(col("doc_id"), col("token"), col("tf").cast("long").as("tf"),
+          col("rank").cast("long").as("rank"), round(col("tfidf"), 6).as("tfidf"))
+        .orderBy("doc_id", "rank"),
+      Some("WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, ' +')) AS token " +
+        "FROM documents), " +
+        "tf AS (SELECT doc_id, token, count(*) AS tf FROM tok WHERE length(token) > 0 " +
+        "GROUP BY doc_id, token), " +
+        "dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token), " +
+        "n AS (SELECT count(*) AS n FROM documents), " +
+        "sc AS (SELECT doc_id, token, tf, tf * ln(CAST(n.n AS DOUBLE) / df) AS tfidf " +
+        "FROM tf JOIN dfreq USING (token) CROSS JOIN n), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY tfidf DESC, token) AS rank FROM sc) " +
+        "SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(rank AS BIGINT) AS rank, " +
+        "round(tfidf, 6) AS tfidf FROM r WHERE rank <= 3 ORDER BY doc_id, rank")),
+
+    // Exact interpolated percentiles of the event metric per type (the
+    // quantile surface). Exact `percentile` buffers each group's values
+    // — correct and deterministic, and per-group parallel; the 100 TB
+    // path is approx_percentile (pinned within tolerance of exact in
+    // EvalFunctionsSpec), which this oracle can't hash-check (sketch
+    // internals differ by engine).
+    Q("x_percentiles",
+      (s, d) => Tables.events(s, d).groupBy("event_type").agg(
+          round(expr("percentile(value, 0.5D)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9D)"), 6).as("p90"),
+          round(expr("percentile(value, 0.99D)"), 6).as("p99"))
+        .orderBy("event_type"),
+      Some("SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50, " +
+        "round(quantile_cont(value, 0.9), 6) AS p90, " +
+        "round(quantile_cont(value, 0.99), 6) AS p99 " +
+        "FROM events GROUP BY event_type ORDER BY event_type")),
+
     // Brute-force cosine top-k against the vec_id=0 embedding (exact ANN
     // baseline; distributed TakeOrdered, no full sort).
     Q("x_ann_bruteforce",

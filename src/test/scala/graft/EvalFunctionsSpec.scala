@@ -351,4 +351,57 @@ class EvalFunctionsSpec extends SparkSpec {
       .orderBy("media_id").select("blob").as[Array[Byte]].collect()
     assert(out.map(_.getAs[Array[Byte]]("blob").toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("ext: redactPii replaces emails/ips/phones with tags and counts each pattern") {
+    val df = Seq(
+      (0L, "mail bob.smith+x@corp.example.com now"),
+      (1L, "server 192.168.1.17 and 10.0.0.1 up"),
+      (2L, "call 555-123-4567 or 555.987.6543 today"),
+      (3L, "mixed a@b.io at 127.0.0.1 tel 555-000-1111"),
+      (4L, "clean text, no pii at all 12345")).toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis.redactPii(df, "text")
+      .orderBy("doc_id")
+      .select("n_emails", "n_ips", "n_phones", "redacted").collect()
+    assert(got.map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq ==
+      Seq((1, 0, 0), (0, 2, 0), (0, 0, 2), (1, 1, 1), (0, 0, 0)))
+    assert(got(0).getString(3) == "mail <EMAIL> now")
+    assert(got(1).getString(3) == "server <IP> and <IP> up")
+    assert(got(2).getString(3) == "call <PHONE> or <PHONE> today")
+    assert(got(3).getString(3) == "mixed <EMAIL> at <IP> tel <PHONE>")
+    assert(got(4).getString(3) == "clean text, no pii at all 12345")
+  }
+
+  test("ext: tfidfTopK ranks corpus-rare in-doc-frequent terms first, token tie-break") {
+    // "rare" appears twice in doc 0 only; "common" is in every doc
+    val docs = Seq(
+      (0L, "rare rare common alpha"),
+      (1L, "common beta beta"),
+      (2L, "common gamma")).toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis.tfidfTopK(docs, "doc_id", "text", 2)
+      .orderBy("doc_id", "rank")
+      .select("doc_id", "token", "tf", "rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(got == Seq(
+      (0L, "rare", 2L, 1), (0L, "alpha", 1L, 2),
+      (1L, "beta", 2L, 1), (1L, "common", 1L, 2),
+      (2L, "gamma", 1L, 1), (2L, "common", 1L, 2)))
+    // idf of the everywhere-token is ln(3/3) = 0
+    val common = graft.ext.TextAnalysis.tfidfTopK(docs, "doc_id", "text", 2)
+      .filter(col("token") === "common").select("tfidf").as[Double].collect()
+    assert(common.forall(_ == 0.0))
+  }
+
+  test("ext: approx_percentile tracks exact percentile (the 100 TB quantile path)") {
+    val df = spark.range(10000L)
+      .select((col("id") % 997 * 31 % 1009).cast("double").as("v"))
+    val row = df.agg(
+      expr("percentile(v, array(0.5D, 0.9D, 0.99D))").as("exact"),
+      expr("approx_percentile(v, array(0.5D, 0.9D, 0.99D), 1000)").as("approx"))
+      .head()
+    val exact = row.getSeq[Double](0)
+    val approx = row.getSeq[Double](1)
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(math.abs(e - a) <= 0.02 * 1009, s"exact=$e approx=$a")
+    }
+  }
 }
