@@ -19,6 +19,11 @@ final case class BucketState(ids: Array[Long])
   */
 final case class EpisodeState(lastTsMs: Long, episode: Long)
 
+/** State for [[StreamingOps.asofLatest]]: the latest right-side row seen
+  * for the key — two fields, bounded regardless of stream length.
+  */
+final case class AsofState(rightTsMs: Long, rightValue: Double)
+
 /** Streaming-inference surface (SURVEY.md §2.9 — the reference is
   * batch-only; this is the engine's Structured Streaming extension so the
   * same anomaly semantics run over a live sensor feed).
@@ -208,6 +213,72 @@ object StreamingOps {
             state.setTimeoutTimestamp(
               math.max(last, state.getCurrentWatermarkMs() + 1), watermark)
             out.iterator
+          }
+      }
+  }
+
+  final case class AsofIn(key: String, eventTs: java.sql.Timestamp,
+                          isRight: Boolean, value: Double)
+  final case class AsofOut(key: String, eventTs: java.sql.Timestamp,
+                           asofTsMs: Option[Long], asofValue: Option[Double])
+
+  /** Streaming as-of join — the streaming analogue of
+    * [[graft.window.Windows.asofJoin]]'s grouped form, over ONE
+    * interleaved tagged stream (`isRight` marks reference rows, e.g. a
+    * price/calibration feed; left rows are lookups): each left row is
+    * emitted with its key's latest right row at-or-before its event
+    * time. State per key is the latest right (ts, value) — two fields,
+    * bounded regardless of stream length — and keys idle past the
+    * watermark horizon are dropped by the event-time timeout.
+    *
+    * Batch parity within a micro-batch: the group's rows are processed
+    * in (event time, right-before-left) order, so ties are inclusive
+    * exactly like the batch operator, and in-order streams reproduce the
+    * batch result row-for-row (pinned in StreamingSpec). The documented
+    * append-mode caveats are [[sessionEpisodes]]'s: a left row arriving
+    * late-but-within-watermark joins against the state at its
+    * PROCESSING batch (it may see a right row that "arrived" after it
+    * in event time but landed in an earlier batch — the lookup is still
+    * at-or-before in EVENT time, never future data); a right row
+    * arriving late can only be reflected from its own batch onward; and
+    * a key silent past the horizon forgets its right state.
+    */
+  def asofLatest(stream: DataFrame, keyCol: String, tsCol: String,
+                 rightCol: String, valueCol: String,
+                 watermark: String): Dataset[AsofOut] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.withWatermark(tsCol, watermark)
+      .select(col(keyCol).cast("string").as("key"), col(tsCol).as("eventTs"),
+        col(rightCol).cast("boolean").as("isRight"),
+        col(valueCol).cast("double").as("value"))
+      .as[AsofIn]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[AsofState, AsofOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, rows, state: GroupState[AsofState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var latest = state.getOption
+            var maxTs = Long.MinValue
+            val out = Seq.newBuilder[AsofOut]
+            // event-time order, right rows first at a tie (inclusive
+            // asof): !isRight is false for right rows, so they sort first
+            rows.toSeq.sortBy(r => (r.eventTs.getTime, !r.isRight)).foreach { r =>
+              val t = r.eventTs.getTime
+              maxTs = math.max(maxTs, t)
+              if (r.isRight) {
+                if (latest.forall(_.rightTsMs <= t))
+                  latest = Some(AsofState(t, r.value))
+              } else {
+                out += AsofOut(key, r.eventTs,
+                  latest.map(_.rightTsMs), latest.map(_.rightValue))
+              }
+            }
+            latest.foreach(state.update)
+            state.setTimeoutTimestamp(
+              math.max(maxTs, state.getCurrentWatermarkMs() + 1), watermark)
+            out.result().iterator
           }
       }
   }

@@ -239,4 +239,56 @@ class StreamingSpec extends SparkSpec {
       assert(texts == Seq("alpha", "beta", "gamma"))
     } finally query.stop()
   }
+
+  test("streaming asof: in-order stream matches the batch asofJoin row-for-row") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Boolean, Double)]
+    val df = input.toDF().toDF("ts", "k", "is_right", "v")
+    val out = StreamingOps.asofLatest(df, "k", "ts", "is_right", "v",
+      watermark = "1 minute")
+    val query = out.writeStream.format("memory").queryName("asof_out")
+      .outputMode("append").start()
+    def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    // interleaved per-key feed: rights (marks) and lefts (lookups);
+    // includes a tie at s=20 (inclusive → the s=20 left sees the s=20
+    // right) and a left before any right (→ null)
+    val data = Seq(
+      (ts(1), "a", false, 0.0),  // before any right → null
+      (ts(2), "a", true, 10.0),
+      (ts(5), "a", false, 0.0),  // → 10.0@2
+      (ts(8), "b", true, 7.0),
+      (ts(20), "a", true, 20.0),
+      (ts(20), "a", false, 0.0), // tie → 20.0@20
+      (ts(25), "b", false, 0.0)) // → 7.0@8
+    try {
+      val (b1, b2) = data.splitAt(4)
+      input.addData(b1); query.processAllAvailable()
+      input.addData(b2); query.processAllAvailable()
+      val got = spark.table("asof_out")
+        .select("key", "eventTs", "asofTsMs", "asofValue")
+        .collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime,
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))
+        .sortBy(t => (t._1, t._2)).toSeq
+      // batch reference over the same rows, ms axis
+      val all = data.toDF("ts", "k", "is_right", "v")
+        .withColumn("t", unix_millis(col("ts")))
+      val expect = graft.window.Windows.asofJoin(
+          all.filter(!col("is_right")).select("k", "t"),
+          all.filter(col("is_right")).select("k", "t", "v"),
+          "t", "t", Seq("v"), partCols = Seq("k"))
+        .select("k", "t", "asof_ts", "asof_v")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(got == expect)
+      assert(got.map(t => (t._3, t._4)) == Seq(
+        (None, None), (Some(ts(2).getTime), Some(10.0)),
+        (Some(ts(20).getTime), Some(20.0)),
+        (Some(ts(8).getTime), Some(7.0))))
+    } finally query.stop()
+  }
 }
