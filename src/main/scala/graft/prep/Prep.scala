@@ -193,6 +193,65 @@ object Prep {
       .drop("_rate")
   }
 
+  /** Temperature-weighted mixture sampling — the multilingual-corpus α
+    * rule: stratum s is sampled toward a target share
+    * `q_s = n_s^α / Σ_t n_t^α` of `targetTotal` rows (α = 1 keeps natural
+    * proportions, α = 0 equalizes strata, the usual 0.3–0.7 upweights
+    * low-resource strata in between), via keep rate
+    * `min(1, targetTotal · q_s / n_s)` on [[portableHash]]. Same
+    * execution shape as [[balancedSample]]: per-row O(1) against a
+    * broadcast rate table, the corpus never shuffles, any SQL engine
+    * re-derives the kept set. (Counts are rate-proportional in
+    * expectation, not exact; |id| < 2^31 precondition as always.)
+    */
+  def temperatureSample(df: DataFrame, idCol: String, stratumCol: String,
+                        alpha: Double, targetTotal: Long): DataFrame = {
+    require(alpha >= 0.0, s"alpha must be >= 0, got $alpha")
+    val n = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_n"))
+    val z = n.agg(sum(pow(col("_n"), alpha)).as("_z"))
+    val rates = broadcast(n.crossJoin(broadcast(z))
+      .select(col(stratumCol),
+        least(lit(1.0),
+          lit(targetTotal.toDouble) * pow(col("_n"), alpha) / col("_z") / col("_n"))
+          .as("_rate")))
+    df.join(rates, stratumCol)
+      .filter(portableHash(col(idCol)).cast("double") < col("_rate") * 4294967296.0)
+      .drop("_rate")
+  }
+
+  /** Deterministic EXACT-k-per-stratum sample: the `k` rows of each
+    * stratum with the smallest ([[portableHash]](id), id) — a seedless
+    * reservoir whose membership any engine re-derives by ranking.
+    *
+    * Scale shape: a rate prefilter (`min(1, safety·k / n_s)`, broadcast
+    * rate table, narrow scan) shrinks each stratum to ~safety·k
+    * candidate rows, and only the candidates enter the per-stratum
+    * ranking window — the window that would otherwise serialize a
+    * 100 TB stratum in one task runs over ~safety·k rows per stratum.
+    * The prefilter keeps the true top-k iff the stratum's k-th smallest
+    * hash falls under the rate threshold; `safety` = 8 puts that at
+    * Chernoff-tail odds (P[Binom(n, 8k/n) < k] ≲ e^-3k) — and a stratum
+    * with n_s <= safety·k skips the filter entirely (rate 1).
+    *
+    * Output: the selected rows plus `sample_rank` (1-based within the
+    * stratum).
+    */
+  def stratifiedTopK(df: DataFrame, idCol: String, stratumCol: String, k: Int,
+                     safety: Int = 8): DataFrame = {
+    require(k > 0 && safety >= 2, s"need k > 0 (got $k), safety >= 2 (got $safety)")
+    val n = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_n"))
+    val rates = broadcast(n.select(col(stratumCol),
+      least(lit(1.0), lit(safety.toDouble * k) / col("_n")).as("_rate")))
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("_h").asc, col(idCol).asc)
+    df.withColumn("_h", portableHash(col(idCol)))
+      .join(rates, stratumCol)
+      .filter(col("_h").cast("double") < col("_rate") * 4294967296.0)
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+      .drop("_h", "_rate")
+  }
+
   /** P11 — z-score standardization. The reference fits scalers on three
     * different slices depending on call-site (full data, train slice, raw
     * file) — so the fit frame and the transform frame are explicit,

@@ -369,6 +369,43 @@ object ExtQueries {
         "WHERE (doc_id * 2654435761) % 4294967296 < rate * 4294967296 " +
         "ORDER BY doc_id")),
 
+    // Temperature-weighted (α = 0.5) mixture sampling toward a
+    // 300-row target: the multilingual upweight-the-tail rule between
+    // natural proportions (α = 1) and fully balanced (α = 0). Same
+    // broadcast-rate zero-shuffle shape as x_mixture_sample; the oracle
+    // re-derives the α arithmetic and the hash rule.
+    Q("x_temperature_sample",
+      (s, d) => graft.prep.Prep.temperatureSample(
+          Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          "doc_id", "lang", alpha = 0.5, targetTotal = 300L)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id"),
+      Some("WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang), " +
+        "z AS (SELECT sum(power(n, 0.5)) AS z FROM n), " +
+        "r AS (SELECT lang, least(1.0, 300 * power(n, 0.5) / z / n) AS rate " +
+        "FROM n CROSS JOIN z) " +
+        "SELECT doc_id, lang FROM documents JOIN r USING (lang) " +
+        "WHERE (doc_id * 2654435761) % 4294967296 < rate * 4294967296 " +
+        "ORDER BY doc_id")),
+
+    // Deterministic exact-10-per-language sample: the 10 smallest
+    // (portableHash, id) rows per stratum. The engine runs the two-phase
+    // rate-prefilter + bounded ranking window; the ORACLE ranks every
+    // row globally per stratum — so the green hash also certifies the
+    // prefilter preserved the true top-k.
+    Q("x_stratified_sample",
+      (s, d) => graft.prep.Prep.stratifiedTopK(
+          Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          "doc_id", "lang", k = 10)
+        .select(col("doc_id"), col("lang"), col("sample_rank").cast("long").as("sample_rank"))
+        .orderBy("doc_id"),
+      Some("WITH h AS (SELECT doc_id, lang, (doc_id * 2654435761) % 4294967296 AS h " +
+        "FROM documents), " +
+        "r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang " +
+        "ORDER BY h, doc_id) AS rank FROM h) " +
+        "SELECT doc_id, lang, CAST(rank AS BIGINT) AS sample_rank FROM r " +
+        "WHERE rank <= 10 ORDER BY doc_id")),
+
     // Gopher intra-doc repetition: duplicate 3-gram fraction per doc —
     // a zero-shuffle narrow projection (array_distinct on hashed grams;
     // oracle counts string grams, the usual collision-free identity).

@@ -381,14 +381,16 @@ object Windows {
       val wLocal = Window.partitionBy(col("_b")).orderBy(col("_t"), col("_tag"))
         .rowsBetween(Window.unboundedPreceding, 0)
       val local = bucketed.withColumn("_m", last(rstruct, ignoreNulls = true).over(wLocal))
-      // ledger: every bucket that appears, left-joined with its last
-      // right row; the carry-in is the latest right row over all
-      // EARLIER buckets (bounded numBuckets-row window, ordered by _b)
+      // ledger: every possible bucket (a free numBuckets-row range — no
+      // distinct pass over the data), left-joined with its last right
+      // row; the carry-in is the latest right row over all EARLIER
+      // buckets (bounded numBuckets-row window, ordered by _b)
       val perBucket = bucketed.filter(col("_tag") === 0)
         .groupBy("_b").agg(max_by(rstruct, col("_t")).as("_lastr"))
       val wCarry = Window.orderBy(col("_b"))
         .rowsBetween(Window.unboundedPreceding, -1)
-      val ledger = bucketed.select("_b").distinct()
+      val ledger = left.sparkSession.range(numBuckets.toLong)
+        .select(col("id").as("_b"))
         .join(perBucket, Seq("_b"), "left")
         .withColumn("_carry", last(col("_lastr"), ignoreNulls = true).over(wCarry))
         .select("_b", "_carry")

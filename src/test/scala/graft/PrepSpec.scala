@@ -123,4 +123,49 @@ class PrepSpec extends SparkSpec {
       .as[Option[Long]].collect()
     assert(out(0).isDefined && out(0) == out(1) && out(2).isEmpty)
   }
+
+  test("temperatureSample: alpha interpolates between natural (1) and balanced (0)") {
+    // two strata, 9:1 — big has ids 0..899, small 900..999
+    val df = spark.range(1000L)
+      .select(col("id"), when(col("id") < 900, "big").otherwise("small").as("s"))
+    def kept(alpha: Double, target: Long): Map[String, Long] =
+      Prep.temperatureSample(df, "id", "s", alpha, target)
+        .groupBy("s").count().as[(String, Long)].collect().toMap
+    // alpha=1: rate is target/N for every stratum — shares stay natural
+    val a1 = kept(1.0, 200L)
+    assert(a1("big").toDouble / a1("small") > 4.0, a1.toString)
+    // alpha=0: q_s = 1/#strata — small stratum fully kept (100 target each)
+    val a0 = kept(0.0, 200L)
+    assert(a0("small") == 100L, a0.toString) // rate 1.0: ALL of small kept
+    assert(a0("big") < 200L)
+    // monotone: lowering alpha shifts share toward the small stratum
+    val mid = kept(0.5, 200L)
+    assert(a1("small") <= mid("small") && mid("small") <= a0("small"))
+    // deterministic membership: same call, same rows
+    val ids = Prep.temperatureSample(df, "id", "s", 0.5, 200L)
+      .select("id").as[Long].collect().toSet
+    assert(ids == Prep.temperatureSample(df, "id", "s", 0.5, 200L)
+      .select("id").as[Long].collect().toSet)
+  }
+
+  test("stratifiedTopK: exactly k per stratum, ranked by (hash, id), prefilter-safe") {
+    val df = spark.range(5000L)
+      .select(col("id"), (col("id") % 3).cast("string").as("s"))
+    val got = Prep.stratifiedTopK(df, "id", "s", k = 7)
+      .select("s", "id", "sample_rank").as[(String, Long, Int)].collect()
+    assert(got.length == 21)
+    assert(got.groupBy(_._1).forall { case (_, rs) =>
+      rs.map(_._3).sorted.toSeq == (1 to 7) })
+    // matches the unfiltered global ranking (the prefilter lost nothing)
+    val expect = df.select(col("id"), col("s"), Prep.portableHash(col("id")).as("h"))
+      .as[(Long, String, Long)].collect()
+      .groupBy(_._2).toSeq.flatMap { case (s, rows) =>
+        rows.sortBy(r => (r._3, r._1)).take(7).zipWithIndex
+          .map { case (r, i) => (s, r._1, i + 1) }.toSeq
+      }.toSet
+    assert(got.toSet == expect)
+    // a stratum smaller than safety*k is passed through whole (rate 1)
+    val tiny = spark.range(10L).select(col("id"), lit("one").as("s"))
+    assert(Prep.stratifiedTopK(tiny, "id", "s", k = 20).count() == 10L)
+  }
 }
