@@ -275,6 +275,35 @@ object Similarity {
       .select("id1", "id2", "cos")
   }
 
+  /** Portable signed random projection — the Johnson–Lindenstrauss
+    * dimensionality sketch: each vector (length `dIn`) is multiplied by
+    * a deterministic ±1 matrix, `sign(i, j) = +1` iff
+    * `((i·dIn + j) · 2654435761) mod 2^32 < 2^31` (the
+    * [[graft.prep.Prep.portableHash]] rule over the flattened index),
+    * scaled by `1/√dOut` — so the projection, like the hash samplers,
+    * is re-derivable by ANY engine from the formula alone: no stored
+    * matrix, no RNG state, no engine-specific seed.
+    *
+    * Runs as one [[graft.functions.MatVecProduct]] codegen kernel per
+    * row — a narrow zero-shuffle projection at scan rate. The standard
+    * uses: shrink embeddings before an ANN/clustering stage (distances
+    * are preserved within JL bounds), or cheap feature hashing.
+    *
+    * Output: (idCol, projection: array<double> of length dOut).
+    */
+  def signedProjection(df: DataFrame, idCol: String, vecCol: String,
+                       dIn: Int, dOut: Int): DataFrame = {
+    require(dIn > 0 && dOut > 0, s"need positive dims, got dIn=$dIn dOut=$dOut")
+    val scale = 1.0 / math.sqrt(dOut.toDouble)
+    val matrix = Array.tabulate(dOut, dIn) { (i, j) =>
+      val h = java.lang.Math.floorMod((i.toLong * dIn + j) * 2654435761L, 4294967296L)
+      (if (h < 2147483648L) 1.0 else -1.0) * scale
+    }
+    df.select(col(idCol),
+      graft.functions.GraftFunctions.matvec_product(
+        col(vecCol).cast("array<double>"), matrix).as("projection"))
+  }
+
   /** Scalar int8-style quantization of an embedding column: per-dimension
     * affine codes `q_i = clamp(floor((v_i - lo_i)/(hi_i - lo_i)*255 + .5))`
     * against corpus-wide per-dim (min, max) — 4× smaller vectors for the

@@ -704,6 +704,36 @@ object ExtQueries {
         "round(sum(power(v - (lo + code / 255.0 * (hi - lo)), 2)) / count(*), 12) AS mse " +
         "FROM q GROUP BY vec_id ORDER BY vec_id")),
 
+    // Signed random projection (JL sketch) of the embedding corpus to 4
+    // dims — the deterministic ±1 matrix derives from the portable-hash
+    // rule over the flattened index, so the ORACLE rebuilds the matrix
+    // from arithmetic alone and reproduces the projection exactly (no
+    // stored matrix, no RNG). One MatVecProduct codegen kernel per row.
+    Q("x_random_projection",
+      (s, d) => {
+        val dim = queryVec(s, d).length
+        Similarity.signedProjection(Tables.embeddings(s, d), "vec_id", "embedding", dim, 4)
+          .select(col("vec_id"),
+            round(element_at(col("projection"), 1), 6).as("y0"),
+            round(element_at(col("projection"), 2), 6).as("y1"),
+            round(element_at(col("projection"), 3), 6).as("y2"),
+            round(element_at(col("projection"), 4), 6).as("y3"))
+          .orderBy("vec_id")
+      },
+      Some("WITH x AS (SELECT vec_id, len(embedding) AS dim, " +
+        "CAST(unnest(embedding) AS DOUBLE) AS v, " +
+        "generate_subscripts(embedding, 1) - 1 AS j FROM embeddings), " +
+        "io AS (SELECT unnest(generate_series(0, 3)) AS i), " +
+        "p AS (SELECT vec_id, i, sum(v * CASE WHEN " +
+        "((i * dim + j) * 2654435761) % 4294967296 < 2147483648 " +
+        "THEN 1 ELSE -1 END) / sqrt(4.0) AS y FROM x CROSS JOIN io GROUP BY vec_id, i) " +
+        "SELECT vec_id, " +
+        "round(max(CASE WHEN i = 0 THEN y END), 6) AS y0, " +
+        "round(max(CASE WHEN i = 1 THEN y END), 6) AS y1, " +
+        "round(max(CASE WHEN i = 2 THEN y END), 6) AS y2, " +
+        "round(max(CASE WHEN i = 3 THEN y END), 6) AS y3 " +
+        "FROM p GROUP BY vec_id ORDER BY vec_id")),
+
     // Benchmark decontamination: flag corpus docs sharing any 4-gram
     // with the held-out "benchmark" slice (doc_id % 20 == 0). Hashed
     // n-grams join broadcast; the oracle states the same overlap over

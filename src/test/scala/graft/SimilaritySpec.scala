@@ -191,4 +191,36 @@ class SimilaritySpec extends SparkSpec {
     val firstRow = sigsA.head._2
     assert(firstRow.distinct.length > 1, s"bands collapsed: $firstRow")
   }
+
+  test("signedProjection matches an explode-computed reference and scales by 1/sqrt(dOut)") {
+    val dIn = 16; val dOut = 3
+    val df = spark.range(20L).select(col("id"),
+      transform(sequence(lit(0), lit(dIn - 1)),
+        i => sin(col("id") * 7 + i)).as("v"))
+    val got = Similarity.signedProjection(df, "id", "v", dIn, dOut)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    // independent path: explode + per-(row, out-dim) sum via the same
+    // portable-hash sign rule stated as COLUMN arithmetic
+    val expect = df.select(col("id"),
+        posexplode(col("v").cast("array<double>")).as(Seq("j", "x")))
+      .crossJoin(spark.range(dOut.toLong).select(col("id").as("i")))
+      .withColumn("sign", when(
+        pmod((col("i") * dIn + col("j")) * 2654435761L, lit(4294967296L)) < 2147483648L,
+        1.0).otherwise(-1.0))
+      .groupBy("id", "i")
+      .agg((sum(col("x") * col("sign")) / math.sqrt(dOut.toDouble)).as("y"))
+      .groupBy("id").agg(map_from_arrays(collect_list(col("i")),
+        collect_list(col("y"))).as("m"))
+      .orderBy("id").collect()
+      .map { r =>
+        val m = r.getMap[Long, Double](1)
+        (r.getLong(0), (0 until dOut).map(i => m(i.toLong)))
+      }.toSeq
+    got.zip(expect).foreach { case ((idG, pg), (idE, pe)) =>
+      assert(idG == idE)
+      pg.zip(pe).foreach { case (g, e) => assert(math.abs(g - e) < 1e-9, s"id=$idG $pg vs $pe") }
+    }
+    assert(got.head._2.length == dOut)
+  }
 }
