@@ -321,6 +321,32 @@ object WindowQueries {
         "FROM events l ASOF LEFT JOIN r ON epoch_us(l.ts) >= r.rt " +
         "ORDER BY l.event_id")),
 
+    // Interval join: every event labeled with the hour-long "outage"
+    // windows (opened by high-value error events) containing it. Runs
+    // as an equi join on a derived time bucket — intervals explode to
+    // their <= 2 covering buckets, containment filters the collisions —
+    // never the nested-loop all-pairs plan the naive range predicate
+    // produces. Oracle states the naive non-equi join directly, so the
+    // green hash certifies the bucketed rewrite IS that join.
+    Q("x_interval_join",
+      (s, d) => {
+        val e = ev(s, d)
+        val outages = e.filter(col("event_type") === "error" && col("value") > 190)
+          .select(col("event_id").as("outage_id"), col("ts_sec").as("o_start"),
+            (col("ts_sec") + 3600L).as("o_end"))
+        Windows.intervalJoin(e.select("event_id", "ts_sec"), outages,
+            "ts_sec", "o_start", "o_end", bucketWidth = 3600L)
+          .select(col("event_id"), col("outage_id"),
+            (col("ts_sec") - col("o_start")).as("offset_sec"))
+          .orderBy("event_id", "outage_id")
+      },
+      Some("WITH o AS (SELECT event_id AS outage_id, CAST(floor(epoch(ts)) AS BIGINT) AS o_start " +
+        "FROM events WHERE event_type = 'error' AND value > 190), " +
+        "l AS (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events) " +
+        "SELECT l.event_id, o.outage_id, l.ts_sec - o.o_start AS offset_sec " +
+        "FROM l JOIN o ON l.ts_sec >= o.o_start AND l.ts_sec < o.o_start + 3600 " +
+        "ORDER BY l.event_id, o.outage_id")),
+
     // O4 — sort of (metric, label) pairs.
     Q("o4_sort_pairs",
       (s, d) => ev(s, d).select("value", "event_type", "event_id")

@@ -399,6 +399,37 @@ object Windows {
     }
   }
 
+  /** Interval (point-in-range) join: each left row pairs with every
+    * interval `[startCol, endCol)` containing its `timeCol` — outage
+    * attribution, maintenance-window labeling, ad-break overlap. Spark
+    * would plan the naive `t >= start AND t < end` as a nested-loop
+    * join (all pairs); this runs it as an EQUI join on a derived time
+    * bucket: intervals explode to the `len/bucketWidth + 1` buckets
+    * they cover, left rows hash-join their single bucket, and the exact
+    * containment predicate filters the bucket-collisions away. Pick
+    * `bucketWidth` near the typical interval length — amplification is
+    * interval-rows × (len/width + 1), and a too-small width explodes
+    * long intervals while a too-large one makes every bucket a
+    * mini-cross-product.
+    *
+    * Inner join; empty intervals (`end <= start`) match nothing and are
+    * dropped up front (also keeps `sequence()` ascending). Column names
+    * must be disjoint between the two frames (same contract as Spark's
+    * own `join(df, usingColumns)`).
+    */
+  def intervalJoin(left: DataFrame, intervals: DataFrame, timeCol: String,
+                   startCol: String, endCol: String, bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val lb = left.withColumn("_b", floor(col(timeCol) / bucketWidth).cast("long"))
+    val ib = intervals.filter(col(endCol) > col(startCol))
+      .withColumn("_b", explode(sequence(
+        floor(col(startCol) / bucketWidth).cast("long"),
+        floor((col(endCol) - 1) / bucketWidth).cast("long"))))
+    lb.join(ib, Seq("_b"))
+      .filter(col(timeCol) >= col(startCol) && col(timeCol) < col(endCol))
+      .drop("_b")
+  }
+
   /** Two-phase cumulative sums over a DOUBLE ordering key (no dense
     * integer index to `DIV` on — the [[scalableCumSum]] situation for
     * score-ordered sweeps like ROC). Keys are ranged into `numBuckets`

@@ -267,6 +267,28 @@ class WindowsSpec extends SparkSpec {
       Windows.asofJoin(left.drop("k"), right.drop("k"), "t", "rt", Seq("v"))).isEmpty)
   }
 
+  test("intervalJoin: equals the naive range join for any bucketWidth; [start,end) bounds") {
+    val left = spark.range(200L).select(col("id"), (col("id") * 13 % 500).as("t"))
+    val ivals = Seq((0L, 10L, 60L), (1L, 55L, 56L), (2L, 400L, 499L),
+        (3L, 100L, 100L), (4L, 90L, 80L)) // 3, 4: empty → match nothing
+      .toDF("ival_id", "s", "e")
+    val naive = left.join(ivals, col("t") >= col("s") && col("t") < col("e"))
+      .select("id", "ival_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(naive.nonEmpty)
+    for (w <- Seq(1L, 7L, 64L, 1000L)) {
+      val got = Windows.intervalJoin(left, ivals, "t", "s", "e", bucketWidth = w)
+        .select("id", "ival_id").as[(Long, Long)].collect().sorted.toSeq
+      assert(got == naive, s"bucketWidth=$w")
+    }
+    // boundary semantics: t == start matches, t == end does not
+    val b = Windows.intervalJoin(
+        Seq((0L, 10L), (1L, 60L)).toDF("id", "t"),
+        Seq((9L, 10L, 60L)).toDF("ival_id", "s", "e"),
+        "t", "s", "e", bucketWidth = 50L)
+      .select("id").as[Long].collect().toSeq
+    assert(b == Seq(0L))
+  }
+
   test("A8 plans: aucRoc keeps every data-sized window partitioned") {
     val df = (0 until 300).map(i => ((i % 97) * 0.21, i % 3 == 0)).toDF("s", "y")
     val auc = graft.eval.Eval.aucRoc(df, col("s"), col("y"))
