@@ -704,6 +704,19 @@ object ExtQueries {
         "round(sum(power(v - (lo + code / 255.0 * (hi - lo)), 2)) / count(*), 12) AS mse " +
         "FROM q GROUP BY vec_id ORDER BY vec_id")),
 
+    // One-pass column profiler over lineitem: row/null/exact-distinct
+    // counts per column in ONE aggregate (Expand-planned multi-distinct)
+    // — the Deequ-style pre-training data-quality sweep.
+    Q("x_profile",
+      (s, d) => graft.prep.Prep.profile(Tables.lineitem(s, d),
+          Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"))
+        .orderBy("col_name"),
+      Some(Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate").map(c =>
+        s"SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, " +
+        s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, " +
+        s"CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct FROM lineitem")
+        .mkString(" UNION ALL ") + " ORDER BY col_name")),
+
     // Signed random projection (JL sketch) of the embedding corpus to 4
     // dims — the deterministic ±1 matrix derives from the portable-hash
     // rule over the flattened index, so the ORACLE rebuilds the matrix

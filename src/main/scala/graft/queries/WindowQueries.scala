@@ -347,6 +347,30 @@ object WindowQueries {
         "FROM l JOIN o ON l.ts_sec >= o.o_start AND l.ts_sec < o.o_start + 3600 " +
         "ORDER BY l.event_id, o.outage_id")),
 
+    // Salted skew join in the registry: lineitem⋈orders through
+    // Layout.saltedJoin (salt from hashed row content, small side
+    // replicated saltFactor×), aggregated to revenue per order status.
+    // The oracle is the PLAIN join — the green hash certifies salting
+    // changes the physical distribution only, never the join result.
+    Q("x_salted_join",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+            col("l_linenumber"))
+        val ord = Tables.orders(s, d)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+        graft.core.Layout.saltedJoin(li, ord, "l_orderkey",
+            saltFactor = 4, bigSaltSource = col("l_linenumber"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .orderBy("o_orderstatus")
+      },
+      Some("SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus")),
+
     // O4 — sort of (metric, label) pairs.
     Q("o4_sort_pairs",
       (s, d) => ev(s, d).select("value", "event_type", "event_id")

@@ -124,6 +124,19 @@ class PrepSpec extends SparkSpec {
     assert(out(0).isDefined && out(0) == out(1) && out(2).isEmpty)
   }
 
+  test("profile: one-pass row/null/exact-distinct counts per column") {
+    val df = Seq((Some(1), "a"), (None, "a"), (Some(1), "b"), (Some(3), null))
+      .toDF("x", "s")
+    val got = Prep.profile(df, Seq("x", "s")).orderBy("col_name")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // countDistinct ignores nulls (SQL semantics) — x has {1, 3}, s has {a, b}
+    assert(got == Seq(("s", 4L, 1L, 2L), ("x", 4L, 1L, 2L)))
+    // single aggregate: exactly one scan of the source in the plan
+    val scans = Prep.profile(df, Seq("x", "s")).queryExecution.optimizedPlan
+      .collect { case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l }
+    assert(scans.length == 1)
+  }
+
   test("temperatureSample: alpha interpolates between natural (1) and balanced (0)") {
     // two strata, 9:1 — big has ids 0..899, small 900..999
     val df = spark.range(1000L)
