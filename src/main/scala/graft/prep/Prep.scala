@@ -219,6 +219,29 @@ object Prep {
       .drop("_rate")
   }
 
+  /** Quantile (curriculum) bucketing: label every row with the number
+    * of the given quantile cut points strictly below its `valueCol` —
+    * quartile labels for `probs = 0.25/0.5/0.75`, difficulty tiers for
+    * a curriculum schedule, equal-mass shards. The cut points are ONE
+    * broadcast exact-`percentile` row (per-group-parallel aggregate);
+    * the labeling pass is a narrow per-row fold over ≤ |probs| cuts —
+    * the corpus never shuffles. Deterministic: exact interpolated
+    * percentiles, no sketch (swap in approx_percentile for routine
+    * monitoring at full scale).
+    */
+  def quantileBuckets(df: DataFrame, valueCol: String, probs: Seq[Double],
+                      out: String = "bucket"): DataFrame = {
+    require(probs.nonEmpty && probs == probs.sorted &&
+      probs.forall(p => p > 0 && p < 1), s"need sorted probs in (0,1), got $probs")
+    val cuts = broadcast(df.agg(
+      expr(s"percentile(`$valueCol`, array(${probs.map(p => s"${p}D").mkString(",")}))")
+        .as("_cuts")))
+    df.crossJoin(cuts)
+      .withColumn(out, aggregate(col("_cuts"), lit(0),
+        (acc, c) => acc + when(col(valueCol) > c, 1).otherwise(0)))
+      .drop("_cuts")
+  }
+
   /** One-pass column profiler (the Deequ-style data-quality sweep a
     * 100 TB ingest runs before training): per requested column, the
     * row count, null count, and EXACT distinct count, computed in ONE

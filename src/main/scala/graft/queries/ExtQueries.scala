@@ -704,6 +704,25 @@ object ExtQueries {
         "round(sum(power(v - (lo + code / 255.0 * (hi - lo)), 2)) / count(*), 12) AS mse " +
         "FROM q GROUP BY vec_id ORDER BY vec_id")),
 
+    // Quantile (curriculum) bucketing: quartile label per document by
+    // length — broadcast exact cut points, narrow per-row labeling, the
+    // corpus never shuffles. Both engines compute the same interpolated
+    // percentile, so the strict > comparisons agree exactly.
+    Q("x_quality_buckets",
+      (s, d) => graft.prep.Prep.quantileBuckets(
+          Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+          "n_chars", Seq(0.25, 0.5, 0.75))
+        .select(col("doc_id"), col("n_chars"), col("bucket").cast("long").as("bucket"))
+        .orderBy("doc_id"),
+      Some("WITH c AS (SELECT quantile_cont(n_chars, 0.25) AS q1, " +
+        "quantile_cont(n_chars, 0.5) AS q2, quantile_cont(n_chars, 0.75) AS q3 " +
+        "FROM documents) " +
+        "SELECT doc_id, n_chars, CAST(" +
+        "(CASE WHEN n_chars > q1 THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN n_chars > q2 THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN n_chars > q3 THEN 1 ELSE 0 END) AS BIGINT) AS bucket " +
+        "FROM documents CROSS JOIN c ORDER BY doc_id")),
+
     // One-pass column profiler over lineitem: row/null/exact-distinct
     // counts per column in ONE aggregate (Expand-planned multi-distinct)
     // — the Deequ-style pre-training data-quality sweep.

@@ -124,6 +124,20 @@ class PrepSpec extends SparkSpec {
     assert(out(0).isDefined && out(0) == out(1) && out(2).isEmpty)
   }
 
+  test("quantileBuckets: quartile labels are equal-mass and ordered by value") {
+    val df = spark.range(1000L).select(col("id"), ((col("id") * 37) % 1000).as("v"))
+    val got = Prep.quantileBuckets(df, "v", Seq(0.25, 0.5, 0.75))
+      .select("v", "bucket").as[(Long, Int)].collect()
+    assert(got.map(_._2).distinct.sorted.toSeq == Seq(0, 1, 2, 3))
+    // equal mass (v is a permutation of 0..999 → exact quartiles)
+    val sizes = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(sizes.values.forall(n => n >= 249 && n <= 251), sizes.toString)
+    // monotone: every bucket-k value is below every bucket-(k+1) value
+    val maxByBucket = got.groupBy(_._2).view.mapValues(_.map(_._1).max).toMap
+    val minByBucket = got.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    for (k <- 0 to 2) assert(maxByBucket(k) <= minByBucket(k + 1))
+  }
+
   test("profile: one-pass row/null/exact-distinct counts per column") {
     val df = Seq((Some(1), "a"), (None, "a"), (Some(1), "b"), (Some(3), null))
       .toDF("x", "s")
