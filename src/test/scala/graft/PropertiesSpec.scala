@@ -130,4 +130,66 @@ class PropertiesSpec extends SparkSpec {
       assert(r._1 + r._2 + r._3 + r._4 == n)
     }
   }
+
+  test("property: asofJoin (keyed and bucketed-global) equals a naive greatest-t<=T lookup") {
+    val gen = for {
+      nl <- Gen.choose(30, 120)
+      nr <- Gen.choose(1, 40)
+      span <- Gen.choose(50, 2000)
+      buckets <- Gen.choose(1, 40)
+    } yield (nl, nr, span, buckets)
+    cases(gen, 4).foreach { case (nl, nr, span, buckets) =>
+      // deterministic pseudo-random times; right times deduped (contract)
+      val lts = (0 until nl).map(i => (i.toLong, (i * 2654435761L % span)))
+      val rts = (0 until nr).map(i => (i * 40503L % span))
+        .distinct.map(t => (t, t * 0.5 + 1))
+      val left = lts.toDF("id", "t")
+      val right = rts.toDF("rt", "v")
+      // naive reference, computed in plain Scala
+      val sortedR = rts.sortBy(_._1)
+      val expect = lts.map { case (id, t) =>
+        val m = sortedR.takeWhile(_._1 <= t).lastOption
+        (id, m.map(_._1), m.map(_._2))
+      }.sortBy(_._1)
+      val got = Windows.asofJoin(left, right, "t", "rt", Seq("v"),
+          numBuckets = buckets)
+        .select("id", "asof_ts", "asof_v").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Double])))
+        .sortBy(_._1).toSeq
+      assert(got == expect, s"nl=$nl nr=$nr span=$span buckets=$buckets")
+      // keyed single-group form agrees too
+      val gotK = Windows.asofJoin(left.withColumn("k", lit(1)),
+          right.withColumn("k", lit(1)), "t", "rt", Seq("v"), partCols = Seq("k"))
+        .select("id", "asof_ts", "asof_v").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Double])))
+        .sortBy(_._1).toSeq
+      assert(gotK == expect)
+    }
+  }
+
+  test("property: intervalJoin equals the naive range predicate for random intervals") {
+    val gen = for {
+      nl <- Gen.choose(50, 200)
+      ni <- Gen.choose(1, 25)
+      span <- Gen.choose(100, 3000)
+      w <- Gen.choose(1, 500)
+    } yield (nl, ni, span, w)
+    cases(gen, 4).foreach { case (nl, ni, span, w) =>
+      val pts = (0 until nl).map(i => (i.toLong, i * 2654435761L % span))
+      // mix of empty, short, and long intervals
+      val ivals = (0 until ni).map { i =>
+        val s = i * 40503L % span
+        (i.toLong, s, s + (i * 7919L % (span / 2)) - 5)
+      }
+      val expect = (for {
+        (id, t) <- pts; (iid, s, e) <- ivals if t >= s && t < e
+      } yield (id, iid)).sorted
+      val got = Windows.intervalJoin(pts.toDF("id", "t"),
+          ivals.toDF("ival_id", "s", "e"), "t", "s", "e", bucketWidth = w)
+        .select("id", "ival_id").as[(Long, Long)].collect().sorted.toSeq
+      assert(got == expect, s"nl=$nl ni=$ni span=$span w=$w")
+    }
+  }
 }
