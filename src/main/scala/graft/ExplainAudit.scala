@@ -55,8 +55,11 @@ object ExplainAudit {
           case w: LWindow if w.partitionSpec.isEmpty && !ledgerWindow(w) => w
         }
         val badJoins = lp.collect {
+          // `<=>` (null-safe equality) is an equi key too: Spark hash-
+          // partitions on it exactly like `=`
           case j: Join if j.condition.forall(c =>
-              !c.toString.contains(" = ") || j.joinType.sql == "CROSS") &&
+              (!c.toString.contains(" = ") && !c.toString.contains(" <=> ")) ||
+                j.joinType.sql == "CROSS") &&
             !maxRowsOne(j.left) && !maxRowsOne(j.right) => j
         }
         val notes =

@@ -210,13 +210,28 @@ object Dedup {
         .join(labels.select(col("id"), col("cluster").as("_old")), "id")
         .filter(col("cluster") =!= col("_old"))
         .count()
+      // the superseded round's checkpoint blocks are dead the moment
+      // `next` is materialized — release them NOW (bounded two live
+      // rounds by construction) instead of waiting for GC + ContextCleaner
+      checkpointRdd(labels).foreach(_.unpersist(false))
       labels = next
       converged = changed == 0
       i += 1
     }
     require(converged, s"duplicateClusters did not converge in $maxIter rounds")
+    checkpointRdd(edges).foreach(_.unpersist(false)) // no further rounds read them
     labels
   }
+
+  /** The persisted RDD behind a `localCheckpoint`ed frame —
+    * `Dataset.unpersist` is a NO-OP for it (the blocks belong to the
+    * RDD inside the LogicalRDD plan, not to the CacheManager).
+    */
+  private[graft] def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+      case _ => None
+    }
 
   /** Symmetric, de-duplicated (a, b) edge frame of a (id1, id2) pair
     * frame — shared by [[duplicateClusters]] and the plan audit so the

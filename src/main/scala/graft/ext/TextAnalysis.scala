@@ -253,10 +253,15 @@ object TextAnalysis {
     * independently). A narrow zero-shuffle projection — the standard
     * pre-training scrub pass runs at ingest rate.
     *
-    * Replacement order (email → ip → phone) is part of the contract:
-    * earlier replacements cannot create or destroy later matches for
-    * these patterns (the tags contain no digits), but a custom pattern
-    * set must preserve the documented order to be re-derivable.
+    * Replacement order (email → ip → phone) is part of the contract —
+    * a re-derivation must apply the same order. The counts are
+    * per-pattern over the ORIGINAL text, so they are order-independent
+    * and individually auditable; they are NOT guaranteed to equal the
+    * tag counts in `redacted` when matches overlap (an email whose
+    * local part is itself an IPv4 or phone string is consumed by the
+    * earlier email replacement: n_ips counts it, `redacted` shows one
+    * `<EMAIL>` and no `<IP>`). The replacement tags contain no digits
+    * or `@`, so replacements never CREATE later matches.
     *
     * Output: df plus n_emails, n_ips, n_phones (int) and `redacted`.
     */

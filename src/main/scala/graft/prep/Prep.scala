@@ -122,12 +122,15 @@ object Prep {
     val wLocal = Window.partitionBy(col(stratumCol), col("_b"))
       .orderBy(col("_h"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, 0)
+    // null-safe on the stratum leg (a NULL stratum budgets like any
+    // other); _b is never null, plain equality is fine there
+    val off = offsets.select(col(stratumCol).as("_rs"), col("_b").as("_ob"), col("_off"))
     hashed
       .withColumn("_loc", sum(col(weightCol)).over(wLocal).cast("long"))
-      .join(broadcast(offsets), Seq(stratumCol, "_b"))
+      .join(broadcast(off), col(stratumCol) <=> col("_rs") && col("_b") === col("_ob"))
       .withColumn("_cum", col("_loc") + col("_off"))
       .filter(col("_cum") <= budget)
-      .drop("_h", "_b", "_loc", "_off")
+      .drop("_h", "_b", "_rs", "_ob", "_loc", "_off")
   }
 
   /** Sequence packing ("concat-then-chunk"): documents are laid out in
@@ -187,10 +190,12 @@ object Prep {
     val n = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_n"))
     val mn = n.agg(min(col("_n")).as("_mn"))
     val rates = broadcast(n.crossJoin(broadcast(mn))
-      .select(col(stratumCol), (col("_mn").cast("double") / col("_n")).as("_rate")))
-    df.join(rates, stratumCol)
+      .select(col(stratumCol).as("_rs"), (col("_mn").cast("double") / col("_n")).as("_rate")))
+    // null-safe: a NULL stratum is a real stratum with a real rate — a
+    // plain equi-join would silently drop its rows
+    df.join(rates, col(stratumCol) <=> col("_rs"))
       .filter(portableHash(col(idCol)).cast("double") < col("_rate") * 4294967296.0)
-      .drop("_rate")
+      .drop("_rs", "_rate")
   }
 
   /** Temperature-weighted mixture sampling — the multilingual-corpus α
@@ -210,13 +215,14 @@ object Prep {
     val n = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_n"))
     val z = n.agg(sum(pow(col("_n"), alpha)).as("_z"))
     val rates = broadcast(n.crossJoin(broadcast(z))
-      .select(col(stratumCol),
+      .select(col(stratumCol).as("_rs"),
         least(lit(1.0),
           lit(targetTotal.toDouble) * pow(col("_n"), alpha) / col("_z") / col("_n"))
           .as("_rate")))
-    df.join(rates, stratumCol)
+    // null-safe join: see balancedSample
+    df.join(rates, col(stratumCol) <=> col("_rs"))
       .filter(portableHash(col(idCol)).cast("double") < col("_rate") * 4294967296.0)
-      .drop("_rate")
+      .drop("_rs", "_rate")
   }
 
   /** Quantile (curriculum) bucketing: label every row with the number
@@ -227,12 +233,17 @@ object Prep {
     * the labeling pass is a narrow per-row fold over ≤ |probs| cuts —
     * the corpus never shuffles. Deterministic: exact interpolated
     * percentiles, no sketch (swap in approx_percentile for routine
-    * monitoring at full scale).
+    * monitoring at full scale). A null `valueCol` compares false to
+    * every cut and lands in bucket 0 — filter nulls first if the lowest
+    * tier must not absorb them.
     */
   def quantileBuckets(df: DataFrame, valueCol: String, probs: Seq[Double],
                       out: String = "bucket"): DataFrame = {
-    require(probs.nonEmpty && probs == probs.sorted &&
-      probs.forall(p => p > 0 && p < 1), s"need sorted probs in (0,1), got $probs")
+    // STRICTLY increasing: a duplicated prob would count its cut twice,
+    // skipping a bucket id and leaving that tier permanently empty
+    require(probs.nonEmpty && probs.zip(probs.tail).forall(p => p._1 < p._2) &&
+      probs.forall(p => p > 0 && p < 1),
+      s"need strictly increasing probs in (0,1), got $probs")
     val cuts = broadcast(df.agg(
       expr(s"percentile(`$valueCol`, array(${probs.map(p => s"${p}D").mkString(",")}))")
         .as("_cuts")))
@@ -257,30 +268,41 @@ object Prep {
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
+    // backticks: a dotted source column name must not re-parse as a
+    // nested-field access when the alias is resolved back
     val aggs = count(lit(1)).as("_n") +: cols.flatMap(c => Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_nn_$c"),
-      countDistinct(col(c)).as(s"_nd_$c")))
+      sum(when(col(s"`$c`").isNull, 1L).otherwise(0L)).as(s"_nn_$c"),
+      countDistinct(col(s"`$c`")).as(s"_nd_$c")))
     df.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(cols.map(c => struct(
           lit(c).as("col_name"), col("_n").as("n_rows"),
-          col(s"_nn_$c").cast("long").as("n_nulls"),
-          col(s"_nd_$c").cast("long").as("n_distinct"))): _*)).as("_s"))
+          col(s"`_nn_$c`").cast("long").as("n_nulls"),
+          col(s"`_nd_$c`").cast("long").as("n_distinct"))): _*)).as("_s"))
       .select("_s.*")
   }
 
-  /** Deterministic EXACT-k-per-stratum sample: the `k` rows of each
-    * stratum with the smallest ([[portableHash]](id), id) — a seedless
-    * reservoir whose membership any engine re-derives by ranking.
+  /** Deterministic k-per-stratum sample: the `k` rows of each stratum
+    * with the smallest ([[portableHash]](id), id) among the PREFILTER
+    * SURVIVORS — a seedless reservoir whose membership any engine
+    * re-derives by ranking.
     *
     * Scale shape: a rate prefilter (`min(1, safety·k / n_s)`, broadcast
     * rate table, narrow scan) shrinks each stratum to ~safety·k
     * candidate rows, and only the candidates enter the per-stratum
     * ranking window — the window that would otherwise serialize a
     * 100 TB stratum in one task runs over ~safety·k rows per stratum.
-    * The prefilter keeps the true top-k iff the stratum's k-th smallest
-    * hash falls under the rate threshold; `safety` = 8 puts that at
-    * Chernoff-tail odds (P[Binom(n, 8k/n) < k] ≲ e^-3k) — and a stratum
-    * with n_s <= safety·k skips the filter entirely (rate 1).
+    *
+    * The survivor top-k equals the GLOBAL stratum top-k iff the k-th
+    * smallest hash falls under the rate threshold. For ids whose hashes
+    * spread uniformly, `safety` = 8 puts failure at Chernoff-tail odds
+    * (P[Binom(n, 8k/n) < k] ≲ e^-3k), and a stratum with
+    * n_s <= safety·k skips the filter entirely (rate 1) — but ids
+    * PRE-SELECTED by another portableHash-based sampler can concentrate
+    * hash mass above the threshold, in which case the sample is the
+    * documented survivor ranking, not the global one, and may even hold
+    * fewer than k rows. When chaining hash-derived samplers, raise
+    * `safety` or verify per-stratum output counts (the registry query's
+    * oracle ranks globally, certifying the equality for its corpus).
     *
     * Output: the selected rows plus `sample_rank` (1-based within the
     * stratum).
@@ -289,16 +311,16 @@ object Prep {
                      safety: Int = 8): DataFrame = {
     require(k > 0 && safety >= 2, s"need k > 0 (got $k), safety >= 2 (got $safety)")
     val n = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_n"))
-    val rates = broadcast(n.select(col(stratumCol),
+    val rates = broadcast(n.select(col(stratumCol).as("_rs"),
       least(lit(1.0), lit(safety.toDouble * k) / col("_n")).as("_rate")))
     val w = Window.partitionBy(col(stratumCol))
       .orderBy(col("_h").asc, col(idCol).asc)
     df.withColumn("_h", portableHash(col(idCol)))
-      .join(rates, stratumCol)
+      .join(rates, col(stratumCol) <=> col("_rs")) // null-safe: see balancedSample
       .filter(col("_h").cast("double") < col("_rate") * 4294967296.0)
       .withColumn("sample_rank", row_number().over(w))
       .filter(col("sample_rank") <= k)
-      .drop("_h", "_rate")
+      .drop("_h", "_rs", "_rate")
   }
 
   /** P11 — z-score standardization. The reference fits scalers on three

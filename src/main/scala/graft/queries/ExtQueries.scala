@@ -88,12 +88,14 @@ object ExtQueries {
   private def clustersFor(s: org.apache.spark.sql.SparkSession, d: String) =
     clusterCache.getOrElseUpdate((s, d), {
       // the memoized frame is localCheckpoint-backed, not CacheManager-
-      // registered: Dataset.unpersist would be a no-op, so release the
-      // checkpoint blocks through the LogicalRDD's own RDD
+      // registered: Dataset.unpersist would be a no-op, so release its
+      // blocks through the LogicalRDD's own RDD (intermediate rounds'
+      // blocks were already released inside duplicateClusters — the
+      // final labels frame is the only live checkpoint per entry)
       evictStale(clusterCache)(_._1 ne s) { df =>
-        df.queryExecution.analyzed match {
-          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-          case _ => df.unpersist()
+        Dedup.checkpointRdd(df) match {
+          case Some(rdd) => rdd.unpersist(false)
+          case None => df.unpersist()
         }
       }
       Dedup.duplicateClusters(Similarity.cosineNearDuplicates(

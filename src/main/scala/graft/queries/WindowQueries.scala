@@ -280,16 +280,16 @@ object WindowQueries {
     // touch" attribution lookup). Union + keyed window — no non-equi
     // join; oracle = DuckDB's native ASOF JOIN, so the tie/no-match
     // semantics are pinned against an independent implementation. Both
-    // sides join on MICROSECONDS (ts DIV 1000 / epoch_us): DuckDB's
-    // TIMESTAMP truncates the parquet nanos to µs on read, and the ns
-    // tail would desynchronize asof_ts (timestamps stay µs-unique).
+    // sides join on MICROSECONDS (Tables.events' ts_micro / epoch_us):
+    // DuckDB's TIMESTAMP truncates the parquet nanos to µs on read, and
+    // the ns tail would desynchronize asof_ts (timestamps stay µs-unique).
     Q("x_asof_join",
       (s, d) => {
-        val e = ev(s, d).withColumn("ts_us", expr("ts DIV 1000L"))
+        val e = ev(s, d)
         Windows.asofJoin(
-            e.select("event_id", "user_id", "ts_us"),
-            e.filter(col("event_type") === "purchase").select("user_id", "ts_us", "value"),
-            "ts_us", "ts_us", Seq("value"), partCols = Seq("user_id"))
+            e.select("event_id", "user_id", "ts_micro"),
+            e.filter(col("event_type") === "purchase").select("user_id", "ts_micro", "value"),
+            "ts_micro", "ts_micro", Seq("value"), partCols = Seq("user_id"))
           .select(col("event_id"), col("user_id"), col("asof_ts"),
             round(col("asof_value"), 6).as("asof_value"))
           .orderBy("event_id")
@@ -306,11 +306,11 @@ object WindowQueries {
     // carry ledger, no global window over the data. µs axis as above.
     Q("x_asof_global",
       (s, d) => {
-        val e = ev(s, d).withColumn("ts_us", expr("ts DIV 1000L"))
+        val e = ev(s, d)
         Windows.asofJoin(
-            e.select("event_id", "ts_us"),
-            e.filter(col("event_type") === "error").select("ts_us", "value"),
-            "ts_us", "ts_us", Seq("value"))
+            e.select("event_id", "ts_micro"),
+            e.filter(col("event_type") === "error").select("ts_micro", "value"),
+            "ts_micro", "ts_micro", Seq("value"))
           .select(col("event_id"), col("asof_ts"),
             round(col("asof_value"), 6).as("asof_value"))
           .orderBy("event_id")

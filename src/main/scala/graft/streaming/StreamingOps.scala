@@ -236,12 +236,13 @@ object StreamingOps {
     * exactly like the batch operator, and in-order streams reproduce the
     * batch result row-for-row (pinned in StreamingSpec). The documented
     * append-mode caveats are [[sessionEpisodes]]'s: a left row arriving
-    * late-but-within-watermark joins against the state at its
-    * PROCESSING batch (it may see a right row that "arrived" after it
-    * in event time but landed in an earlier batch — the lookup is still
-    * at-or-before in EVENT time, never future data); a right row
-    * arriving late can only be reflected from its own batch onward; and
-    * a key silent past the horizon forgets its right state.
+    * late-but-within-watermark is matched against state whose right row
+    * is explicitly guarded to be at-or-before ITS event time — never
+    * future data — but since state keeps only the LATEST right row, a
+    * late left whose true match was an older, superseded right gets
+    * null rather than the stale match (pinned in StreamingSpec); a
+    * right row arriving late can only be reflected from its own batch
+    * onward; and a key silent past the horizon forgets its right state.
     */
   def asofLatest(stream: DataFrame, keyCol: String, tsCol: String,
                  rightCol: String, valueCol: String,
@@ -271,8 +272,12 @@ object StreamingOps {
                 if (latest.forall(_.rightTsMs <= t))
                   latest = Some(AsofState(t, r.value))
               } else {
-                out += AsofOut(key, r.eventTs,
-                  latest.map(_.rightTsMs), latest.map(_.rightValue))
+                // a LATE left row must not see a right row from its
+                // event-time future, even if that right is already in
+                // state from an earlier batch — the at-or-before
+                // guarantee is per LEFT row, not per batch
+                val m = latest.filter(_.rightTsMs <= t)
+                out += AsofOut(key, r.eventTs, m.map(_.rightTsMs), m.map(_.rightValue))
               }
             }
             latest.foreach(state.update)

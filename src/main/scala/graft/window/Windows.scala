@@ -335,6 +335,12 @@ object Windows {
     * The right-row payload travels as ONE struct, so a right row whose
     * VALUE is legitimately null still wins the as-of match (per-column
     * `last(ignoreNulls)` would skip past it to an older row).
+    *
+    * Null times follow SQL comparison semantics (= DuckDB ASOF): a
+    * right row with a null time can never satisfy `rt <= t` and is
+    * dropped up front; a left row with a null time matches nothing and
+    * comes back with null `asof_*` columns (nulls order FIRST in the
+    * window, before any real right row, in both forms).
     */
   def asofJoin(left: DataFrame, right: DataFrame, leftTime: String,
                rightTime: String, valueCols: Seq[String],
@@ -346,7 +352,7 @@ object Windows {
     val luFull = valueCols.foldLeft(lu) { (d, c) =>
       d.withColumn(s"_rv_$c", lit(null).cast(right.schema(c).dataType))
     }
-    val ru0 = right.select(
+    val ru0 = right.filter(col(rightTime).isNotNull).select(
       partCols.map(col) ++
         Seq(col(rightTime).cast("long").as("_t"), lit(0).as("_tag")) ++
         valueCols.map(c => col(c).as(s"_rv_$c")): _*)
@@ -374,8 +380,12 @@ object Windows {
       val t = col("_t").cast("double")
       val bounds = broadcast(unioned.agg(min(t).as("_lo"), max(t).as("_hi")))
       val rawB = floor((t - col("_lo")) / (col("_hi") - col("_lo")) * numBuckets)
+      // null-time left rows route to bucket 0 EXPLICITLY (least() would
+      // skip the null rawB and park them in the LAST bucket, where the
+      // carry ledger fabricates a match); in bucket 0 they sort
+      // nulls-first with no carry-in, so they match nothing
       val bucketed = unioned.crossJoin(bounds)
-        .withColumn("_b", when(col("_hi") === col("_lo"), lit(0L))
+        .withColumn("_b", when(col("_t").isNull || col("_hi") === col("_lo"), lit(0L))
           .otherwise(least(rawB, lit(numBuckets - 1.0))).cast("long"))
         .drop("_lo", "_hi")
       val wLocal = Window.partitionBy(col("_b")).orderBy(col("_t"), col("_tag"))

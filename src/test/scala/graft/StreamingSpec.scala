@@ -240,6 +240,34 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming asof: a late left row never sees a right row from its event-time future") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Boolean, Double)]
+    val df = input.toDF().toDF("ts", "k", "is_right", "v")
+    val out = StreamingOps.asofLatest(df, "k", "ts", "is_right", "v",
+      watermark = "10 minutes")
+    val query = out.writeStream.format("memory").queryName("asof_late_out")
+      .outputMode("append").start()
+    def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    try {
+      // batch 1: right mark at s=30 enters state
+      input.addData(Seq((ts(30), "a", true, 3.0)))
+      query.processAllAvailable()
+      // batch 2: a LATE left at s=10 (before the stored right) and an
+      // in-order left at s=40
+      input.addData(Seq((ts(10), "a", false, 0.0), (ts(40), "a", false, 0.0)))
+      query.processAllAvailable()
+      val got = spark.table("asof_late_out")
+        .select("eventTs", "asofTsMs").collect()
+        .map(r => (r.getTimestamp(0).getTime, Option(r.get(1)).map(_.asInstanceOf[Long])))
+        .sortBy(_._1).toSeq
+      // s=10 precedes the only right mark → null, NOT the future s=30 mark
+      assert(got == Seq(
+        (ts(10).getTime, None),
+        (ts(40).getTime, Some(ts(30).getTime))))
+    } finally query.stop()
+  }
+
   test("streaming asof: in-order stream matches the batch asofJoin row-for-row") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, Boolean, Double)]

@@ -246,6 +246,28 @@ class WindowsSpec extends SparkSpec {
     assert(got.head.getLong(0) == 20L && got.head.isNullAt(1))
   }
 
+  test("asofJoin: null times — null-t left matches nothing, null-t right never matches") {
+    val left = Seq((0L, Some(30L)), (1L, Option.empty[Long]), (2L, Some(5L)))
+      .toDF("id", "t")
+    val right = Seq((Some(10L), 1.0), (Option.empty[Long], 99.0)).toDF("rt", "v")
+    // global (bucketed) form: the null-t left must NOT inherit the
+    // carry ledger's latest right (the least()-skips-null bucket trap)
+    val gotG = Windows.asofJoin(left, right, "t", "rt", Seq("v"))
+      .orderBy("id").select("id", "asof_ts", "asof_v").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSeq
+    // keyed single-group form must agree
+    val gotK = Windows.asofJoin(left.withColumn("k", lit(1)),
+        right.withColumn("k", lit(1)), "t", "rt", Seq("v"), partCols = Seq("k"))
+      .orderBy("id").select("id", "asof_ts", "asof_v").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSeq
+    val expect = Seq(
+      (0L, Some(10L), Some(1.0)), // normal match; null-rt right (v=99) never wins
+      (1L, None, None),           // null-t left: no fabricated match
+      (2L, None, None))           // before any right
+    assert(gotG == expect, s"global: $gotG")
+    assert(gotK == expect, s"keyed: $gotK")
+  }
+
   test("asofJoin: global bucketed form equals the single-group keyed form") {
     val n = 500
     val left = spark.range(n.toLong)
