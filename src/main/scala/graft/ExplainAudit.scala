@@ -52,7 +52,11 @@ object ExplainAudit {
       try {
         val lp = mk().queryExecution.optimizedPlan
         val globalWindows = lp.collect {
-          case w: LWindow if w.partitionSpec.isEmpty && !ledgerWindow(w) => w
+          // a frame the planner KNOWS is bounded (e.g. under a LIMIT —
+          // maxRows is propagated) is not data-sized: a single-task
+          // window over ≤ 100k rows is the ledger situation, fine
+          case w: LWindow if w.partitionSpec.isEmpty && !ledgerWindow(w) &&
+            !w.child.maxRows.exists(_ <= 100000L) => w
         }
         val badJoins = lp.collect {
           // `<=>` (null-safe equality) is an equi key too: Spark hash-

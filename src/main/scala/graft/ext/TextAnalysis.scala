@@ -237,6 +237,51 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"), avg(col("_lp")).as("avg_logprob"))
   }
 
+  /** Domain-mix diagnostics: KL(P_group ‖ P_corpus) of the token
+    * distribution of each group (source, language, shard…) against the
+    * whole corpus — the standard check that one domain's language isn't
+    * drifting from the mixture it feeds. Every group token exists in
+    * the corpus distribution by construction, so the divergence is
+    * always finite.
+    *
+    * Scale shape: one (group, token) count aggregate (map-side
+    * combined), group totals and corpus token totals derived FROM it
+    * (vocabulary-keyed frames, never a second corpus scan), corpus size
+    * as a broadcast 1-row aggregate, and the p·ln(p/q) sum reduced per
+    * group.
+    *
+    * Output: (groupCol, n_tokens: long, kl: double).
+    */
+  def sourceDivergence(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(groupCol), explode(tokens(col(textCol))).as("_t"))
+      .filter(length(col("_t")) > 0)
+    val ft = tok.groupBy(col(groupCol), col("_t")).agg(count(lit(1)).as("_c"))
+    val st = ft.groupBy(col(groupCol)).agg(sum(col("_c")).as("_ns"))
+    val ct = ft.groupBy("_t").agg(sum(col("_c")).as("_ct"))
+    val n = broadcast(ct.agg(sum(col("_ct")).as("_n")))
+    val p = col("_c").cast("double") / col("_ns")
+    val q = col("_ct").cast("double") / col("_n")
+    ft.join(st, groupCol).join(ct, "_t").crossJoin(n)
+      .groupBy(col(groupCol))
+      .agg(max(col("_ns")).cast("long").as("n_tokens"),
+        sum(p * log(p / q)).as("kl"))
+  }
+
+  /** Zipf rank–frequency slope: the least-squares slope of ln(freq) on
+    * ln(rank) over the corpus's top-`k` tokens (natural text ≈ −1; a
+    * repetitive or templated corpus flattens toward 0 — a cheap
+    * corpus-health scalar). The top-k slice is a distributed
+    * TakeOrdered; the rank window runs over that bounded k-row frame
+    * only.
+    */
+  def zipfSlope(df: DataFrame, textCol: String, k: Int = 100): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("token").asc)
+    vocabulary(df, textCol, k)
+      .withColumn("rank", row_number().over(w))
+      .agg(expr("regr_slope(ln(freq), ln(rank))").as("slope"))
+  }
+
   /** PII patterns for [[redactPii]] — deliberately restricted to syntax
     * Java regex and RE2 (DuckDB/Go scrubbers) interpret identically:
     * character classes, bounded repetition, ASCII `\b`/`\d` — no

@@ -706,6 +706,39 @@ object ExtQueries {
         "round(sum(power(v - (lo + code / 255.0 * (hi - lo)), 2)) / count(*), 12) AS mse " +
         "FROM q GROUP BY vec_id ORDER BY vec_id")),
 
+    // Domain-mix diagnostics: KL divergence of each source's token
+    // distribution from the corpus mixture — finite by construction
+    // (every source token is in the corpus), vocabulary-keyed joins.
+    Q("x_source_divergence",
+      (s, d) => TextAnalysis.sourceDivergence(Tables.documents(s, d), "source", "text")
+        .select(col("source"), col("n_tokens"), round(col("kl"), 6).as("kl"))
+        .orderBy("source"),
+      Some("WITH tok AS (SELECT source, unnest(string_split_regex(text, ' +')) AS t " +
+        "FROM documents), " +
+        "ft AS (SELECT source, t, count(*) AS c FROM tok WHERE length(t) > 0 " +
+        "GROUP BY source, t), " +
+        "st AS (SELECT source, sum(c) AS ns FROM ft GROUP BY source), " +
+        "ct AS (SELECT t, sum(c) AS ctot FROM ft GROUP BY t), " +
+        "n AS (SELECT sum(ctot) AS n FROM ct) " +
+        "SELECT source, CAST(max(ns) AS BIGINT) AS n_tokens, " +
+        "round(sum((c / CAST(ns AS DOUBLE)) * " +
+        "ln((c / CAST(ns AS DOUBLE)) / (ctot / CAST(n.n AS DOUBLE)))), 6) AS kl " +
+        "FROM ft JOIN st USING (source) JOIN ct USING (t) CROSS JOIN n " +
+        "GROUP BY source ORDER BY source")),
+
+    // Zipf rank-frequency slope over the top-100 vocabulary — the
+    // corpus-health scalar (natural text ~ -1). regr_slope on both
+    // engines; the rank window runs over the bounded 100-row top-k.
+    Q("x_zipf_slope",
+      (s, d) => TextAnalysis.zipfSlope(Tables.documents(s, d), "text", 100)
+        .select(round(col("slope"), 6).as("slope")),
+      Some("WITH tok AS (SELECT unnest(string_split_regex(text, ' +')) AS token " +
+        "FROM documents), " +
+        "v AS (SELECT token, count(*) AS freq FROM tok WHERE length(token) > 0 " +
+        "GROUP BY token ORDER BY freq DESC, token LIMIT 100), " +
+        "r AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS rank FROM v) " +
+        "SELECT round(regr_slope(ln(freq), ln(rank)), 6) AS slope FROM r")),
+
     // Quantile (curriculum) bucketing: quartile label per document by
     // length — broadcast exact cut points, narrow per-row labeling, the
     // corpus never shuffles. Both engines compute the same interpolated

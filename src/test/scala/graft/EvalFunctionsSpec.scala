@@ -391,6 +391,29 @@ class EvalFunctionsSpec extends SparkSpec {
     assert(common.forall(_ == 0.0))
   }
 
+  test("ext: sourceDivergence — KL is 0 for matching distributions, positive for skew") {
+    // two sources with IDENTICAL token distributions → both KL = 0
+    val same = Seq((0L, "a", "x x y"), (1L, "b", "x x y")).toDF("doc_id", "source", "text")
+    val kl0 = graft.ext.TextAnalysis.sourceDivergence(same, "source", "text")
+      .select("kl").as[Double].collect()
+    assert(kl0.forall(k => math.abs(k) < 1e-12), kl0.toSeq.toString)
+    // a source that diverges from the mixture scores higher than one near it
+    val skew = Seq((0L, "a", "x x x x y"), (1L, "b", "z z z z z")).toDF("doc_id", "source", "text")
+    val kl = graft.ext.TextAnalysis.sourceDivergence(skew, "source", "text")
+      .orderBy("source").select("kl").as[Double].collect()
+    assert(kl.forall(_ > 0.1), kl.toSeq.toString)
+  }
+
+  test("ext: zipfSlope recovers ~ -1 on an exact Zipf corpus") {
+    // token t_r repeated floor(1000/r) times → freq ∝ 1/rank exactly
+    val words = (1 to 50).flatMap(r => Seq.fill(1000 / r)(f"t$r%03d"))
+    val docs = words.grouped(100).zipWithIndex
+      .map { case (w, i) => (i.toLong, w.mkString(" ")) }.toSeq.toDF("doc_id", "text")
+    val slope = graft.ext.TextAnalysis.zipfSlope(docs, "text", 50)
+      .as[Double].head()
+    assert(math.abs(slope - (-1.0)) < 0.05, s"slope=$slope")
+  }
+
   test("ext: approx_percentile tracks exact percentile (the 100 TB quantile path)") {
     val df = spark.range(10000L)
       .select((col("id") % 997 * 31 % 1009).cast("double").as("v"))
