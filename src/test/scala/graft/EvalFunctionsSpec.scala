@@ -212,9 +212,17 @@ class EvalFunctionsSpec extends SparkSpec {
   test("ext: duplicateClusters labels every member with its component minimum") {
     // chain 1-2-3 (diameter 2), pair 5-6, plus 9-1 joining the chain late
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (1L, 9L)).toDF("id1", "id2")
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.values
+      .count(_.getStorageLevel.useMemory)
     val got = graft.ext.Dedup.duplicateClusters(pairs)
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+    // superseded rounds + edges are released deterministically inside
+    // the loop: only the RETURNED labels checkpoint may remain live
+    val persistedAfter = spark.sparkContext.getPersistentRDDs.values
+      .count(_.getStorageLevel.useMemory)
+    assert(persistedAfter <= persistedBefore + 1,
+      s"before=$persistedBefore after=$persistedAfter — intermediate rounds leaked")
   }
 
   test("ext: per-row hashed signature bands reproduce the batch candidate set") {

@@ -268,6 +268,29 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming asof: a late right row never regresses newer state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Boolean, Double)]
+    val df = input.toDF().toDF("ts", "k", "is_right", "v")
+    val out = StreamingOps.asofLatest(df, "k", "ts", "is_right", "v",
+      watermark = "10 minutes")
+    val query = out.writeStream.format("memory").queryName("asof_lr_out")
+      .outputMode("append").start()
+    def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    try {
+      input.addData(Seq((ts(50), "a", true, 5.0)))
+      query.processAllAvailable()
+      // a LATE right at s=20 must not displace the newer s=50 state;
+      // the left at s=60 still matches s=50
+      input.addData(Seq((ts(20), "a", true, 2.0), (ts(60), "a", false, 0.0)))
+      query.processAllAvailable()
+      val got = spark.table("asof_lr_out")
+        .select("asofTsMs", "asofValue").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == Seq((ts(50).getTime, 5.0)))
+    } finally query.stop()
+  }
+
   test("streaming asof: in-order stream matches the batch asofJoin row-for-row") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, Boolean, Double)]
