@@ -347,6 +347,54 @@ object WindowQueries {
         "FROM l JOIN o ON l.ts_sec >= o.o_start AND l.ts_sec < o.o_start + 3600 " +
         "ORDER BY l.event_id, o.outage_id")),
 
+    // Composite event enrichment — the three sequence operators chained
+    // in ONE plan: every purchase event labeled with (a) its gap-600s
+    // session episode (sessionize: chunk+halo lag + two-phase cumsum),
+    // (b) the latest error value at-or-before it (global as-of join),
+    // and (c) whether it falls inside an hour-long high-error outage
+    // window (bucketized interval containment as a flag). Each stage is
+    // the registered operator; one oracle checks the composition.
+    Q("x_event_enrich",
+      (s, d) => {
+        val e = ev(s, d)
+        val sess = Windows.sessionize(e, "event_id", "ts_sec", gap = 600)
+        val purchases = sess.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("session"), col("ts_sec"), col("ts_micro"))
+        val errors = e.filter(col("event_type") === "error")
+          .select(col("ts_micro"), col("value"))
+        val enriched = Windows.asofJoin(purchases, errors,
+          "ts_micro", "ts_micro", Seq("value"))
+        val outages = e.filter(col("event_type") === "error" && col("value") > 190)
+          .select(col("ts_sec").as("o_start"), (col("ts_sec") + 3600L).as("o_end"))
+        val inOutage = Windows.intervalJoin(
+            enriched.select(col("event_id"), col("ts_sec")), outages,
+            "ts_sec", "o_start", "o_end", bucketWidth = 3600L)
+          .select(col("event_id")).distinct().withColumn("in_outage", lit(true))
+        enriched.join(inOutage, Seq("event_id"), "left")
+          .select(col("event_id"), col("session"),
+            round(col("asof_value"), 6).as("last_error_value"),
+            coalesce(col("in_outage"), lit(false)).as("in_outage"))
+          .orderBy("event_id")
+      },
+      Some("WITH t AS (SELECT event_id, event_type, value, " +
+        "CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, epoch_us(ts) AS tu FROM events), " +
+        "g AS (SELECT *, CASE WHEN ts_sec - lag(ts_sec) OVER (ORDER BY event_id) > 600 " +
+        "THEN 1 ELSE 0 END AS nw FROM t), " +
+        "sx AS (SELECT *, sum(nw) OVER (ORDER BY event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session FROM g), " +
+        "p AS (SELECT event_id, CAST(session AS BIGINT) AS session, ts_sec, tu FROM sx " +
+        "WHERE event_type = 'purchase'), " +
+        "er AS (SELECT tu AS rt, value AS rv FROM t WHERE event_type = 'error'), " +
+        "a AS (SELECT p.event_id, p.session, p.ts_sec, round(er.rv, 6) AS last_error_value " +
+        "FROM p ASOF LEFT JOIN er ON p.tu >= er.rt), " +
+        "o AS (SELECT ts_sec AS s FROM t WHERE event_type = 'error' AND value > 190), " +
+        "hit AS (SELECT DISTINCT a.event_id FROM a JOIN o ON a.ts_sec >= o.s " +
+        "AND a.ts_sec < o.s + 3600) " +
+        "SELECT a.event_id, a.session, a.last_error_value, " +
+        "hit.event_id IS NOT NULL AS in_outage " +
+        "FROM a LEFT JOIN hit ON a.event_id = hit.event_id " +
+        "ORDER BY a.event_id")),
+
     // Salted skew join in the registry: lineitem⋈orders through
     // Layout.saltedJoin (salt from hashed row content, small side
     // replicated saltFactor×), aggregated to revenue per order status.
