@@ -55,8 +55,8 @@ object Dedup {
     * which re-inline shared subexpressions), and no shingle strings are
     * ever built. 6× faster than string shingles on the bench.
     */
-  private def shingleHashRows(df: DataFrame, idCol: String, textCol: String,
-                              shingleLen: Int): DataFrame =
+  private[ext] def shingleHashRows(df: DataFrame, idCol: String, textCol: String,
+                                   shingleLen: Int): DataFrame =
     df.select(col(idCol).as("_id"),
         transform(split(col(textCol), " +"), t => xxhash64(t)).as("_th"))
       .filter(size(col("_th")) >= shingleLen) // guard: sequence(0, <0) counts down

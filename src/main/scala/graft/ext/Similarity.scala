@@ -292,16 +292,66 @@ object Similarity {
     * Output: (idCol, projection: array<double> of length dOut).
     */
   def signedProjection(df: DataFrame, idCol: String, vecCol: String,
-                       dIn: Int, dOut: Int): DataFrame = {
+                       dIn: Int, dOut: Int): DataFrame =
+    df.select(col(idCol),
+      graft.functions.GraftFunctions.matvec_product(
+        col(vecCol).cast("array<double>"), jlMatrix(dIn, dOut)).as("projection"))
+
+  /** The portable ±1/√dOut JL matrix shared by [[signedProjection]] and
+    * [[semanticDedup]] — one formula, so both surfaces stay re-derivable
+    * by the same external arithmetic.
+    */
+  private def jlMatrix(dIn: Int, dOut: Int): Array[Array[Double]] = {
     require(dIn > 0 && dOut > 0, s"need positive dims, got dIn=$dIn dOut=$dOut")
     val scale = 1.0 / math.sqrt(dOut.toDouble)
-    val matrix = Array.tabulate(dOut, dIn) { (i, j) =>
+    Array.tabulate(dOut, dIn) { (i, j) =>
       val h = java.lang.Math.floorMod((i.toLong * dIn + j) * 2654435761L, 4294967296L)
       (if (h < 2147483648L) 1.0 else -1.0) * scale
     }
-    df.select(col(idCol),
+  }
+
+  /** SemDeDup-style semantic near-duplicate pairs: bucket every vector by
+    * the SIGN BITS of its [[signedProjection]] (bucket = Σ 2^i over
+    * planes i with projection_i ≥ 0 — `planes` hyperplanes → 2^planes
+    * buckets), then verify exact cosine ≥ `minCos` WITHIN each bucket
+    * only. The semantic-dedup shape of the SemDeDup paper (cluster, then
+    * all-pairs inside the cluster) with a deterministic, portable
+    * partitioner instead of KMeans: the projection matrix is the
+    * portable-hash ±1 matrix, so an external engine can re-derive every
+    * bucket assignment AND every surviving pair from the formula alone —
+    * unlike [[cosineNearDupLsh]], whose xxhash64-seeded planes make it
+    * engine-specific (rows-only checkable).
+    *
+    * Scale shape: bucketing is a narrow per-row kernel (one
+    * [[graft.functions.MatVecProduct]] + a sign fold); the pair stage is
+    * a hash EQUI join on the bucket id — never a cross join — so the
+    * only quadratic term is within-bucket, bounded by the bucket's own
+    * occupancy. At 100 TB: raise `planes` until the largest bucket's
+    * all-pairs fits an executor (doubling planes halves expected
+    * occupancy); recall at a given `minCos` then follows the hyperplane
+    * collision bound cos(θ) — near-identical vectors land in one bucket
+    * w.p. ≈ 1. Skewed buckets (e.g. a zero-vector pile-up) are visible
+    * in the output's `bucket` column and can be salted upstream.
+    *
+    * Output: (id1, id2, bucket: long, cos: double), id1 < id2.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String, dIn: Int,
+                    planes: Int, minCos: Double): DataFrame = {
+    require(planes > 0 && planes < 63, s"need 0 < planes < 63, got $planes")
+    val projected = df.select(col(idCol), col(vecCol).cast("array<double>").as("_v"),
       graft.functions.GraftFunctions.matvec_product(
-        col(vecCol).cast("array<double>"), matrix).as("projection"))
+        col(vecCol).cast("array<double>"), jlMatrix(dIn, planes)).as("_proj"))
+    val bucketed = projected.select(col(idCol), col("_v"),
+      (0 until planes).map(i =>
+          when(element_at(col("_proj"), i + 1) >= 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce((a, b) => a.bitwiseOR(b)).as("bucket"))
+    val a = bucketed.select(col(idCol).as("id1"), col("bucket"), col("_v").as("_v1"))
+    val b = bucketed.select(col(idCol).as("id2"), col("bucket"), col("_v").as("_v2"))
+    a.join(b, "bucket")
+      .filter(col("id1") < col("id2"))
+      .withColumn("cos", cosine(col("_v1"), col("_v2")))
+      .filter(col("cos") >= minCos)
+      .select("id1", "id2", "bucket", "cos")
   }
 
   /** Scalar int8-style quantization of an embedding column: per-dimension

@@ -282,6 +282,39 @@ object TextAnalysis {
       .agg(expr("regr_slope(ln(freq), ln(rank))").as("slope"))
   }
 
+  /** Per-document n-gram novelty / boilerplate profile: for each
+    * document, the fraction of its DISTINCT token `n`-grams that appear
+    * in no other document (`novel_frac`, the CCNet/RefinedWeb novelty
+    * signal) and the fraction that appear in at least `boilerplateDf`
+    * documents (`boilerplate_frac` — template/boilerplate mass a corpus
+    * build drops or downweights). Complements [[Dedup.decontaminate]]
+    * (overlap vs a held-out set) with corpus-internal overlap.
+    *
+    * Scale shape: n-grams travel only as 64-bit hashes (the
+    * [[Dedup.shingleHashRows]] Generate path — no n-gram strings cross
+    * the wire). Three hash-partitioned aggregates: distinct (doc, gram)
+    * pairs, document frequency per gram (map-side combined), and the
+    * per-doc fraction reduce; the gram→df join is equi on the gram hash,
+    * so both sides share one partitioning. Nothing in the plan is
+    * quadratic in corpus size, and no global ordering exists anywhere.
+    *
+    * Output: (idCol, n_ngrams: long, novel_frac, boilerplate_frac).
+    * Documents shorter than `n` tokens have no n-grams and drop out,
+    * like [[Dedup.decontaminate]]'s guard.
+    */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String, n: Int,
+                   boilerplateDf: Int = 3): DataFrame = {
+    val grams = Dedup.shingleHashRows(df, idCol, textCol, n)
+      .select(col("_id"), col("_sh")).distinct()
+    val dfCounts = grams.groupBy("_sh").agg(count(lit(1)).as("_df"))
+    grams.join(dfCounts, "_sh")
+      .groupBy(col("_id").as(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        round(avg(when(col("_df") === 1, 1.0).otherwise(0.0)), 6).as("novel_frac"),
+        round(avg(when(col("_df") >= boilerplateDf, 1.0).otherwise(0.0)), 6)
+          .as("boilerplate_frac"))
+  }
+
   /** PII patterns for [[redactPii]] — deliberately restricted to syntax
     * Java regex and RE2 (DuckDB/Go scrubbers) interpret identically:
     * character classes, bounded repetition, ASCII `\b`/`\d` — no

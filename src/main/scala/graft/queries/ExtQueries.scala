@@ -776,6 +776,43 @@ object ExtQueries {
     // rule over the flattened index, so the ORACLE rebuilds the matrix
     // from arithmetic alone and reproduces the projection exactly (no
     // stored matrix, no RNG). One MatVecProduct codegen kernel per row.
+    // SemDeDup-style semantic near-dup: portable JL sign-bit buckets
+    // (6 hyperplanes → 64 buckets), exact cosine >= 0.4 within buckets
+    // only. Fully oracle-checked — the DuckDB side re-derives the
+    // projection matrix from the portable-hash formula, the sign-bit
+    // bucket, the bucket equi-join, AND the cosine, end to end (the
+    // xxhash-seeded LSH twin x_cosine_near_dup_lsh can only be
+    // rows-only).
+    Q("x_semantic_dedup",
+      (s, d) => Similarity.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+          dIn = queryVec(s, d).length, planes = 6, minCos = 0.4)
+        .select(col("id1"), col("id2"), col("bucket"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("id1", "id2"),
+      Some("WITH x AS (SELECT vec_id, len(embedding) AS dim, " +
+        "CAST(unnest(embedding) AS DOUBLE) AS v, " +
+        "generate_subscripts(embedding, 1) - 1 AS j FROM embeddings), " +
+        "io AS (SELECT unnest(generate_series(0, 5)) AS i), " +
+        "p AS (SELECT vec_id, i, sum(v * CASE WHEN " +
+        "((i * dim + j) * 2654435761) % 4294967296 < 2147483648 " +
+        "THEN 1 ELSE -1 END) / sqrt(6.0) AS y FROM x CROSS JOIN io GROUP BY vec_id, i), " +
+        "bk AS (SELECT vec_id, CAST(sum(CASE WHEN y >= 0 " +
+        "THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS bucket " +
+        "FROM p GROUP BY vec_id), " +
+        "pr AS (SELECT a.vec_id AS id1, b.vec_id AS id2, a.bucket AS bucket " +
+        "FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id), " +
+        "d AS (SELECT id1, id2, bucket, unnest(e1.embedding) AS xx, " +
+        "unnest(e2.embedding) AS yy FROM pr " +
+        "JOIN embeddings e1 ON e1.vec_id = pr.id1 " +
+        "JOIN embeddings e2 ON e2.vec_id = pr.id2), " +
+        "sm AS (SELECT id1, id2, bucket, " +
+        "sum(CAST(xx AS DOUBLE) * CAST(yy AS DOUBLE)) AS dt, " +
+        "sum(CAST(xx AS DOUBLE) * CAST(xx AS DOUBLE)) AS nx, " +
+        "sum(CAST(yy AS DOUBLE) * CAST(yy AS DOUBLE)) AS ny " +
+        "FROM d GROUP BY id1, id2, bucket) " +
+        "SELECT id1, id2, bucket, round(dt / (sqrt(nx) * sqrt(ny)), 6) AS cos " +
+        "FROM sm WHERE dt / (sqrt(nx) * sqrt(ny)) >= 0.4 ORDER BY id1, id2")),
+
     Q("x_random_projection",
       (s, d) => {
         val dim = queryVec(s, d).length
@@ -827,6 +864,24 @@ object ExtQueries {
         "CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared " +
         "FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d " +
         "LEFT JOIN hit USING (doc_id) ORDER BY d.doc_id")),
+
+    // Per-document n-gram novelty / boilerplate fractions over the
+    // corpus's own 4-grams (df = 1 → novel; df >= 3 → boilerplate).
+    // Same hashed-n-gram identity as x_decontaminate: the oracle
+    // recomputes document frequency over string 4-grams.
+    Q("x_novelty",
+      (s, d) => TextAnalysis.ngramNovelty(Tables.documents(s, d), "doc_id", "text",
+          n = 4, boilerplateDf = 3)
+        .orderBy("doc_id"),
+      Some("WITH t AS (SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents), " +
+        "e AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 3)) AS p FROM t " +
+        "WHERE len(toks) >= 4), " +
+        "g AS (SELECT DISTINCT doc_id, array_to_string(toks[p:p+3], ' ') AS ngram FROM e), " +
+        "dfc AS (SELECT ngram, count(*) AS docfreq FROM g GROUP BY ngram) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams, " +
+        "round(avg(CASE WHEN docfreq = 1 THEN 1.0 ELSE 0.0 END), 6) AS novel_frac, " +
+        "round(avg(CASE WHEN docfreq >= 3 THEN 1.0 ELSE 0.0 END), 6) AS boilerplate_frac " +
+        "FROM g JOIN dfc USING (ngram) GROUP BY doc_id ORDER BY doc_id")),
 
     // Document fingerprint (rolling hash) — rows-only check.
     Q("x_fingerprint",

@@ -179,6 +179,24 @@ class EvalFunctionsSpec extends SparkSpec {
     assert(got == Seq((0L, true, 2L), (1L, false, 0L), (2L, true, 1L)))
   }
 
+  test("ext: ngramNovelty — novel vs boilerplate fractions by corpus df") {
+    val docs = Seq(
+      (1L, "a b c d e"),      // grams "a b c d", "b c d e": both df=1
+      (2L, "x y z w q2"),     // "x y z w" df=3, "y z w q2" df=1
+      (3L, "x y z w q3"),
+      (4L, "x y z w"),        // single gram, df=3
+      (5L, "a b c")           // < n tokens: drops out
+    ).toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis.ngramNovelty(docs, "doc_id", "text",
+        n = 4, boilerplateDf = 3)
+      .orderBy("doc_id").as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 1.0, 0.0),
+      (2L, 2L, 0.5, 0.5),
+      (3L, 2L, 0.5, 0.5),
+      (4L, 1L, 0.0, 1.0)))
+  }
+
   test("ext: lmScore = mean ln of add-one bigram probabilities") {
     val docs = Seq((0L, "a b a b"), (1L, "a b c"), (2L, "c"))
       .toDF("doc_id", "text")

@@ -223,4 +223,35 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(got.head._2.length == dOut)
   }
+
+  test("semanticDedup: pairs are a bucket-filtered subset of the exact all-pairs set") {
+    val minCos = 0.8
+    val got = Similarity.semanticDedup(fixture, "vec_id", "embedding",
+        dIn = dim, planes = 4, minCos = minCos)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // exact set with the boundary nudged below >= so the subset check is
+    // conservative (cosineNearDuplicates filters with strict >)
+    val exact = Similarity.cosineNearDuplicates(fixture, "vec_id", "embedding",
+        minCos - 1e-9)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(got.nonEmpty, "no within-bucket pairs found in the near-cluster fixture")
+    assert(got.subsetOf(exact), s"bucketed pairs not a subset: ${got.diff(exact)}")
+  }
+
+  test("semanticDedup: identical vectors share a bucket and are always caught") {
+    val v = randVec().toSeq
+    val dupes = Seq((900L, v), (901L, v)).toDF("vec_id", "embedding")
+    val rows = Similarity.semanticDedup(fixture.union(dupes), "vec_id", "embedding",
+        dIn = dim, planes = 6, minCos = 0.99)
+      .filter(col("id1") === 900L && col("id2") === 901L)
+      .collect()
+    assert(rows.length == 1, "identical pair missed — sign buckets must agree")
+    assert(math.abs(rows.head.getAs[Double]("cos") - 1.0) < 1e-9)
+    // the reported bucket is the sign fold of the portable projection
+    val proj = Similarity.signedProjection(dupes, "vec_id", "embedding", dim, 6)
+      .filter(col("vec_id") === 900L).head().getSeq[Double](1)
+    val expectBucket = proj.zipWithIndex
+      .collect { case (y, i) if y >= 0 => 1L << i }.sum
+    assert(rows.head.getAs[Long]("bucket") == expectBucket)
+  }
 }
