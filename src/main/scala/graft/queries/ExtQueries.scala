@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Similarity, Sketches, TextAnalysis}
 import graft.functions.GraftFunctions
 import graft.window.Windows
 
@@ -253,6 +253,25 @@ object ExtQueries {
       Some("WITH tok AS (SELECT unnest(string_split_regex(text, ' +')) AS token FROM documents) " +
         "SELECT token, CAST(count(*) AS BIGINT) AS freq FROM tok WHERE length(token) > 0 " +
         "GROUP BY token ORDER BY freq DESC, token LIMIT 100")),
+
+    // Count–min-sketch heavy hitters — the sublinear twin of
+    // x_vocab_topk: fixed-width mergeable sketch + distinct-token probe,
+    // nothing data-sized on one node. Rows-only (the sketch's internal
+    // hashes are engine-specific); the estimate bounds vs exact counts
+    // are pinned in EvalFunctionsSpec, and x_vocab_topk is the exact
+    // oracle-checked twin.
+    Q("x_cms_heavy_hitters",
+      (s, d) => Sketches.cmsTopTerms(Tables.documents(s, d), "text", k = 20),
+      None),
+
+    // HLL++ approximate corpus profile per language — constant-memory
+    // distinct counts where the exact profiler (x_profile) shuffles
+    // every distinct value. Rows-only (HLL register banks are
+    // engine-specific); tolerance vs exact pinned in EvalFunctionsSpec.
+    Q("x_approx_profile",
+      (s, d) => Sketches.approxProfile(Tables.documents(s, d), "lang", "doc_id", "text")
+        .orderBy("lang"),
+      None),
 
     // Bigram top-k — LM co-occurrence stats, same aggregate shape as the
     // vocabulary query over 2-token shingles.

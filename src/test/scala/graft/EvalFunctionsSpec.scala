@@ -179,6 +179,40 @@ class EvalFunctionsSpec extends SparkSpec {
     assert(got == Seq((0L, true, 2L), (1L, false, 0L), (2L, true, 1L)))
   }
 
+  test("ext: cmsTopTerms — never underestimates, heavy hitter ranks first, error bounded") {
+    // 150 singleton tokens + one token appearing 100 times; a coarse
+    // sketch (eps = 0.05 -> width 55 < 150 distinct) forces collisions
+    val docs = ((0 until 150).map(i => (i.toLong, s"tok$i")) :+
+        (150L, Seq.fill(100)("heavy").mkString(" ")))
+      .toDF("doc_id", "text")
+    val n = 250.0 // total token occurrences
+    val got = graft.ext.Sketches.cmsTopTerms(docs, "text", k = 5,
+        eps = 0.05, confidence = 0.9, seed = 7)
+      .as[(String, Long)].collect().toSeq
+    assert(got.head._1 == "heavy", s"heavy hitter not rank 1: $got")
+    val exact = Map("heavy" -> 100L).withDefaultValue(1L)
+    got.foreach { case (t, est) =>
+      assert(est >= exact(t), s"count-min underestimated $t: $est < ${exact(t)}")
+      assert(est <= exact(t) + (0.05 * n).ceil.toLong,
+        s"$t estimate $est exceeds exact + eps*N = ${exact(t) + (0.05 * n).ceil.toLong}")
+    }
+  }
+
+  test("ext: approxProfile — HLL counts track exact within 5x rsd") {
+    val docs = (0 until 300).map { i =>
+      (i.toLong, if (i % 2 == 0) "g0" else "g1",
+        (0 until 10).map(j => s"w${(i * 10 + j) % 97}").mkString(" "))
+    }.toDF("doc_id", "grp", "text")
+    val got = graft.ext.Sketches.approxProfile(docs, "grp", "doc_id", "text", rsd = 0.02)
+      .orderBy("grp").as[(String, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq("g0", "g1"))
+    got.foreach { case (g, nTok, distTok, nDocs) =>
+      assert(nTok == 1500L, s"$g n_tokens $nTok") // exact: 150 docs x 10 tokens
+      assert(math.abs(distTok - 97.0) / 97.0 < 0.1, s"$g distinct tokens $distTok vs 97")
+      assert(math.abs(nDocs - 150.0) / 150.0 < 0.1, s"$g docs $nDocs vs 150")
+    }
+  }
+
   test("ext: ngramNovelty — novel vs boilerplate fractions by corpus df") {
     val docs = Seq(
       (1L, "a b c d e"),      // grams "a b c d", "b c d e": both df=1
