@@ -340,6 +340,49 @@ object Dedup {
     * Output: (idCol, contaminated: boolean, n_shared: bigint) where
     * `n_shared` counts distinct shared n-grams per corpus document.
     */
+  /** Sub-document (chunk-level) exact dedup: each document splits into
+    * consecutive `chunkTokens`-token chunks (last chunk may be shorter);
+    * a chunk survives only at its FIRST corpus-wide occurrence (lowest
+    * (doc id, position)), and every document is reassembled from its
+    * surviving chunks in order — the Dolma/CCNet paragraph-dedup shape
+    * for corpora whose boilerplate repeats inside otherwise-distinct
+    * documents, where [[exact]] (whole-document) keeps both copies.
+    *
+    * Scale shape: chunk CONTENT never shuffles — chunks travel as
+    * (chunk-hash, doc, pos) triples; the winner per hash is one
+    * map-side-combined min(struct) aggregate; kept positions join back
+    * on the hash and reduce to a per-doc position list; the surviving
+    * text is rebuilt NARROWLY by re-slicing each document's own token
+    * array at its kept positions (the only row wide enough to hold text
+    * is the document's own). A fully-duplicated document keeps zero
+    * chunks and reassembles to the empty string, not a dropped row.
+    *
+    * Output: (idCol, kept_chunks, total_chunks, text_deduped).
+    */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+                 chunkTokens: Int): DataFrame = {
+    require(chunkTokens > 0, s"need positive chunk size, got $chunkTokens")
+    val base = df.select(col(idCol).as("_id"), split(col(textCol), " +").as("_toks"))
+    val lastPos = floor((size(col("_toks")) - 1) / chunkTokens.toDouble).cast("int")
+    val chunks = base.select(col("_id"),
+      posexplode(transform(sequence(lit(0), lastPos),
+          p => xxhash64(array_join(slice(col("_toks"), p * chunkTokens + 1, lit(chunkTokens)), " "))))
+        .as(Seq("_pos", "_ch")))
+    val winners = chunks.groupBy("_ch")
+      .agg(min(struct(col("_id"), col("_pos"))).as("_w"))
+    val kept = chunks.join(winners, "_ch")
+      .filter(col("_id") === col("_w._id") && col("_pos") === col("_w._pos"))
+      .groupBy("_id").agg(sort_array(collect_list(col("_pos"))).as("_keep"))
+    base.join(kept, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        size(coalesce(col("_keep"), array().cast("array<int>"))).cast("long").as("kept_chunks"),
+        (floor((size(col("_toks")) - 1) / chunkTokens.toDouble) + 1).cast("long")
+          .as("total_chunks"),
+        array_join(transform(coalesce(col("_keep"), array().cast("array<int>")),
+          p => array_join(slice(col("_toks"), p * chunkTokens + 1, lit(chunkTokens)), " ")), " ")
+          .as("text_deduped"))
+  }
+
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
                     textCol: String, n: Int): DataFrame = {
     val benchGrams = broadcast(

@@ -354,6 +354,34 @@ object Similarity {
       .select("id1", "id2", "bucket", "cos")
   }
 
+  /** Per-group embedding centroid + per-row prototypicality: each row's
+    * cosine to its group's MEAN vector, with rows below `minCos` flagged
+    * as outliers — the D4/SemDeDup-family "distance to prototype"
+    * filter (mislabeled, off-topic, or noisy rows sit far from their
+    * group's semantic center).
+    *
+    * Scale shape: the centroid pass is a posexplode + (group, dim)-keyed
+    * average (map-side combined — `#groups × dim` accumulators, not
+    * rows), collapsed to one `dim`-length array per group and BROADCAST
+    * back; the scoring pass is then a narrow per-row [[cosine]] kernel.
+    * Nothing data-sized shuffles twice, and the corpus never re-collects.
+    *
+    * Output: (idCol, groupCol, cos_centroid, outlier: boolean).
+    */
+  def centroidOutliers(df: DataFrame, groupCol: String, idCol: String,
+                       vecCol: String, minCos: Double): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val centroids = df.select(col(groupCol), posexplode(v).as(Seq("_j", "_x")))
+      .groupBy(col(groupCol), col("_j")).agg(avg(col("_x")).as("_c"))
+      .groupBy(groupCol)
+      .agg(transform(array_sort(collect_list(struct(col("_j"), col("_c")))),
+        s => s("_c")).as("_centroid"))
+    df.join(broadcast(centroids), groupCol)
+      .select(col(idCol), col(groupCol),
+        cosine(v, col("_centroid")).as("cos_centroid"))
+      .withColumn("outlier", col("cos_centroid") < minCos)
+  }
+
   /** Scalar int8-style quantization of an embedding column: per-dimension
     * affine codes `q_i = clamp(floor((v_i - lo_i)/(hi_i - lo_i)*255 + .5))`
     * against corpus-wide per-dim (min, max) — 4× smaller vectors for the

@@ -795,6 +795,25 @@ object ExtQueries {
     // rule over the flattened index, so the ORACLE rebuilds the matrix
     // from arithmetic alone and reproduces the projection exactly (no
     // stored matrix, no RNG). One MatVecProduct codegen kernel per row.
+    // Per-label centroid prototypicality: cosine of every embedding to
+    // its label's mean vector, outliers below the threshold flagged.
+    // Oracle re-derives the centroid and the cosine from unnested
+    // arithmetic.
+    Q("x_centroid_outliers",
+      (s, d) => Similarity.centroidOutliers(Tables.embeddings(s, d), "label", "vec_id",
+          "embedding", minCos = 0.2)
+        .select(col("vec_id"), col("label"),
+          round(col("cos_centroid"), 6).as("cos_centroid"), col("outlier"))
+        .orderBy("vec_id"),
+      Some("WITH x AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v, " +
+        "generate_subscripts(embedding, 1) AS j FROM embeddings), " +
+        "c AS (SELECT label, j, avg(v) AS cj FROM x GROUP BY label, j), " +
+        "s AS (SELECT x.vec_id, x.label, sum(x.v * c.cj) AS dt, " +
+        "sum(x.v * x.v) AS nx, sum(c.cj * c.cj) AS nc " +
+        "FROM x JOIN c ON x.label = c.label AND x.j = c.j GROUP BY x.vec_id, x.label) " +
+        "SELECT vec_id, label, round(dt / (sqrt(nx) * sqrt(nc)), 6) AS cos_centroid, " +
+        "dt / (sqrt(nx) * sqrt(nc)) < 0.2 AS outlier FROM s ORDER BY vec_id")),
+
     // SemDeDup-style semantic near-dup: portable JL sign-bit buckets
     // (6 hyperplanes → 64 buckets), exact cosine >= 0.4 within buckets
     // only. Fully oracle-checked — the DuckDB side re-derives the
@@ -883,6 +902,29 @@ object ExtQueries {
         "CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared " +
         "FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d " +
         "LEFT JOIN hit USING (doc_id) ORDER BY d.doc_id")),
+
+    // Chunk-level exact dedup with reassembly: 2-token chunks, first
+    // corpus-wide occurrence wins, documents rebuilt from surviving
+    // chunks. Chunk text never shuffles (hash/doc/pos triples only);
+    // the oracle restates winner selection and ordered reassembly over
+    // string chunks.
+    Q("x_chunk_dedup",
+      (s, d) => Dedup.chunkDedup(Tables.documents(s, d), "doc_id", "text",
+          chunkTokens = 2)
+        .orderBy("doc_id"),
+      Some("WITH t AS (SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents), " +
+        "c0 AS (SELECT doc_id, toks, unnest(generate_series(0, (len(toks) - 1) // 2)) AS p FROM t), " +
+        "c AS (SELECT doc_id, p, array_to_string(toks[p * 2 + 1 : p * 2 + 2], ' ') AS chunk " +
+        "FROM c0), " +
+        "w AS (SELECT doc_id, p FROM (SELECT doc_id, p, row_number() OVER " +
+        "(PARTITION BY chunk ORDER BY doc_id, p) AS rn FROM c) WHERE rn = 1), " +
+        "r AS (SELECT c.doc_id, count(*) AS kept, " +
+        "string_agg(c.chunk, ' ' ORDER BY c.p) AS txt " +
+        "FROM c JOIN w USING (doc_id, p) GROUP BY c.doc_id) " +
+        "SELECT t.doc_id, CAST(coalesce(r.kept, 0) AS BIGINT) AS kept_chunks, " +
+        "CAST((len(t.toks) - 1) // 2 + 1 AS BIGINT) AS total_chunks, " +
+        "coalesce(r.txt, '') AS text_deduped " +
+        "FROM t LEFT JOIN r ON t.doc_id = r.doc_id ORDER BY t.doc_id")),
 
     // Per-document n-gram novelty / boilerplate fractions over the
     // corpus's own 4-grams (df = 1 → novel; df >= 3 → boilerplate).

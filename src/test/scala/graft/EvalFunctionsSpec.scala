@@ -179,6 +179,24 @@ class EvalFunctionsSpec extends SparkSpec {
     assert(got == Seq((0L, true, 2L), (1L, false, 0L), (2L, true, 1L)))
   }
 
+  test("ext: chunkDedup — first occurrence wins, docs reassemble in order") {
+    val docs = Seq(
+      (1L, "a b c d"),  // both chunks first-seen
+      (2L, "a b x y"),  // "a b" already owned by doc 1
+      (3L, "a b c d"),  // fully duplicated -> empty survivor
+      (4L, "p q r"),    // short tail chunk "r" kept
+      (5L, "z z z z")   // intra-doc repeat: second "z z" dropped
+    ).toDF("doc_id", "text")
+    val got = graft.ext.Dedup.chunkDedup(docs, "doc_id", "text", chunkTokens = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L, "a b c d"),
+      (2L, 1L, 2L, "x y"),
+      (3L, 0L, 2L, ""),
+      (4L, 2L, 2L, "p q r"),
+      (5L, 1L, 2L, "z z")))
+  }
+
   test("ext: cmsTopTerms — never underestimates, heavy hitter ranks first, error bounded") {
     // 150 singleton tokens + one token appearing 100 times; a coarse
     // sketch (eps = 0.05 -> width 55 < 150 distinct) forces collisions

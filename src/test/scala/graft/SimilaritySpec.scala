@@ -224,6 +224,21 @@ class SimilaritySpec extends SparkSpec {
     assert(got.head._2.length == dOut)
   }
 
+  test("centroidOutliers: cosine to the group mean, hand-checked; singleton group = 1") {
+    val rows = Seq(
+      (1L, "g", Seq(2.0, 0.0)),   // centroid of g = (1, 1)
+      (2L, "g", Seq(0.0, 2.0)),
+      (3L, "solo", Seq(3.0, 4.0)) // own centroid -> cos 1
+    ).toDF("vec_id", "grp", "embedding")
+    val got = Similarity.centroidOutliers(rows, "grp", "vec_id", "embedding", minCos = 0.8)
+      .orderBy("vec_id").as[(Long, String, Double, Boolean)].collect().toSeq
+    val c = 1.0 / math.sqrt(2) // cos((2,0), (1,1))
+    assert(got.map(_._1) == Seq(1L, 2L, 3L))
+    assert(math.abs(got(0)._3 - c) < 1e-9 && got(0)._4, s"got $got")
+    assert(math.abs(got(1)._3 - c) < 1e-9 && got(1)._4)
+    assert(math.abs(got(2)._3 - 1.0) < 1e-9 && !got(2)._4)
+  }
+
   test("semanticDedup: pairs are a bucket-filtered subset of the exact all-pairs set") {
     val minCos = 0.8
     val got = Similarity.semanticDedup(fixture, "vec_id", "embedding",
