@@ -73,12 +73,20 @@ object Dedup {
     * Documents with fewer than `shingleLen` tokens yield an all-MaxValue
     * signature; filter them upstream like the batch path does.
     */
-  def minhashSignatureHashed(text: Column, shingleLen: Int, numHashes: Int): Column = {
+  /** Per-row array of hashed `n`-token shingles — the narrow (no explode,
+    * no shuffle) twin of [[shingleHashRows]], bitwise-identical hashes.
+    * Documents shorter than `n` tokens yield an empty array.
+    */
+  def shingleHashArray(text: Column, n: Int): Column = {
     val th = transform(split(text, " +"), t => xxhash64(t))
-    val shs = when(size(th) >= shingleLen,
-        transform(sequence(lit(0), size(th) - shingleLen),
-          pos => xxhash64((1 to shingleLen).map(j => element_at(th, pos + j)): _*)))
+    when(size(th) >= n,
+        transform(sequence(lit(0), size(th) - n),
+          pos => xxhash64((1 to n).map(j => element_at(th, pos + j)): _*)))
       .otherwise(array().cast("array<bigint>"))
+  }
+
+  def minhashSignatureHashed(text: Column, shingleLen: Int, numHashes: Int): Column = {
+    val shs = shingleHashArray(text, shingleLen)
     aggregate(shs, array_repeat(lit(Long.MaxValue), numHashes),
       (acc, sh) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
         (a, i) => least(a, xxhash64(sh, i))))

@@ -101,6 +101,34 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("_h")
       .drop("_h")
 
+  /** Benchmark decontamination at INGEST time — the streaming half of
+    * [[graft.ext.Dedup.decontaminate]]: every arriving document is
+    * flagged if any of its hashed token `n`-grams appears in the
+    * held-out benchmark set. The benchmark's distinct gram hashes are
+    * materialized ONCE from the static frame and embedded as a plan
+    * literal (sorted array + `arrays_overlap`), so the streaming side is
+    * a pure narrow projection — no state, no shuffle, no join,
+    * append-mode-safe — and a restart rebuilds it deterministically.
+    *
+    * That shape is right because eval sets are SMALL by construction
+    * (the 100 TB asymmetry: the corpus streams, the benchmark fits in a
+    * broadcast); for a benchmark too large to embed, run the batch
+    * explode + broadcast-semi-join path instead. Flags agree with the
+    * batch operator row-for-row (same [[graft.ext.Dedup.shingleHashArray]]
+    * hashes; parity pinned in StreamingSpec).
+    */
+  def contaminatedAtIngest(stream: DataFrame, textCol: String,
+                           benchmark: DataFrame, benchTextCol: String,
+                           n: Int): DataFrame = {
+    val benchGrams: Array[Long] = benchmark
+      .select(explode(graft.ext.Dedup.shingleHashArray(col(benchTextCol), n)).as("_sh"))
+      .distinct().orderBy("_sh")
+      .collect().map(_.getLong(0))
+    stream.withColumn("contaminated",
+      arrays_overlap(graft.ext.Dedup.shingleHashArray(col(textCol), n),
+        lit(benchGrams)))
+  }
+
   final case class KeyedValue(key: String, seq: Long, value: Double)
   final case class WindowOut(key: String, windowId: Long, values: Seq[Double])
   final case class BandedDoc(id: Long, eventTs: java.sql.Timestamp, band: Int, bucket: Long)

@@ -220,6 +220,36 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming decontamination: ingest flags match the batch operator row-for-row") {
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta tail"),   // shares a 4-gram
+      (1L, "one two three four five"),       // clean
+      (2L, "x beta gamma delta epsilon"),    // shares a different 4-gram
+      (3L, "beta gamma delta"))              // < n tokens: clean by construction
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingOps.contaminatedAtIngest(
+      input.toDF().toDF("doc_id", "text"), "text", bench, "text", n = 4)
+    val query = out.writeStream.format("memory").queryName("contam_out")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq((0L, "alpha beta gamma delta tail"), (1L, "one two three four five")))
+      query.processAllAvailable()
+      input.addData(Seq((2L, "x beta gamma delta epsilon"), (3L, "beta gamma delta")))
+      query.processAllAvailable()
+      val streamed = spark.table("contam_out")
+        .orderBy("doc_id").as[(Long, String, Boolean)].collect()
+        .map(r => (r._1, r._3)).toSeq
+      val batch = graft.ext.Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 4)
+        .orderBy("doc_id").as[(Long, Boolean, Long)].collect()
+        .map(r => (r._1, r._2)).toSeq
+      assert(streamed == batch, s"ingest flags $streamed != batch flags $batch")
+      assert(streamed == Seq((0L, true), (1L, false), (2L, true), (3L, false)))
+    } finally query.stop()
+  }
+
   test("streaming dedup: duplicate content dropped within the watermark, state is hashes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]
