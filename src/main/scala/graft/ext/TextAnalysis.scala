@@ -294,18 +294,36 @@ object TextAnalysis {
     * [[Dedup.shingleHashRows]] Generate path — no n-gram strings cross
     * the wire). Three hash-partitioned aggregates: distinct (doc, gram)
     * pairs, document frequency per gram (map-side combined), and the
-    * per-doc fraction reduce; the gram→df join is equi on the gram hash,
-    * so both sides share one partitioning. Nothing in the plan is
-    * quadratic in corpus size, and no global ordering exists anywhere.
+    * per-doc fraction reduce; the gram→df join is equi on the gram hash.
+    * Nothing in the plan is quadratic in corpus size, and no global
+    * ordering exists anywhere.
+    *
+    * The distinct (doc, gram) subplan feeds BOTH the df count and the
+    * join-back, and Catalyst plans them as two independent scans of the
+    * corpus (the count branch is rewritten into a fused two-phase
+    * aggregate, so the exchanges differ and cannot be reused). Two
+    * narrow scans are the right default at bench scale; at 100 TB write
+    * the distinct pair table once and pass it as `gramRows` — the same
+    * build-once / probe-many lifecycle as the stored LSH signature
+    * index — and every novelty run reads 16-byte pairs instead of
+    * re-shingling the corpus twice.
     *
     * Output: (idCol, n_ngrams: long, novel_frac, boilerplate_frac).
     * Documents shorter than `n` tokens have no n-grams and drop out,
     * like [[Dedup.decontaminate]]'s guard.
     */
-  def ngramNovelty(df: DataFrame, idCol: String, textCol: String, n: Int,
-                   boilerplateDf: Int = 3): DataFrame = {
-    val grams = Dedup.shingleHashRows(df, idCol, textCol, n)
+  /** The distinct (`_id`, `_sh`) hashed-n-gram pair table [[ngramNovelty]]
+    * consumes — build once, store (partitioned by `_sh`), pass back as
+    * `gramRows` on every later run.
+    */
+  def ngramPairs(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    Dedup.shingleHashRows(df, idCol, textCol, n)
       .select(col("_id"), col("_sh")).distinct()
+
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String, n: Int,
+                   boilerplateDf: Int = 3,
+                   gramRows: Option[DataFrame] = None): DataFrame = {
+    val grams = gramRows.getOrElse(ngramPairs(df, idCol, textCol, n))
     val dfCounts = grams.groupBy("_sh").agg(count(lit(1)).as("_df"))
     grams.join(dfCounts, "_sh")
       .groupBy(col("_id").as(idCol))

@@ -247,6 +247,12 @@ class EvalFunctionsSpec extends SparkSpec {
       (2L, 2L, 0.5, 0.5),
       (3L, 2L, 0.5, 0.5),
       (4L, 1L, 0.0, 1.0)))
+    // the stored-pair-table lifecycle: precomputed gramRows, same result
+    val pairs = graft.ext.TextAnalysis.ngramPairs(docs, "doc_id", "text", n = 4)
+    val viaStored = graft.ext.TextAnalysis.ngramNovelty(docs, "doc_id", "text",
+        n = 4, boilerplateDf = 3, gramRows = Some(pairs))
+      .orderBy("doc_id").as[(Long, Long, Double, Double)].collect().toSeq
+    assert(viaStored == got)
   }
 
   test("ext: lmScore = mean ln of add-one bigram probabilities") {
