@@ -27,6 +27,32 @@ object Dedup {
     df.groupBy(xxhash64(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
 
+  /** Incremental exact dedup — the corpus-VERSION lifecycle [[exact]]
+    * lacks: a new batch dedupes against the stored content-hash table of
+    * everything already ingested, without rescanning the old corpus.
+    * Survivors are new-batch rows whose hash is (a) absent from
+    * `seenHashes` (left-anti join on the 8-byte key) and (b) first
+    * within their own batch (lowest id per batch-internal duplicate
+    * group). Append `survivors.select(hash)` to the seen table after
+    * each batch — the stored state is 8 bytes per distinct document
+    * ever seen, the same never-the-text contract as [[exact]], and the
+    * anti join is a plain hash join that AQE can broadcast while the
+    * new batch is small relative to history.
+    *
+    * Output: the surviving rows of `batch` plus their `content_hash`.
+    */
+  def exactIncremental(batch: DataFrame, idCol: String, textCol: String,
+                       seenHashes: DataFrame): DataFrame = {
+    val hashed = batch.withColumn("content_hash", xxhash64(col(textCol)))
+    val unseen = hashed.join(seenHashes, Seq("content_hash"), "left_anti")
+    val firstInBatch = unseen.groupBy("content_hash")
+      .agg(min(col(idCol)).as("_keep"))
+    unseen.join(firstInBatch,
+        unseen("content_hash") === firstInBatch("content_hash") &&
+          col(idCol) === col("_keep"))
+      .drop("_keep").drop(firstInBatch("content_hash"))
+  }
+
   /** Word shingles of length `k` as the minhash token set. */
   def shingles(text: Column, k: Int): Column = {
     val toks = split(text, " +")

@@ -186,6 +186,29 @@ object ExtQueries {
       Some("SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS copies " +
         "FROM documents GROUP BY text ORDER BY keep_id")),
 
+    // Incremental exact dedup: the new batch (doc_id % 5 != 0) dedupes
+    // against the stored hash table of the already-ingested slice
+    // (doc_id % 5 == 0) — anti join on the 8-byte content hash, then
+    // first-in-batch wins. Oracle restates both stages over text
+    // equality (hash ≡ text modulo 64-bit collisions, the x_dedup_exact
+    // identity).
+    Q("x_dedup_incremental",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val seen = Dedup.exact(docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+          .select(col("content_hash"))
+        Dedup.exactIncremental(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", seen)
+          .select(col("doc_id"), col("lang"), col("source"))
+          .orderBy("doc_id")
+      },
+      Some("WITH seen AS (SELECT DISTINCT text FROM documents WHERE doc_id % 5 = 0), " +
+        "batch AS (SELECT * FROM documents WHERE doc_id % 5 <> 0), " +
+        "unseen AS (SELECT b.doc_id, b.text, b.lang, b.source FROM batch b " +
+        "LEFT JOIN seen s ON b.text = s.text WHERE s.text IS NULL), " +
+        "k AS (SELECT text, min(doc_id) AS keep FROM unseen GROUP BY text) " +
+        "SELECT u.doc_id, u.lang, u.source FROM unseen u " +
+        "JOIN k ON u.text = k.text AND u.doc_id = k.keep ORDER BY u.doc_id")),
+
     // Token counting (whitespace tokenizer).
     Q("x_token_count",
       (s, d) => Tables.documents(s, d)

@@ -179,6 +179,21 @@ class EvalFunctionsSpec extends SparkSpec {
     assert(got == Seq((0L, true, 2L), (1L, false, 0L), (2L, true, 1L)))
   }
 
+  test("ext: exactIncremental — drops seen hashes, keeps first of a batch-internal dup") {
+    val seen = Seq("already ingested").toDF("text")
+      .select(xxhash64(col("text")).as("content_hash"))
+    val batch = Seq(
+      (10L, "already ingested"),  // in the seen table -> dropped
+      (11L, "fresh one"),         // kept
+      (12L, "fresh one"),         // batch-internal dup -> dropped
+      (13L, "fresh two")          // kept
+    ).toDF("doc_id", "text")
+    val got = graft.ext.Dedup.exactIncremental(batch, "doc_id", "text", seen)
+      .select("doc_id", "text").orderBy("doc_id")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((11L, "fresh one"), (13L, "fresh two")))
+  }
+
   test("ext: chunkDedup — first occurrence wins, docs reassemble in order") {
     val docs = Seq(
       (1L, "a b c d"),  // both chunks first-seen
