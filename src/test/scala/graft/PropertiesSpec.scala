@@ -192,4 +192,49 @@ class PropertiesSpec extends SparkSpec {
       assert(got == expect, s"nl=$nl ni=$ni span=$span w=$w")
     }
   }
+
+  test("property: chunkDedup equals a sequential first-occurrence scan") {
+    val gen = for {
+      nDocs <- Gen.choose(3, 20)
+      k <- Gen.choose(1, 4)
+      // tiny vocabulary so cross-doc chunk collisions are common
+      texts <- Gen.listOfN(nDocs,
+        Gen.choose(1, 12).flatMap(len =>
+          Gen.listOfN(len, Gen.oneOf("a", "b", "c")).map(_.mkString(" "))))
+    } yield (k, texts)
+    cases(gen, 5).foreach { case (k, texts) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      // reference: one sequential pass, first (doc, pos) owns a chunk
+      val seen = scala.collection.mutable.Set[String]()
+      val expect = docs.map { case (id, t) =>
+        val chunks = t.split(" +").grouped(k).map(_.mkString(" ")).toSeq
+        val kept = chunks.filter(c => seen.add(c))
+        (id, kept.size.toLong, chunks.size.toLong, kept.mkString(" "))
+      }
+      val got = graft.ext.Dedup.chunkDedup(docs.toDF("doc_id", "text"), "doc_id", "text", k)
+        .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+      assert(got == expect, s"k=$k texts=$texts")
+    }
+  }
+
+  test("property: ngramNovelty fractions lie in [0,1] and cannot overlap") {
+    val gen = for {
+      nDocs <- Gen.choose(4, 15)
+      texts <- Gen.listOfN(nDocs,
+        Gen.choose(2, 10).flatMap(len =>
+          Gen.listOfN(len, Gen.oneOf("x", "y", "z", "w")).map(_.mkString(" "))))
+    } yield texts
+    cases(gen, 5).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val rows = graft.ext.TextAnalysis.ngramNovelty(docs, "doc_id", "text",
+          n = 2, boilerplateDf = 2)
+        .as[(Long, Long, Double, Double)].collect()
+      rows.foreach { case (id, n, novel, boiler) =>
+        assert(n > 0)
+        assert(novel >= 0 && novel <= 1 && boiler >= 0 && boiler <= 1, s"doc $id")
+        // df = 1 (novel) and df >= 2 (boilerplate) partition the grams
+        assert(math.abs(novel + boiler - 1.0) < 1e-6, s"doc $id: $novel + $boiler != 1")
+      }
+    }
+  }
 }
