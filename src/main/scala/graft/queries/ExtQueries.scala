@@ -254,6 +254,65 @@ object ExtQueries {
         "(SELECT CAST(count(*) AS BIGINT) FROM k) AS n_quality, " +
         "(SELECT CAST(count(*) AS BIGINT) FROM u) AS n_survivors")),
 
+    // Round-6 composite: the corpus-VERSION build funnel in one plan —
+    // incremental exact dedup of the new batch against the ingested
+    // slice's hash table, a 4-gram decontamination gate vs the benchmark
+    // slice, then a boilerplate filter over the survivors' own n-gram
+    // document frequencies. Each stage is the registered operator; the
+    // oracle restates all three over string n-grams / text equality.
+    // (Docs shorter than 4 tokens have no grams and drop at the novelty
+    // join, both sides.)
+    Q("x_corpus_funnel",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val seen = Dedup.exact(docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+          .select(col("content_hash"))
+        val unseen = Dedup.exactIncremental(
+          docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", seen)
+        val clean = unseen.join(
+          Dedup.decontaminate(unseen, docs.filter(col("doc_id") % 20 === 0),
+              "doc_id", "text", n = 4)
+            .filter(!col("contaminated")).select("doc_id"),
+          "doc_id")
+        val fin = clean.join(
+          TextAnalysis.ngramNovelty(clean, "doc_id", "text", n = 4, boilerplateDf = 3)
+            .filter(col("boilerplate_frac") < 0.04).select("doc_id"),
+          "doc_id")
+        unseen.agg(count(lit(1)).as("n_unseen"))
+          .crossJoin(broadcast(clean.agg(count(lit(1)).as("n_clean"))))
+          .crossJoin(broadcast(fin.agg(count(lit(1)).as("n_final"))))
+      },
+      Some("WITH seen AS (SELECT DISTINCT text FROM documents WHERE doc_id % 5 = 0), " +
+        "b AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0), " +
+        "un AS (SELECT b.doc_id, b.text FROM b LEFT JOIN seen sn ON b.text = sn.text " +
+        "WHERE sn.text IS NULL), " +
+        "u AS (SELECT un.doc_id, un.text FROM un JOIN " +
+        "(SELECT text, min(doc_id) AS k FROM un GROUP BY text) m " +
+        "ON un.text = m.text AND un.doc_id = m.k), " +
+        "tb AS (SELECT string_split_regex(text, ' +') AS toks FROM documents " +
+        "WHERE doc_id % 20 = 0), " +
+        "eb AS (SELECT toks, unnest(generate_series(1, len(toks) - 3)) AS p FROM tb " +
+        "WHERE len(toks) >= 4), " +
+        "bg AS (SELECT DISTINCT array_to_string(toks[p:p+3], ' ') AS ngram FROM eb), " +
+        "tu AS (SELECT doc_id, text, string_split_regex(text, ' +') AS toks FROM u), " +
+        "eu AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 3)) AS p " +
+        "FROM tu WHERE len(toks) >= 4), " +
+        "ug AS (SELECT doc_id, array_to_string(toks[p:p+3], ' ') AS ngram FROM eu), " +
+        "contam AS (SELECT DISTINCT ug.doc_id FROM ug JOIN bg USING (ngram)), " +
+        "c AS (SELECT tu.doc_id, tu.toks FROM tu LEFT JOIN contam " +
+        "ON tu.doc_id = contam.doc_id WHERE contam.doc_id IS NULL), " +
+        "ec AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 3)) AS p " +
+        "FROM c WHERE len(toks) >= 4), " +
+        "cg AS (SELECT DISTINCT doc_id, array_to_string(toks[p:p+3], ' ') AS ngram FROM ec), " +
+        "dfc AS (SELECT ngram, count(*) AS docfreq FROM cg GROUP BY ngram), " +
+        "nv AS (SELECT doc_id, avg(CASE WHEN docfreq >= 3 THEN 1.0 ELSE 0.0 END) AS boiler " +
+        "FROM cg JOIN dfc USING (ngram) GROUP BY doc_id), " +
+        "fin AS (SELECT c.doc_id FROM c JOIN nv ON c.doc_id = nv.doc_id " +
+        "WHERE nv.boiler < 0.04) " +
+        "SELECT (SELECT CAST(count(*) AS BIGINT) FROM u) AS n_unseen, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM c) AS n_clean, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM fin) AS n_final")),
+
     // Repetition signal (Gopher rule): top-token mass + distinct-token
     // count per document.
     Q("x_repetition",
