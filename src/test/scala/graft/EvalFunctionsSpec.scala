@@ -270,6 +270,31 @@ class EvalFunctionsSpec extends SparkSpec {
     assert(viaStored == got)
   }
 
+  test("ext: ngramNovelty from a WRITTEN gram table — no re-shingling in the plan") {
+    // the 100 TB lifecycle the gramRows doc promises: write the distinct
+    // (doc, gram-hash) pairs once bucketed by the gram hash, reload, and
+    // run novelty from storage — the plan must scan the stored table and
+    // never re-tokenize the corpus (no Generate / posexplode anywhere)
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "x y z w q2"), (3L, "x y z w q3"), (4L, "x y z w"))
+      .toDF("doc_id", "text")
+    graft.core.Layout.writeBucketed(
+      graft.ext.TextAnalysis.ngramPairs(docs, "doc_id", "text", n = 4),
+      "gram_pair_index", 4, "_sh")
+    val reloaded = spark.table("gram_pair_index")
+    val fromStore = graft.ext.TextAnalysis.ngramNovelty(docs, "doc_id", "text",
+      n = 4, boilerplateDf = 3, gramRows = Some(reloaded))
+    val plan = fromStore.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), s"stored-pair plan re-shingles:\n${plan.take(1200)}")
+    assert(plan.contains("gram_pair_index"), "plan does not scan the stored gram table")
+    val got = fromStore.orderBy("doc_id")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    val inline = graft.ext.TextAnalysis.ngramNovelty(docs, "doc_id", "text",
+        n = 4, boilerplateDf = 3)
+      .orderBy("doc_id").as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got == inline)
+  }
+
   test("ext: lmScore = mean ln of add-one bigram probabilities") {
     val docs = Seq((0L, "a b a b"), (1L, "a b c"), (2L, "c"))
       .toDF("doc_id", "text")
