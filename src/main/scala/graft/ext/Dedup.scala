@@ -417,6 +417,29 @@ object Dedup {
           .as("text_deduped"))
   }
 
+  /** Quality-aware canonical selection: given cluster labels (from
+    * [[duplicateClusters]]) and a per-document quality score, keep the
+    * HIGHEST-scoring member of each duplicate cluster (ties → lowest
+    * id) — the survivor policy production dedup uses instead of
+    * min-id-wins (the longest / highest-quality copy is the one worth
+    * training on).
+    *
+    * One hash aggregate on the cluster id: the argmax rides a
+    * `max(struct(score, -id))` accumulator (map-side combined), so no
+    * window and no per-cluster sort exist anywhere.
+    *
+    * Output: (clusterCol, canonical_id, members).
+    */
+  def canonicalPerCluster(clusters: DataFrame, idCol: String, clusterCol: String,
+                          quality: DataFrame, qIdCol: String,
+                          scoreCol: String): DataFrame =
+    clusters.join(quality.select(col(qIdCol).as(idCol), col(scoreCol)), idCol)
+      .groupBy(clusterCol)
+      .agg(
+        max(struct(col(scoreCol).as("_s"), (-col(idCol)).as("_nid"))).as("_best"),
+        count(lit(1)).as("members"))
+      .select(col(clusterCol), (-col("_best._nid")).as("canonical_id"), col("members"))
+
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
                     textCol: String, n: Int): DataFrame = {
     val benchGrams = broadcast(

@@ -711,6 +711,36 @@ object ExtQueries {
         "SELECT id AS vec_id, CAST(min(lab) AS BIGINT) AS cluster FROM r " +
         "GROUP BY id ORDER BY vec_id")),
 
+    // Quality-aware canonical selection over the duplicate clusters:
+    // per cluster, keep the member with the most characters (tie ->
+    // lowest id) — the survivor policy after clustering. Reuses the
+    // cluster memo; oracle = the recursive-CTE closure + a ranking
+    // window over the joined quality column.
+    Q("x_canonical_selection",
+      (s, d) => Dedup.canonicalPerCluster(
+          clustersFor(s, d), "id", "cluster",
+          Tables.documents(s, d), "doc_id", "n_chars")
+        .orderBy("cluster"),
+      Some("WITH RECURSIVE " +
+        "d AS (SELECT a.vec_id AS id1, b.vec_id AS id2, unnest(a.embedding) AS x, " +
+        "unnest(b.embedding) AS y FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+        "WHERE a.vec_id < 300 AND b.vec_id < 300), " +
+        "sm AS (SELECT id1, id2, sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dt, " +
+        "sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nx, " +
+        "sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS ny FROM d GROUP BY id1, id2), " +
+        "p AS (SELECT id1, id2 FROM sm WHERE dt / (sqrt(nx) * sqrt(ny)) > 0.3), " +
+        "e AS (SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p), " +
+        "r AS (SELECT a AS id, a AS lab FROM e " +
+        "UNION SELECT e.a, r.lab FROM e JOIN r ON r.id = e.b), " +
+        "cl AS (SELECT id, min(lab) AS cluster FROM r GROUP BY id), " +
+        "q AS (SELECT cl.cluster, cl.id, dd.n_chars FROM cl " +
+        "JOIN documents dd ON cl.id = dd.doc_id), " +
+        "w AS (SELECT cluster, id, row_number() OVER " +
+        "(PARTITION BY cluster ORDER BY n_chars DESC, id) AS rn, " +
+        "count(*) OVER (PARTITION BY cluster) AS members FROM q) " +
+        "SELECT CAST(cluster AS BIGINT) AS cluster, id AS canonical_id, " +
+        "CAST(members AS BIGINT) AS members FROM w WHERE rn = 1 ORDER BY cluster")),
+
     // A5 — elementwise mean of vectors per group (the FedAvg aggregation
     // shape, demonstrated on the embeddings table; first 8 dims).
     Q("a5_weight_average",

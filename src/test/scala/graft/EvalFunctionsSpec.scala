@@ -179,6 +179,19 @@ class EvalFunctionsSpec extends SparkSpec {
     assert(got == Seq((0L, true, 2L), (1L, false, 0L), (2L, true, 1L)))
   }
 
+  test("ext: canonicalPerCluster — highest score wins, ties break to lowest id") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
+      .toDF("id", "cluster")
+    val quality = Seq((1L, 10L), (2L, 30L), (3L, 30L), (7L, 5L), (9L, 5L))
+      .toDF("doc_id", "score")
+    val got = graft.ext.Dedup.canonicalPerCluster(
+        clusters, "id", "cluster", quality, "doc_id", "score")
+      .orderBy("cluster").as[(Long, Long, Long)].collect().toSeq
+    // cluster 1: scores 10/30/30 -> tie between 2 and 3 -> lowest id 2
+    // cluster 7: tie between 7 and 9 -> 7
+    assert(got == Seq((1L, 2L, 3L), (7L, 7L, 2L)))
+  }
+
   test("ext: exactIncremental — drops seen hashes, keeps first of a batch-internal dup") {
     val seen = Seq("already ingested").toDF("text")
       .select(xxhash64(col("text")).as("content_hash"))
