@@ -22,6 +22,18 @@ object TextAnalysis {
   def subwordCount(text: Column): Column =
     size(filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"), t => length(t) > 0))
 
+  /** Canonical text normalization for dedup keys: lowercase, strip
+    * punctuation, collapse whitespace runs, trim. Exact dedup over the
+    * NORMALIZED text catches the near-identical copies (case or
+    * punctuation edits) that byte-exact hashing misses — the standard
+    * CCNet/RefinedWeb canonicalization step before content hashing.
+    * Restricted to Java/RE2-common regex syntax like [[redactPii]], so
+    * an external auditor reproduces the same canonical form.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[\\.,;:!\\?'\"()\\[\\]{}]", ""),
+      " +", " "))
+
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for")
 
   /** Quality signals: char length, token count, mean token length,

@@ -186,6 +186,25 @@ object ExtQueries {
       Some("SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS copies " +
         "FROM documents GROUP BY text ORDER BY keep_id")),
 
+    // Exact dedup over NORMALIZED text (lowercase, punctuation stripped,
+    // whitespace collapsed) — catches case/punctuation near-copies that
+    // byte-exact hashing misses. The oracle restates the same canonical
+    // form with DuckDB's regexp functions (patterns are RE2/Java-common
+    // syntax by construction).
+    Q("x_dedup_normalized",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.exact(
+          docs.withColumn("text", TextAnalysis.normalize(col("text"))),
+          "doc_id", "text")
+          .select("keep_id", "copies")
+          .orderBy("keep_id")
+      },
+      Some("WITH n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), " +
+        "'[\\.,;:!\\?''\"()\\[\\]{}]', '', 'g'), ' +', ' ', 'g')) AS text FROM documents) " +
+        "SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS copies " +
+        "FROM n GROUP BY text ORDER BY keep_id")),
+
     // Incremental exact dedup: the new batch (doc_id % 5 != 0) dedupes
     // against the stored hash table of the already-ingested slice
     // (doc_id % 5 == 0) — anti join on the 8-byte content hash, then

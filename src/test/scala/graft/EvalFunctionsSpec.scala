@@ -179,6 +179,24 @@ class EvalFunctionsSpec extends SparkSpec {
     assert(got == Seq((0L, true, 2L), (1L, false, 0L), (2L, true, 1L)))
   }
 
+  test("ext: normalize canonicalizes case/punct/whitespace; dedup catches near-copies") {
+    val docs = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello  world"),      // same after normalization
+      (3L, "(hello) [world]"),   // same after normalization
+      (4L, "goodbye world")
+    ).toDF("doc_id", "text")
+    val norm = docs.select(graft.ext.TextAnalysis.normalize(col("text")).as("n"))
+      .as[String].collect().toSeq
+    assert(norm == Seq("hello world", "hello world", "hello world", "goodbye world"))
+    val survivors = graft.ext.Dedup.exact(
+        docs.withColumn("text", graft.ext.TextAnalysis.normalize(col("text"))),
+        "doc_id", "text")
+      .select("keep_id", "copies").orderBy("keep_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(survivors == Seq((1L, 3L), (4L, 1L)))
+  }
+
   test("ext: canonicalPerCluster — highest score wins, ties break to lowest id") {
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
       .toDF("id", "cluster")
