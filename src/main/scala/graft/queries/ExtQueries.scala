@@ -357,13 +357,21 @@ object ExtQueries {
 
     // Count–min-sketch heavy hitters — the sublinear twin of
     // x_vocab_topk: fixed-width mergeable sketch + distinct-token probe,
-    // nothing data-sized on one node. Rows-only (the sketch's internal
-    // hashes are engine-specific); the estimate bounds vs exact counts
-    // are pinned in EvalFunctionsSpec, and x_vocab_topk is the exact
-    // oracle-checked twin.
+    // nothing data-sized on one node. ORACLE-CHECKED against exact
+    // counts: at the default eps the sketch is 27,183 counters wide per
+    // depth row while this corpus's vocabulary is ~31 tokens, so no two
+    // tokens collide in any row and every estimate EQUALS its exact
+    // count (verified at sf0.001/0.01/0.1; deterministic seed — it
+    // cannot drift). The coarse-eps collision regime, where estimates
+    // exceed exact counts within the eps·N bound, is pinned separately
+    // in EvalFunctionsSpec.
     Q("x_cms_heavy_hitters",
       (s, d) => Sketches.cmsTopTerms(Tables.documents(s, d), "text", k = 20),
-      None),
+      Some("WITH tok AS (SELECT unnest(string_split_regex(text, ' +')) AS token " +
+        "FROM documents) " +
+        "SELECT token, CAST(count(*) AS BIGINT) AS est_freq FROM tok " +
+        "WHERE length(token) > 0 " +
+        "GROUP BY token ORDER BY est_freq DESC, token LIMIT 20")),
 
     // HLL++ approximate corpus profile per language — constant-memory
     // distinct counts where the exact profiler (x_profile) shuffles
