@@ -250,6 +250,44 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming ingest funnel: quality gate -> contamination gate -> exact dedup in one query") {
+    // the streaming mirror of x_corpus_funnel: every stage is the
+    // registered ingest operator, chained in ONE append-mode query —
+    // narrow quality filter, narrow stream-static contamination flag,
+    // then watermark-bounded exact dedup of whatever survives
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val good = "the quick brown fox jumps over the lazy dog and then the " +
+      "dog naps on the warm porch for most of the afternoon in the sun"
+    val contaminated = "the alpha beta gamma delta section repeats for long " +
+      "enough that the quality gate is happy with the token count of it all"
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val gated = graft.ext.TextAnalysis.qualityFilter(
+        input.toDF().toDF("ts", "doc_id", "text"), "text")
+      .filter(col("keep"))
+    val cleared = StreamingOps.contaminatedAtIngest(gated, "text", bench, "text", n = 4)
+      .filter(!col("contaminated"))
+    val out = StreamingOps.dedupExact(cleared, "ts", "text", watermark = "10 minutes")
+      .select("doc_id")
+    val query = out.writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    try {
+      def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+      input.addData(Seq(
+        (ts(1), 1L, good),           // survives every gate
+        (ts(2), 2L, "too short"),    // quality gate
+        (ts(3), 3L, contaminated)))  // contamination gate
+      query.processAllAvailable()
+      input.addData(Seq(
+        (ts(4), 4L, good),           // duplicate of doc 1 -> dedup gate
+        (ts(5), 5L, good + " extra") // near-copy but byte-distinct: survives
+      ))
+      query.processAllAvailable()
+      val survivors = spark.table("funnel_out").as[Long].collect().sorted.toSeq
+      assert(survivors == Seq(1L, 5L), s"funnel survivors: $survivors")
+    } finally query.stop()
+  }
+
   test("streaming dedup: duplicate content dropped within the watermark, state is hashes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]
