@@ -39,7 +39,16 @@ object Sketches {
     import spark.implicits._
     val toks = df.select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .filter(length(col("token")) > 0)
-    val sketch = toks.stat.countMinSketch(col("token"), eps, confidence, seed)
+    // treeAggregate, not DataFrameStatFunctions.countMinSketch: the stat
+    // helper folds every partition's sketch on the driver one by one —
+    // at 10k+ partitions that's 10k sequential MB-sized merges through
+    // one node. The tree shape merges on executors first, so the driver
+    // receives O(sqrt(partitions)) sketches; same bitwise result
+    // (counter addition is commutative + associative).
+    val sketch = toks.as[String].rdd.treeAggregate(
+        org.apache.spark.util.sketch.CountMinSketch.create(eps, confidence, seed))(
+      (s, t) => { s.add(t); s },
+      (a, b) => { a.mergeInPlace(b); a })
     val bc = spark.sparkContext.broadcast(sketch)
     toks.distinct().as[String]
       .map(t => (t, bc.value.estimateCount(t)))
