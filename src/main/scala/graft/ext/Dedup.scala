@@ -91,14 +91,6 @@ object Dedup {
       .select(col("_id"),
         xxhash64((1 to shingleLen).map(j => element_at(col("_th"), col("_pos") + j)): _*).as("_sh"))
 
-  /** Per-ROW form of the exploded-aggregate minhash signature: identical
-    * values to [[minhashCandidates]]'s internal signature (same token
-    * hashes, same k-token shingle hash, same per-seed min fold), computed
-    * without any shuffle — the shape a STREAMING pipeline needs, where a
-    * row must carry its own signature through a stateful operator.
-    * Documents with fewer than `shingleLen` tokens yield an all-MaxValue
-    * signature; filter them upstream like the batch path does.
-    */
   /** Per-row array of hashed `n`-token shingles — the narrow (no explode,
     * no shuffle) twin of [[shingleHashRows]], bitwise-identical hashes.
     * Documents shorter than `n` tokens yield an empty array.
@@ -111,6 +103,16 @@ object Dedup {
       .otherwise(array().cast("array<bigint>"))
   }
 
+  /** Per-ROW form of the exploded-aggregate minhash signature: identical
+    * values to [[minhashCandidates]]'s internal signature (same token
+    * hashes, same k-token shingle hash, same per-seed min fold), computed
+    * without any shuffle — the shape a STREAMING pipeline needs, where a
+    * row must carry its own signature through a stateful operator.
+    * Documents with fewer than `shingleLen` tokens have no shingles
+    * ([[shingleHashArray]] yields an empty array), so the fold returns
+    * an all-MaxValue signature; filter them upstream like the batch
+    * path does.
+    */
   def minhashSignatureHashed(text: Column, shingleLen: Int, numHashes: Int): Column = {
     val shs = shingleHashArray(text, shingleLen)
     aggregate(shs, array_repeat(lit(Long.MaxValue), numHashes),
@@ -354,26 +356,6 @@ object Dedup {
       .drop("_set1", "_set2")
   }
 
-  /** Benchmark decontamination: flag each corpus document that shares any
-    * length-`n` token n-gram with a document of the `benchmark` (eval)
-    * set — the Gopher/Dolma-style train/test-overlap check a training
-    * corpus runs before release.
-    *
-    * Scale shape: n-grams travel as 64-bit `xxhash64` keys (no n-gram
-    * strings cross the wire — same hashed-shingle identity as
-    * [[jaccardVerify]]; collision probability is negligible). The
-    * benchmark gram set — eval suites are tiny next to a 100 TB corpus —
-    * is `broadcast()`, so the corpus side joins map-side with NO shuffle;
-    * only MATCHED (id, gram) rows reach the per-doc aggregate, and the
-    * distinct-gram dedup happens inside that aggregate
-    * (`countDistinct`) rather than as a corpus-wide `dropDuplicates`
-    * shuffle. The final left join attaches `n_shared = 0` to clean
-    * documents; the hit table carries one row per CONTAMINATED doc only,
-    * so AQE broadcasts it in the common (mostly-clean) case.
-    *
-    * Output: (idCol, contaminated: boolean, n_shared: bigint) where
-    * `n_shared` counts distinct shared n-grams per corpus document.
-    */
   /** Sub-document (chunk-level) exact dedup: each document splits into
     * consecutive `chunkTokens`-token chunks (last chunk may be shorter);
     * a chunk survives only at its FIRST corpus-wide occurrence (lowest
@@ -428,18 +410,45 @@ object Dedup {
     * `max(struct(score, -id))` accumulator (map-side combined), so no
     * window and no per-cluster sort exist anywhere.
     *
+    * The quality frame joins in LEFT, so a cluster member missing from
+    * it (quality computed on a filtered corpus) still counts toward
+    * `members` and can still win — but only when no scored member
+    * exists (a null score struct sorts below every scored one; among
+    * all-null clusters the lowest id wins). An inner join here would
+    * silently under-count clusters and bias the survivor policy.
+    *
     * Output: (clusterCol, canonical_id, members).
     */
   def canonicalPerCluster(clusters: DataFrame, idCol: String, clusterCol: String,
                           quality: DataFrame, qIdCol: String,
                           scoreCol: String): DataFrame =
-    clusters.join(quality.select(col(qIdCol).as(idCol), col(scoreCol)), idCol)
+    clusters.join(quality.select(col(qIdCol).as(idCol), col(scoreCol)), Seq(idCol), "left")
       .groupBy(clusterCol)
       .agg(
         max(struct(col(scoreCol).as("_s"), (-col(idCol)).as("_nid"))).as("_best"),
         count(lit(1)).as("members"))
       .select(col(clusterCol), (-col("_best._nid")).as("canonical_id"), col("members"))
 
+  /** Benchmark decontamination: flag each corpus document that shares any
+    * length-`n` token n-gram with a document of the `benchmark` (eval)
+    * set — the Gopher/Dolma-style train/test-overlap check a training
+    * corpus runs before release.
+    *
+    * Scale shape: n-grams travel as 64-bit `xxhash64` keys (no n-gram
+    * strings cross the wire — same hashed-shingle identity as
+    * [[jaccardVerify]]; collision probability is negligible). The
+    * benchmark gram set — eval suites are tiny next to a 100 TB corpus —
+    * is `broadcast()`, so the corpus side joins map-side with NO shuffle;
+    * only MATCHED (id, gram) rows reach the per-doc aggregate, and the
+    * distinct-gram dedup happens inside that aggregate
+    * (`countDistinct`) rather than as a corpus-wide `dropDuplicates`
+    * shuffle. The final left join attaches `n_shared = 0` to clean
+    * documents; the hit table carries one row per CONTAMINATED doc only,
+    * so AQE broadcasts it in the common (mostly-clean) case.
+    *
+    * Output: (idCol, contaminated: boolean, n_shared: bigint) where
+    * `n_shared` counts distinct shared n-grams per corpus document.
+    */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
                     textCol: String, n: Int): DataFrame = {
     val benchGrams = broadcast(

@@ -366,6 +366,12 @@ object Similarity {
     * back; the scoring pass is then a narrow per-row [[cosine]] kernel.
     * Nothing data-sized shuffles twice, and the corpus never re-collects.
     *
+    * A degenerate (all-zero) vector has NaN cosine to any centroid —
+    * and NaN compares GREATER than every value in both Spark and ANSI
+    * orderings, so a plain `cos < minCos` would silently pass the
+    * maximally non-prototypical row. NaN is therefore flagged as an
+    * outlier explicitly.
+    *
     * Output: (idCol, groupCol, cos_centroid, outlier: boolean).
     */
   def centroidOutliers(df: DataFrame, groupCol: String, idCol: String,
@@ -379,7 +385,8 @@ object Similarity {
     df.join(broadcast(centroids), groupCol)
       .select(col(idCol), col(groupCol),
         cosine(v, col("_centroid")).as("cos_centroid"))
-      .withColumn("outlier", col("cos_centroid") < minCos)
+      .withColumn("outlier",
+        isnan(col("cos_centroid")) || col("cos_centroid") < minCos)
   }
 
   /** Scalar int8-style quantization of an embedding column: per-dimension

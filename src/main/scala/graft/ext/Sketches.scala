@@ -15,8 +15,9 @@ object Sketches {
 
   /** Count–min-sketch heavy hitters over whitespace tokens: one narrow
     * pass builds the fixed-width sketch (`eps` relative error,
-    * `confidence` probability — width ⌈e/eps⌉ × depth ⌈ln(1/(1−conf))⌉
-    * counters, merged per-partition), then the DISTINCT-token frame is
+    * `confidence` probability — Spark's CountMinSketch sizes it
+    * width ⌈2/eps⌉ × depth ⌈log₂(1/(1−conf))⌉ counters, merged
+    * per-partition), then the DISTINCT-token frame is
     * probed against the broadcast sketch and the top `k` estimates are
     * taken with a distributed TakeOrdered.
     *

@@ -32,7 +32,7 @@ object TextAnalysis {
     */
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[\\.,;:!\\?'\"()\\[\\]{}]", ""),
-      " +", " "))
+      "\\s+", " "))
 
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for")
 
@@ -294,6 +294,14 @@ object TextAnalysis {
       .agg(expr("regr_slope(ln(freq), ln(rank))").as("slope"))
   }
 
+  /** The distinct (`_id`, `_sh`) hashed-n-gram pair table [[ngramNovelty]]
+    * consumes — build once, store (partitioned by `_sh`), pass back as
+    * `gramRows` on every later run.
+    */
+  def ngramPairs(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    Dedup.shingleHashRows(df, idCol, textCol, n)
+      .select(col("_id"), col("_sh")).distinct()
+
   /** Per-document n-gram novelty / boilerplate profile: for each
     * document, the fraction of its DISTINCT token `n`-grams that appear
     * in no other document (`novel_frac`, the CCNet/RefinedWeb novelty
@@ -315,29 +323,30 @@ object TextAnalysis {
     * corpus (the count branch is rewritten into a fused two-phase
     * aggregate, so the exchanges differ and cannot be reused). Two
     * narrow scans are the right default at bench scale; at 100 TB write
-    * the distinct pair table once and pass it as `gramRows` — the same
-    * build-once / probe-many lifecycle as the stored LSH signature
-    * index — and every novelty run reads 16-byte pairs instead of
-    * re-shingling the corpus twice.
+    * the [[ngramPairs]] table once and run
+    * [[ngramNoveltyFromPairs]] against it — the same build-once /
+    * probe-many lifecycle as the stored LSH signature index — so every
+    * novelty run reads 16-byte pairs instead of re-shingling the corpus
+    * twice.
     *
     * Output: (idCol, n_ngrams: long, novel_frac, boilerplate_frac).
     * Documents shorter than `n` tokens have no n-grams and drop out,
     * like [[Dedup.decontaminate]]'s guard.
     */
-  /** The distinct (`_id`, `_sh`) hashed-n-gram pair table [[ngramNovelty]]
-    * consumes — build once, store (partitioned by `_sh`), pass back as
-    * `gramRows` on every later run.
-    */
-  def ngramPairs(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    Dedup.shingleHashRows(df, idCol, textCol, n)
-      .select(col("_id"), col("_sh")).distinct()
-
   def ngramNovelty(df: DataFrame, idCol: String, textCol: String, n: Int,
-                   boilerplateDf: Int = 3,
-                   gramRows: Option[DataFrame] = None): DataFrame = {
-    val grams = gramRows.getOrElse(ngramPairs(df, idCol, textCol, n))
-    val dfCounts = grams.groupBy("_sh").agg(count(lit(1)).as("_df"))
-    grams.join(dfCounts, "_sh")
+                   boilerplateDf: Int = 3): DataFrame =
+    ngramNoveltyFromPairs(ngramPairs(df, idCol, textCol, n), idCol, boilerplateDf)
+
+  /** [[ngramNovelty]] over a PRECOMPUTED (stored) [[ngramPairs]] table.
+    * A separate entry point rather than an optional parameter: the pair
+    * table fixes `n` at build time, so there is no `n` argument here to
+    * silently disagree with the table's — the mismatch is
+    * unrepresentable.
+    */
+  def ngramNoveltyFromPairs(gramRows: DataFrame, idCol: String,
+                            boilerplateDf: Int = 3): DataFrame = {
+    val dfCounts = gramRows.groupBy("_sh").agg(count(lit(1)).as("_df"))
+    gramRows.join(dfCounts, "_sh")
       .groupBy(col("_id").as(idCol))
       .agg(count(lit(1)).as("n_ngrams"),
         round(avg(when(col("_df") === 1, 1.0).otherwise(0.0)), 6).as("novel_frac"),

@@ -201,7 +201,7 @@ object ExtQueries {
           .orderBy("keep_id")
       },
       Some("WITH n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), " +
-        "'[\\.,;:!\\?''\"()\\[\\]{}]', '', 'g'), ' +', ' ', 'g')) AS text FROM documents) " +
+        "'[\\.,;:!\\?''\"()\\[\\]{}]', '', 'g'), '\\s+', ' ', 'g')) AS text FROM documents) " +
         "SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS copies " +
         "FROM n GROUP BY text ORDER BY keep_id")),
 
@@ -358,8 +358,9 @@ object ExtQueries {
     // Count–min-sketch heavy hitters — the sublinear twin of
     // x_vocab_topk: fixed-width mergeable sketch + distinct-token probe,
     // nothing data-sized on one node. ORACLE-CHECKED against exact
-    // counts: at the default eps the sketch is 27,183 counters wide per
-    // depth row while this corpus's vocabulary is ~31 tokens, so no two
+    // counts: at the default eps the sketch is 20,000 counters wide per
+    // depth row (Spark sizes width = ceil(2/eps)) while this corpus's
+    // vocabulary is ~31 tokens, so no two
     // tokens collide in any row and every estimate EQUALS its exact
     // count (verified at sf0.001/0.01/0.1; deterministic seed — it
     // cannot drift). The coarse-eps collision regime, where estimates
@@ -951,7 +952,8 @@ object ExtQueries {
         "sum(x.v * x.v) AS nx, sum(c.cj * c.cj) AS nc " +
         "FROM x JOIN c ON x.label = c.label AND x.j = c.j GROUP BY x.vec_id, x.label) " +
         "SELECT vec_id, label, round(dt / (sqrt(nx) * sqrt(nc)), 6) AS cos_centroid, " +
-        "dt / (sqrt(nx) * sqrt(nc)) < 0.2 AS outlier FROM s ORDER BY vec_id")),
+        "(isnan(dt / (sqrt(nx) * sqrt(nc))) OR dt / (sqrt(nx) * sqrt(nc)) < 0.2) " +
+        "AS outlier FROM s ORDER BY vec_id")),
 
     // SemDeDup-style semantic near-dup: portable JL sign-bit buckets
     // (6 hyperplanes → 64 buckets), exact cosine >= 0.4 within buckets

@@ -210,6 +210,18 @@ class EvalFunctionsSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 3L), (7L, 7L, 2L)))
   }
 
+  test("ext: canonicalPerCluster — unscored members still count; scored members outrank them") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L)).toDF("id", "cluster")
+    // doc 1 unscored (quality computed on a filtered corpus); cluster 5 all unscored
+    val quality = Seq((2L, 1L)).toDF("doc_id", "score")
+    val got = graft.ext.Dedup.canonicalPerCluster(
+        clusters, "id", "cluster", quality, "doc_id", "score")
+      .orderBy("cluster").as[(Long, Long, Long)].collect().toSeq
+    // cluster 1: members 2 (not 1!), scored doc 2 beats unscored doc 1
+    // cluster 5: no scores anywhere -> lowest id wins
+    assert(got == Seq((1L, 2L, 2L), (5L, 5L, 2L)))
+  }
+
   test("ext: exactIncremental — drops seen hashes, keeps first of a batch-internal dup") {
     val seen = Seq("already ingested").toDF("text")
       .select(xxhash64(col("text")).as("content_hash"))
@@ -245,7 +257,8 @@ class EvalFunctionsSpec extends SparkSpec {
 
   test("ext: cmsTopTerms — never underestimates, heavy hitter ranks first, error bounded") {
     // 150 singleton tokens + one token appearing 100 times; a coarse
-    // sketch (eps = 0.05 -> width 55 < 150 distinct) forces collisions
+    // sketch (eps = 0.05 -> width ceil(2/eps) = 40 < 150 distinct)
+    // forces collisions
     val docs = ((0 until 150).map(i => (i.toLong, s"tok$i")) :+
         (150L, Seq.fill(100)("heavy").mkString(" ")))
       .toDF("doc_id", "text")
@@ -293,10 +306,10 @@ class EvalFunctionsSpec extends SparkSpec {
       (2L, 2L, 0.5, 0.5),
       (3L, 2L, 0.5, 0.5),
       (4L, 1L, 0.0, 1.0)))
-    // the stored-pair-table lifecycle: precomputed gramRows, same result
+    // the stored-pair-table lifecycle: precomputed pairs, same result
     val pairs = graft.ext.TextAnalysis.ngramPairs(docs, "doc_id", "text", n = 4)
-    val viaStored = graft.ext.TextAnalysis.ngramNovelty(docs, "doc_id", "text",
-        n = 4, boilerplateDf = 3, gramRows = Some(pairs))
+    val viaStored = graft.ext.TextAnalysis.ngramNoveltyFromPairs(pairs, "doc_id",
+        boilerplateDf = 3)
       .orderBy("doc_id").as[(Long, Long, Double, Double)].collect().toSeq
     assert(viaStored == got)
   }
@@ -313,8 +326,8 @@ class EvalFunctionsSpec extends SparkSpec {
       graft.ext.TextAnalysis.ngramPairs(docs, "doc_id", "text", n = 4),
       "gram_pair_index", 4, "_sh")
     val reloaded = spark.table("gram_pair_index")
-    val fromStore = graft.ext.TextAnalysis.ngramNovelty(docs, "doc_id", "text",
-      n = 4, boilerplateDf = 3, gramRows = Some(reloaded))
+    val fromStore = graft.ext.TextAnalysis.ngramNoveltyFromPairs(reloaded, "doc_id",
+      boilerplateDf = 3)
     val plan = fromStore.queryExecution.executedPlan.toString
     assert(!plan.contains("Generate"), s"stored-pair plan re-shingles:\n${plan.take(1200)}")
     assert(plan.contains("gram_pair_index"), "plan does not scan the stored gram table")

@@ -237,6 +237,13 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got(0)._3 - c) < 1e-9 && got(0)._4, s"got $got")
     assert(math.abs(got(1)._3 - c) < 1e-9 && got(1)._4)
     assert(math.abs(got(2)._3 - 1.0) < 1e-9 && !got(2)._4)
+    // a degenerate all-zero vector has NaN cosine — NaN compares greater
+    // than everything, so it must be flagged explicitly, not passed
+    val withZero = rows.union(Seq((4L, "g", Seq(0.0, 0.0))).toDF("vec_id", "grp", "embedding"))
+    val zeroRow = Similarity.centroidOutliers(withZero, "grp", "vec_id", "embedding",
+        minCos = 0.8)
+      .filter(col("vec_id") === 4L).as[(Long, String, Double, Boolean)].head()
+    assert(zeroRow._3.isNaN && zeroRow._4, s"zero vector not flagged: $zeroRow")
   }
 
   test("semanticDedup: pairs are a bucket-filtered subset of the exact all-pairs set") {
