@@ -335,26 +335,64 @@ object Dedup {
     // sets twice, and the extra shuffle moves only candidate-pair rows.
     // (The round-3 form instead persisted `sets` and never unpersisted —
     // one leaked executor copy per call.)
-    val sides = pairs.select(col("id1"), col("id2"),
-      explode(array(col("id1"), col("id2"))).as("_jid"))
+    val sides = pairSides(pairs)
     val sets = shingleHashRows(
         docs.join(sides.select(col("_jid").as(idCol)), Seq(idCol), "left_semi"),
         idCol, textCol, shingleLen)
       .groupBy(col("_id").as("_jid"))
       .agg(collect_set(col("_sh")).as("_set"))
+    assembleJaccard(sides, sets)
+  }
+
+  /** [[jaccardVerify]] over a PRECOMPUTED (stored)
+    * [[graft.ext.TextAnalysis.ngramPairs]] table instead of raw text —
+    * the verification stage of the 100 TB lifecycle where the distinct
+    * (`_id`, `_sh`) hashed-n-gram pairs were written once at ingest:
+    * every later verify run reads 16-byte pair rows and never touches
+    * (or re-shingles) document text. Like
+    * [[graft.ext.TextAnalysis.ngramNoveltyFromPairs]]'s split, the pair
+    * table fixes the shingle length at build time, so
+    * there is no length argument here to silently disagree with it.
+    *
+    * Same candidates-only posture as [[jaccardVerify]]: the gram table
+    * is LEFT SEMI joined down to ids that appear in a candidate pair
+    * before anything aggregates, so verification cost scales with the
+    * candidate set, not the corpus. Results are bitwise-identical to
+    * [[jaccardVerify]] on the table's source corpus (same hashes, same
+    * distinct-set Jaccard; parity pinned in tests).
+    */
+  def jaccardVerifyFromPairs(pairs: DataFrame, gramRows: DataFrame): DataFrame = {
+    val sides = pairSides(pairs)
+    val sets = gramRows
+      .join(sides.select(col("_jid").as("_id")).distinct(), Seq("_id"), "left_semi")
+      .groupBy(col("_id").as("_jid"))
+      .agg(collect_set(col("_sh")).as("_set"))
+    assembleJaccard(sides, sets)
+  }
+
+  /** (id1, id2) candidates unpivoted to one row per pair SIDE — the
+    * shape both verify paths join shingle sets into exactly once.
+    */
+  private def pairSides(pairs: DataFrame): DataFrame =
+    pairs.select(col("id1"), col("id2"),
+      explode(array(col("id1"), col("id2"))).as("_jid"))
+
+  /** Reassemble per-side shingle sets into per-pair Jaccard — shared by
+    * [[jaccardVerify]] and [[jaccardVerifyFromPairs]].
+    */
+  private def assembleJaccard(sides: DataFrame, sets: DataFrame): DataFrame =
     sides.join(sets, "_jid")
       .groupBy("id1", "id2")
       .agg(
         first(when(col("_jid") === col("id1"), col("_set")), ignoreNulls = true).as("_set1"),
         first(when(col("_jid") === col("id2"), col("_set")), ignoreNulls = true).as("_set2"))
-      // a pair whose doc is absent from `docs` drops, like the inner joins
-      // of the two-join form
+      // a pair whose doc is absent from the corpus side drops, like the
+      // inner joins of the two-join form
       .filter(col("_set1").isNotNull && col("_set2").isNotNull)
       .withColumn("jaccard",
         size(array_intersect(col("_set1"), col("_set2"))).cast("double") /
           size(array_union(col("_set1"), col("_set2"))))
       .drop("_set1", "_set2")
-  }
 
   /** Sub-document (chunk-level) exact dedup: each document splits into
     * consecutive `chunkTokens`-token chunks (last chunk may be shorter);

@@ -122,6 +122,25 @@ object ExtQueries {
       table
     })
 
+  /** Stored hashed-3-gram pair table
+    * ([[graft.ext.TextAnalysis.ngramPairs]]), written once per
+    * (session, sf dir) bucketed by `_id` — the ingest-time write side of
+    * the lifecycle `x_jaccard_stored` verifies from. Returns the table
+    * name.
+    */
+  private val gramIdxCache = scala.collection.concurrent.TrieMap[
+    (org.apache.spark.sql.SparkSession, String), String]()
+
+  private def gramTableFor(s: org.apache.spark.sql.SparkSession, d: String): String =
+    gramIdxCache.getOrElseUpdate((s, d), {
+      evictStale(gramIdxCache)(_._1 ne s)(_ => ()) // value is a table name; no blocks
+      val table = "graft_gram_pairs_3_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      graft.core.Layout.writeBucketed(
+        TextAnalysis.ngramPairs(Tables.documents(s, d), "doc_id", "text", 3),
+        table, buckets = 8, "_id")
+      table
+    })
+
   /** The UNMATERIALIZED plans behind the memoized queries, for the plan
     * audit (ExplainAuditSpec): a memo returns a checkpoint/persisted
     * frame whose audited plan is just a cache scan — a scale
@@ -143,6 +162,8 @@ object ExtQueries {
       Tables.embeddings(s, d), "vec_id", "embedding", queryVec(s, d).length, bitsPerBand = 8)),
     "memo:ivf_fit_input" -> (() => Similarity.ivfFitInput(
       Tables.embeddings(s, d).filter(col("vec_id") > 0), "embedding")),
+    "memo:gram_pair_index" -> (() => TextAnalysis.ngramPairs(
+      Tables.documents(s, d), "doc_id", "text", 3)),
     "memo:cluster_pairs" -> (() => Similarity.cosineNearDuplicates(
       Tables.embeddings(s, d).filter(col("vec_id") < 300), "vec_id", "embedding", 0.3)),
     "memo:cluster_round" -> (() => {
@@ -829,6 +850,31 @@ object ExtQueries {
         val pairs = docs.filter(col("doc_id") < 50)
           .select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"))
         Dedup.jaccardVerify(pairs, docs, "doc_id", "text")
+          .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("id1", "id2")
+      },
+      Some("WITH t AS (SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents), " +
+        "e AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS p FROM t " +
+        "WHERE len(toks) >= 3), " +
+        "g AS (SELECT doc_id, list(DISTINCT array_to_string(toks[p:p+2], ' ')) AS sh " +
+        "FROM e GROUP BY doc_id), " +
+        "pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.sh AS s1, b.sh AS s2 " +
+        "FROM g a JOIN g b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id < 50) " +
+        "SELECT id1, id2, round(CAST(len(list_intersect(s1, s2)) AS DOUBLE) / " +
+        "len(list_distinct(list_concat(s1, s2))), 6) AS jaccard " +
+        "FROM pr ORDER BY id1, id2")),
+
+    // Verification from the STORED gram-pair table: the same
+    // deterministic adjacent-id pairs as x_jaccard_exact, verified via
+    // jaccardVerifyFromPairs against the (_id, _sh) table written once
+    // per (session, sf) and bucketed by its join key — document text is
+    // never read. Shares x_jaccard_exact's string-3-gram oracle: the
+    // stored-pair path must reproduce the exact Jaccard values.
+    Q("x_jaccard_stored",
+      (s, d) => {
+        val pairs = Tables.documents(s, d).filter(col("doc_id") < 50)
+          .select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"))
+        Dedup.jaccardVerifyFromPairs(pairs, s.table(gramTableFor(s, d)))
           .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
           .orderBy("id1", "id2")
       },

@@ -144,6 +144,34 @@ class EvalFunctionsSpec extends SparkSpec {
     assert(verified > 0.5)
   }
 
+  test("ext: jaccardVerifyFromPairs equals jaccardVerify; stored plan reads no text") {
+    val docs = Seq(
+      (0L, "a b c d e f g h"),
+      (1L, "a b c d e f g z"),
+      (2L, "q r s t u v w x"),
+      (3L, "a b"), // shorter than one 3-shingle: drops from both paths
+      (7L, "q r s t u v w y")
+    ).toDF("doc_id", "text")
+    val pairsIn = Seq((0L, 1L), (0L, 2L), (2L, 7L), (0L, 3L), (5L, 6L))
+      .toDF("id1", "id2")
+    val inline = graft.ext.Dedup.jaccardVerify(pairsIn, docs, "doc_id", "text")
+      .orderBy("id1", "id2").as[(Long, Long, Double)].collect().toSeq
+    val grams = graft.ext.TextAnalysis.ngramPairs(docs, "doc_id", "text", n = 3)
+    val fromPairs = graft.ext.Dedup.jaccardVerifyFromPairs(pairsIn, grams)
+      .orderBy("id1", "id2").as[(Long, Long, Double)].collect().toSeq
+    assert(fromPairs == inline, s"stored-pair verify diverged:\n$fromPairs\n$inline")
+    // the missing-doc pair (5,6) and the short-doc pair (0,3) drop in both
+    assert(inline.map(r => (r._1, r._2)) == Seq((0L, 1L), (0L, 2L), (2L, 7L)))
+    // against a WRITTEN table the verify plan never re-shingles text
+    graft.core.Layout.writeBucketed(grams, "jaccard_gram_index", 4, "_id")
+    val stored = graft.ext.Dedup.jaccardVerifyFromPairs(
+      pairsIn, spark.table("jaccard_gram_index"))
+    val plan = stored.queryExecution.executedPlan.toString
+    assert(plan.contains("jaccard_gram_index"), "plan does not scan the stored gram table")
+    assert(!plan.toLowerCase.contains("split"), // the shingle path tokenizes via split()
+      s"stored-pair verify plan touches text:\n${plan.take(1200)}")
+  }
+
   test("ext: quantizeInt8 codes hit the range ends; constant dims code to 0") {
     val vecs = Seq(
       (0L, Array(0.0f, 5.0f, 7.0f)),
