@@ -45,6 +45,55 @@ object Dedup {
                        seenHashes: DataFrame): DataFrame = {
     val hashed = batch.withColumn("content_hash", xxhash64(col(textCol)))
     val unseen = hashed.join(seenHashes, Seq("content_hash"), "left_anti")
+    firstPerHash(unseen, idCol)
+  }
+
+  /** Bloom filter over a stored content-hash table — build once per
+    * corpus version (the filter is order-insensitive and mergeable, so
+    * the build is a treeAggregate; `org.apache.spark.util.sketch
+    * .BloomFilter` is serializable for storing alongside the hash
+    * table). Size by the DISTINCT hash count and target false-positive
+    * probability: ~1.2 bytes × ln(1/fpp)/ln(2)² per item, e.g. ~1.2 GB
+    * for 10⁹ documents at 1 % — broadcastable; for a larger history,
+    * range-partition the hash space and build one bloom per range.
+    */
+  def seenBloom(seenHashes: DataFrame, hashCol: String, expectedItems: Long,
+                fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter =
+    seenHashes.stat.bloomFilter(hashCol, expectedItems, fpp)
+
+  /** [[exactIncremental]] with a [[seenBloom]] prefilter — the shape the
+    * anti join takes when history dwarfs the batch: rows whose hash the
+    * bloom has never seen (the common case for mostly-new batches) are
+    * kept IMMEDIATELY with no join at all, and only the suspects —
+    * true duplicates plus an `fpp` fraction of false positives — reach
+    * the exact left-anti join against the stored hash table. A bloom
+    * has NO false negatives, so the output is row-for-row IDENTICAL to
+    * [[exactIncremental]] (pinned in tests) at any fpp; the fpp only
+    * tunes how much join work the prefilter saves.
+    *
+    * The probe is a per-row closure over the broadcast filter — a
+    * deserialization barrier justified like the count–min probe: the
+    * sketch is a JVM object, not a Catalyst expression, and the barrier
+    * sits on the narrow no-shuffle leg.
+    */
+  def exactIncrementalBloom(batch: DataFrame, idCol: String, textCol: String,
+                            seenHashes: DataFrame,
+                            bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+    val bc = batch.sparkSession.sparkContext.broadcast(bloom)
+    val maybeSeen = udf((h: Long) => bc.value.mightContainLong(h))
+    val hashed = batch.withColumn("content_hash", xxhash64(col(textCol)))
+      .withColumn("_suspect", maybeSeen(col("content_hash")))
+    val unseen = hashed.filter(!col("_suspect"))
+      .unionByName(hashed.filter(col("_suspect"))
+        .join(seenHashes, Seq("content_hash"), "left_anti"))
+      .drop("_suspect")
+    firstPerHash(unseen, idCol)
+  }
+
+  /** Lowest-id winner per batch-internal duplicate group — the second
+    * stage both incremental paths share.
+    */
+  private def firstPerHash(unseen: DataFrame, idCol: String): DataFrame = {
     val firstInBatch = unseen.groupBy("content_hash")
       .agg(min(col(idCol)).as("_keep"))
     unseen.join(firstInBatch,

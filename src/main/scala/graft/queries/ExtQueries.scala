@@ -249,6 +249,32 @@ object ExtQueries {
         "SELECT u.doc_id, u.lang, u.source FROM unseen u " +
         "JOIN k ON u.text = k.text AND u.doc_id = k.keep ORDER BY u.doc_id")),
 
+    // The same incremental dedup THROUGH the bloom prefilter: the
+    // history's bloom filter (built per call here; stored alongside the
+    // hash table at scale) routes definitely-new rows around the anti
+    // join entirely. A bloom has no false negatives, so the output is
+    // row-for-row identical to x_dedup_incremental — the same
+    // text-equality oracle checks the sketch path end to end.
+    Q("x_dedup_incremental_bloom",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val seen = Dedup.exact(docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+          .select(col("content_hash"))
+        val bloom = Dedup.seenBloom(seen, "content_hash",
+          expectedItems = math.max(seen.count(), 1L))
+        Dedup.exactIncrementalBloom(docs.filter(col("doc_id") % 5 =!= 0),
+            "doc_id", "text", seen, bloom)
+          .select(col("doc_id"), col("lang"), col("source"))
+          .orderBy("doc_id")
+      },
+      Some("WITH seen AS (SELECT DISTINCT text FROM documents WHERE doc_id % 5 = 0), " +
+        "batch AS (SELECT * FROM documents WHERE doc_id % 5 <> 0), " +
+        "unseen AS (SELECT b.doc_id, b.text, b.lang, b.source FROM batch b " +
+        "LEFT JOIN seen s ON b.text = s.text WHERE s.text IS NULL), " +
+        "k AS (SELECT text, min(doc_id) AS keep FROM unseen GROUP BY text) " +
+        "SELECT u.doc_id, u.lang, u.source FROM unseen u " +
+        "JOIN k ON u.text = k.text AND u.doc_id = k.keep ORDER BY u.doc_id")),
+
     // Token counting (whitespace tokenizer).
     Q("x_token_count",
       (s, d) => Tables.documents(s, d)

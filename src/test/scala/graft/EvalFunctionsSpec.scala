@@ -250,6 +250,39 @@ class EvalFunctionsSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 2L), (5L, 5L, 2L)))
   }
 
+  test("ext: exactIncrementalBloom — identical to exactIncremental at any fpp") {
+    val seenDocs = (0L until 200L).map(i => (i, s"history doc number $i"))
+    val seen = seenDocs.toDF("doc_id", "text")
+      .select(xxhash64(col("text")).as("content_hash"))
+    // batch: 100 true dups of history, 100 new docs, plus an internal dup
+    val batch = ((0L until 100L).map(i => (1000L + i, s"history doc number $i")) ++
+      (0L until 100L).map(i => (2000L + i, s"fresh doc number $i")) :+
+      (3000L, "fresh doc number 0")).toDF("doc_id", "text")
+    val exact = graft.ext.Dedup.exactIncremental(batch, "doc_id", "text", seen)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    // a COARSE bloom (high fpp, many false positives) must not change output
+    for (fpp <- Seq(0.5, 0.01)) {
+      val bloom = graft.ext.Dedup.seenBloom(seen, "content_hash", 200L, fpp)
+      val viaBloom = graft.ext.Dedup.exactIncrementalBloom(
+          batch, "doc_id", "text", seen, bloom)
+        .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+      assert(viaBloom == exact, s"bloom path diverged at fpp=$fpp")
+    }
+    assert(exact.map(_._1) == (2000L until 2100L), "survivors are the fresh docs only")
+  }
+
+  test("ext: seenBloom — no false negatives; false-positive rate near fpp") {
+    val seen = (0L until 1000L).map(i => (i, s"seen $i")).toDF("doc_id", "text")
+      .select(xxhash64(col("text")).as("content_hash"))
+    val bloom = graft.ext.Dedup.seenBloom(seen, "content_hash", 1000L, fpp = 0.01)
+    val seenHashes = seen.as[Long].collect()
+    assert(seenHashes.forall(bloom.mightContainLong), "bloom dropped a seen hash")
+    val fresh = (0L until 10000L).map(i => (i, s"fresh $i")).toDF("doc_id", "text")
+      .select(xxhash64(col("text")).as("content_hash")).as[Long].collect()
+    val fpr = fresh.count(bloom.mightContainLong).toDouble / fresh.length
+    assert(fpr < 0.05, s"false-positive rate $fpr far above configured 0.01")
+  }
+
   test("ext: exactIncremental — drops seen hashes, keeps first of a batch-internal dup") {
     val seen = Seq("already ingested").toDF("text")
       .select(xxhash64(col("text")).as("content_hash"))
