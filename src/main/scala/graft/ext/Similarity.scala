@@ -337,14 +337,7 @@ object Similarity {
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String, dIn: Int,
                     planes: Int, minCos: Double): DataFrame = {
-    require(planes > 0 && planes < 63, s"need 0 < planes < 63, got $planes")
-    val projected = df.select(col(idCol), col(vecCol).cast("array<double>").as("_v"),
-      graft.functions.GraftFunctions.matvec_product(
-        col(vecCol).cast("array<double>"), jlMatrix(dIn, planes)).as("_proj"))
-    val bucketed = projected.select(col(idCol), col("_v"),
-      (0 until planes).map(i =>
-          when(element_at(col("_proj"), i + 1) >= 0, lit(1L << i)).otherwise(lit(0L)))
-        .reduce((a, b) => a.bitwiseOR(b)).as("bucket"))
+    val bucketed = signBuckets(df, idCol, vecCol, dIn, planes)
     val a = bucketed.select(col(idCol).as("id1"), col("bucket"), col("_v").as("_v1"))
     val b = bucketed.select(col(idCol).as("id2"), col("bucket"), col("_v").as("_v2"))
     a.join(b, "bucket")
@@ -352,6 +345,60 @@ object Similarity {
       .withColumn("cos", cosine(col("_v1"), col("_v2")))
       .filter(col("cos") >= minCos)
       .select("id1", "id2", "bucket", "cos")
+  }
+
+  /** Approximate k-nearest-neighbor SELF-join: every row's top-`k`
+    * most-cosine-similar other rows, among rows sharing its
+    * [[signBuckets]] sign-bit bucket — the all-rows twin of the
+    * one-query [[lshTopK]], and the primitive under SemDeDup-style
+    * cluster pruning or contrastive-pair mining.
+    *
+    * Scale shape: the only shuffle keys on the bucket id, the
+    * per-bucket join bounds pair fan-out to bucket sizes (tune
+    * `planes`: +1 plane halves expected bucket size), and the top-`k`
+    * window partitions by the LEFT id — never a global sort. Recall is
+    * bucket-limited like [[semanticDedup]]: a true neighbor in another
+    * bucket is missed; raise recall with fewer planes (bigger buckets)
+    * or union several independent plane banks upstream.
+    *
+    * The projection is the portable [[jlMatrix]] arithmetic, so bucket
+    * assignment — and therefore the whole result — is re-derivable by
+    * any engine from the formula alone (the oracle-checkability the
+    * xxhash-seeded [[lshTopK]] bands cannot offer).
+    *
+    * Output: (idCol, neighbor_id, cos, rank: long), rank 1..k per id by
+    * cosine desc (neighbor id breaks exact ties deterministically).
+    */
+  def knnJoin(df: DataFrame, idCol: String, vecCol: String, dIn: Int,
+              planes: Int, k: Int): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    val bucketed = signBuckets(df, idCol, vecCol, dIn, planes)
+    val a = bucketed.select(col(idCol).as("_qid"), col("bucket"), col("_v").as("_v1"))
+    val b = bucketed.select(col(idCol).as("neighbor_id"), col("bucket"), col("_v").as("_v2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_qid").orderBy(col("cos").desc, col("neighbor_id"))
+    a.join(b, "bucket")
+      .filter(col("_qid") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("_v1"), col("_v2")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("_qid").as(idCol), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
+  /** Portable sign-bit bucketing shared by [[semanticDedup]] and
+    * [[knnJoin]]: project with the [[jlMatrix]] ±1 bank, take the sign
+    * bit per plane, pack to one long. Output: (idCol, _v, bucket).
+    */
+  private def signBuckets(df: DataFrame, idCol: String, vecCol: String,
+                          dIn: Int, planes: Int): DataFrame = {
+    require(planes > 0 && planes < 63, s"need 0 < planes < 63, got $planes")
+    val projected = df.select(col(idCol), col(vecCol).cast("array<double>").as("_v"),
+      graft.functions.GraftFunctions.matvec_product(
+        col(vecCol).cast("array<double>"), jlMatrix(dIn, planes)).as("_proj"))
+    projected.select(col(idCol), col("_v"),
+      (0 until planes).map(i =>
+          when(element_at(col("_proj"), i + 1) >= 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce((a, b) => a.bitwiseOR(b)).as("bucket"))
   }
 
   /** Per-group embedding centroid + per-row prototypicality: each row's

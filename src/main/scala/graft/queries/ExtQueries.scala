@@ -1064,6 +1064,46 @@ object ExtQueries {
         "SELECT id1, id2, bucket, round(dt / (sqrt(nx) * sqrt(ny)), 6) AS cos " +
         "FROM sm WHERE dt / (sqrt(nx) * sqrt(ny)) >= 0.4 ORDER BY id1, id2")),
 
+    // Approximate kNN self-join: top-3 neighbors per vector among
+    // same-sign-bucket rows. Same portable JL arithmetic as
+    // x_semantic_dedup, so the oracle re-derives bucket, pairing,
+    // cosine, AND the per-id ranking end to end — the ranking compares
+    // unrounded cosines in both engines (distinct-neighbor cosines
+    // differ far above fp noise; exact ties break on neighbor id).
+    Q("x_knn_join",
+      (s, d) => Similarity.knnJoin(Tables.embeddings(s, d), "vec_id", "embedding",
+          dIn = queryVec(s, d).length, planes = 6, k = 3)
+        .select(col("vec_id"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos"), col("rank"))
+        .orderBy("vec_id", "rank"),
+      Some("WITH x AS (SELECT vec_id, len(embedding) AS dim, " +
+        "CAST(unnest(embedding) AS DOUBLE) AS v, " +
+        "generate_subscripts(embedding, 1) - 1 AS j FROM embeddings), " +
+        "io AS (SELECT unnest(generate_series(0, 5)) AS i), " +
+        "p AS (SELECT vec_id, i, sum(v * CASE WHEN " +
+        "((i * dim + j) * 2654435761) % 4294967296 < 2147483648 " +
+        "THEN 1 ELSE -1 END) / sqrt(6.0) AS y FROM x CROSS JOIN io GROUP BY vec_id, i), " +
+        "bk AS (SELECT vec_id, CAST(sum(CASE WHEN y >= 0 " +
+        "THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS bucket " +
+        "FROM p GROUP BY vec_id), " +
+        "pr AS (SELECT a.vec_id AS qid, b.vec_id AS nid " +
+        "FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id), " +
+        "dd AS (SELECT qid, nid, unnest(e1.embedding) AS xx, " +
+        "unnest(e2.embedding) AS yy FROM pr " +
+        "JOIN embeddings e1 ON e1.vec_id = pr.qid " +
+        "JOIN embeddings e2 ON e2.vec_id = pr.nid), " +
+        "sm AS (SELECT qid, nid, " +
+        "sum(CAST(xx AS DOUBLE) * CAST(yy AS DOUBLE)) AS dt, " +
+        "sum(CAST(xx AS DOUBLE) * CAST(xx AS DOUBLE)) AS nx, " +
+        "sum(CAST(yy AS DOUBLE) * CAST(yy AS DOUBLE)) AS ny " +
+        "FROM dd GROUP BY qid, nid), " +
+        "r AS (SELECT qid AS vec_id, nid AS neighbor_id, " +
+        "dt / (sqrt(nx) * sqrt(ny)) AS c, row_number() OVER " +
+        "(PARTITION BY qid ORDER BY dt / (sqrt(nx) * sqrt(ny)) DESC, nid) AS rk " +
+        "FROM sm) " +
+        "SELECT vec_id, neighbor_id, round(c, 6) AS cos, CAST(rk AS BIGINT) AS rank " +
+        "FROM r WHERE rk <= 3 ORDER BY vec_id, rank")),
+
     Q("x_random_projection",
       (s, d) => {
         val dim = queryVec(s, d).length

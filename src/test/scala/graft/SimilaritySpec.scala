@@ -276,4 +276,34 @@ class SimilaritySpec extends SparkSpec {
       .collect { case (y, i) if y >= 0 => 1L << i }.sum
     assert(rows.head.getAs[Long]("bucket") == expectBucket)
   }
+
+  test("knnJoin: per-bucket brute-force agreement, self excluded, k bounded") {
+    val k = 2
+    val got = Similarity.knnJoin(fixture, "vec_id", "embedding",
+        dIn = dim, planes = 4, k = k)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    assert(got.forall { case (q, n, _, r) => q != n && r >= 1 && r <= k })
+    val perId = got.groupBy(_._1)
+    assert(perId.values.forall(rows =>
+      rows.map(_._4).sorted == (1L to rows.length.toLong)), "ranks not dense from 1")
+    // reference: exact cosine ranking within the SAME sign buckets
+    val vecs = fixture.as[(Long, Seq[Double])].collect().toMap
+    val buckets = Similarity.signedProjection(fixture, "vec_id", "embedding", dim, 4)
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, p) =>
+        id -> p.zipWithIndex.collect { case (y, i) if y >= 0 => 1L << i }.sum }
+      .toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dt = a.zip(b).map { case (x, y) => x * y }.sum
+      dt / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    for ((q, rows) <- perId) {
+      val expect = buckets.collect {
+        case (n, bk) if n != q && bk == buckets(q) => (n, cos(vecs(q), vecs(n)))
+      }.toSeq.sortBy { case (n, c) => (-c, n) }.take(k).map(_._1)
+      assert(rows.sortBy(_._4).map(_._2) == expect,
+        s"neighbors of $q diverge from per-bucket brute force")
+    }
+  }
 }
