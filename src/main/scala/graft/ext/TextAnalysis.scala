@@ -34,6 +34,31 @@ object TextAnalysis {
     trim(regexp_replace(regexp_replace(lower(text), "[\\.,;:!\\?'\"()\\[\\]{}]", ""),
       "\\s+", " "))
 
+  /** Plain-text extraction from HTML markup — the WET-style step a web
+    * corpus runs before any text op: drop `<script>`/`<style>` payloads
+    * and comments wholesale, replace every remaining tag with a
+    * separator (so adjacent block elements never fuse words), decode
+    * the six ubiquitous entities, and collapse whitespace. A regex
+    * chain, not a DOM parse — the Trafilatura-class extraction quality
+    * a production crawl pipeline wants needs a real parser behind
+    * `mapInPandas` (the [[graft.ext.Multimodal]] stub pattern); this is
+    * the codegen-friendly narrow kernel for the 80 % case, and every
+    * pattern is RE2-portable so other engines reproduce it exactly.
+    *
+    * `&amp;` decodes LAST: an input like `&amp;lt;` means a literal
+    * "&lt;" and must not double-decode into a real `<`.
+    */
+  def extractHtmlText(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)\\s*>", " ")
+    val noComments = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComments, "<[^>]*>", " ")
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for")
 
   /** Quality signals: char length, token count, mean token length,

@@ -275,6 +275,42 @@ object ExtQueries {
         "SELECT u.doc_id, u.lang, u.source FROM unseen u " +
         "JOIN k ON u.text = k.text AND u.doc_id = k.keep ORDER BY u.doc_id")),
 
+    // HTML text extraction: markup is built DETERMINISTICALLY around
+    // each document (script/style payloads, comments, entities), then
+    // stripped back to plain text — the oracle rebuilds the same markup
+    // and re-derives the whole strip/decode chain, so every regex stage
+    // (incl. the decode-&amp;-last ordering) is engine-checked.
+    Q("x_html_extract",
+      (s, d) => {
+        val html = concat(
+          lit("<html><head><script type=\"text/javascript\">var x = 1 < 2; " +
+            "// <div> inside</script><style>p { color: red }</style></head>" +
+            "<body><!-- banner --><h1>"),
+          col("source"), lit("</h1>\n<p>"), col("text"),
+          lit("</p>\n<p>it&#39;s &quot;done&quot; &lt;eof&gt; &amp;nbsp;</p></body></html>"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), TextAnalysis.extractHtmlText(html).as("clean_text"))
+          .orderBy("doc_id")
+      },
+      Some("WITH h AS (SELECT doc_id, '<html><head><script type=\"text/javascript\">" +
+        "var x = 1 < 2; // <div> inside</script><style>p { color: red }</style></head>" +
+        "<body><!-- banner --><h1>' || source || '</h1>' || chr(10) || '<p>' || text || " +
+        "'</p>' || chr(10) || " +
+        "'<p>it&#39;s &quot;done&quot; &lt;eof&gt; &amp;nbsp;</p></body></html>' AS ht " +
+        "FROM documents), " +
+        "a AS (SELECT doc_id, regexp_replace(ht, " +
+        "'(?is)<(script|style)[^>]*>.*?</(script|style)\\s*>', ' ', 'g') AS t FROM h), " +
+        "b AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM a), " +
+        "c AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM b), " +
+        "d1 AS (SELECT doc_id, regexp_replace(t, '&nbsp;', ' ', 'g') AS t FROM c), " +
+        "d2 AS (SELECT doc_id, regexp_replace(t, '&lt;', '<', 'g') AS t FROM d1), " +
+        "d3 AS (SELECT doc_id, regexp_replace(t, '&gt;', '>', 'g') AS t FROM d2), " +
+        "d4 AS (SELECT doc_id, regexp_replace(t, '&quot;', '\"', 'g') AS t FROM d3), " +
+        "d5 AS (SELECT doc_id, regexp_replace(t, '&#39;', chr(39), 'g') AS t FROM d4), " +
+        "d6 AS (SELECT doc_id, regexp_replace(t, '&amp;', '&', 'g') AS t FROM d5) " +
+        "SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS clean_text " +
+        "FROM d6 ORDER BY doc_id")),
+
     // Token counting (whitespace tokenizer).
     Q("x_token_count",
       (s, d) => Tables.documents(s, d)

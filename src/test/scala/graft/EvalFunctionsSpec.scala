@@ -250,6 +250,24 @@ class EvalFunctionsSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 2L), (5L, 5L, 2L)))
   }
 
+  test("ext: extractHtmlText — scripts/comments dropped, entities decoded once, no fused words") {
+    val cases = Seq(
+      // script payload with a fake tag inside; style; comment; block tags separate words
+      ("<script>if (a < b) { x = '<div>' }</script><style>p{}</style>" +
+        "<!-- note --><h1>Title</h1><p>body text</p>", "Title body text"),
+      // multiline script (dot must match newlines) and attribute-bearing tags
+      ("<script type=\"a\">\nline1\nline2\n</script><a href=\"x\">link</a> tail",
+        "link tail"),
+      // entities: &amp; decodes LAST so &amp;lt; stays a literal "&lt;"
+      ("a &lt;b&gt; &quot;c&quot; it&#39;s d&nbsp;e &amp; f &amp;lt;",
+        "a <b> \"c\" it's d e & f &lt;"),
+      ("   spaced\t\tout\n\ntext   ", "spaced out text"))
+    val got = cases.map(_._1).toDF("html")
+      .select(graft.ext.TextAnalysis.extractHtmlText(col("html"))).as[String]
+      .collect().toSeq
+    assert(got == cases.map(_._2), s"got $got")
+  }
+
   test("ext: exactIncrementalBloom — identical to exactIncremental at any fpp") {
     val seenDocs = (0L until 200L).map(i => (i, s"history doc number $i"))
     val seen = seenDocs.toDF("doc_id", "text")
