@@ -289,6 +289,45 @@ object TextAnalysis {
     *
     * Output: (groupCol, n_tokens: long, kl: double).
     */
+  /** Per-source corpus curation report — the release-notes table a
+    * Dolma/RedPajama-style corpus ships per ingest source: document and
+    * token volume, exact-duplicate rate, and the dominant language with
+    * its share. One row per source.
+    *
+    * Scale shape: two map-side-combinable hash aggregates (keyed by
+    * source and by (source, lang)) over a single narrow projection —
+    * the text column collapses to a token COUNT and an 8-byte content
+    * hash at scan time, so nothing document-sized shuffles; the final
+    * join moves #sources rows. The dominant language is a
+    * `max(struct(count, lang))` accumulator (ties break toward the
+    * lexicographically larger lang), never a per-source sort. The
+    * sketch-tier twin for ad-hoc profiling is
+    * [[graft.ext.Sketches.approxProfile]].
+    *
+    * Output: (source, n_docs, n_tokens, distinct_docs, dup_frac,
+    * mean_tokens, top_lang, top_lang_share).
+    */
+  def sourceReport(df: DataFrame, sourceCol: String, langCol: String,
+                   textCol: String): DataFrame = {
+    val t = df.select(col(sourceCol).as("source"), col(langCol).as("lang"),
+      tokenCount(col(textCol)).cast("long").as("_ntok"),
+      xxhash64(col(textCol)).as("_h"))
+    val agg = t.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("_ntok")).as("n_tokens"),
+      countDistinct(col("_h")).as("distinct_docs"),
+      round(lit(1.0) - countDistinct(col("_h")) / count(lit(1)).cast("double"), 6)
+        .as("dup_frac"),
+      round(avg(col("_ntok")), 6).as("mean_tokens"))
+    val lc = t.groupBy("source", "lang").agg(count(lit(1)).as("_cnt"))
+    val top = lc.groupBy("source").agg(max(struct(col("_cnt"), col("lang"))).as("_top"))
+      .select(col("source"), col("_top.lang").as("top_lang"),
+        col("_top._cnt").as("_topCnt"))
+    agg.join(top, "source")
+      .withColumn("top_lang_share", round(col("_topCnt") / col("n_docs").cast("double"), 6))
+      .drop("_topCnt")
+  }
+
   def sourceDivergence(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(groupCol), explode(tokens(col(textCol))).as("_t"))
       .filter(length(col("_t")) > 0)

@@ -973,6 +973,32 @@ object ExtQueries {
         "round(sum(power(v - (lo + code / 255.0 * (hi - lo)), 2)) / count(*), 12) AS mse " +
         "FROM q GROUP BY vec_id ORDER BY vec_id")),
 
+    // Per-source curation report: volumes, exact-dup rate, dominant
+    // language + share — one row per ingest source, all hash
+    // aggregates. Hash-distinct ≡ text-distinct (the x_dedup_exact
+    // identity), so the oracle counts DISTINCT text directly; the
+    // dominant-language tie-break (count desc, lang desc) is restated
+    // as a ranking window.
+    Q("x_source_report",
+      (s, d) => TextAnalysis.sourceReport(Tables.documents(s, d), "source", "lang", "text")
+        .orderBy("source"),
+      Some("WITH t AS (SELECT source, lang, text, " +
+        "len(string_split_regex(text, ' +')) AS ntok FROM documents), " +
+        "agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(ntok) AS BIGINT) AS n_tokens, " +
+        "CAST(count(DISTINCT text) AS BIGINT) AS distinct_docs, " +
+        "round(1 - count(DISTINCT text) / CAST(count(*) AS DOUBLE), 6) AS dup_frac, " +
+        "round(avg(ntok), 6) AS mean_tokens FROM t GROUP BY source), " +
+        "lc AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS cnt " +
+        "FROM t GROUP BY source, lang), " +
+        "top AS (SELECT source, lang, cnt, row_number() OVER " +
+        "(PARTITION BY source ORDER BY cnt DESC, lang DESC) AS rn FROM lc) " +
+        "SELECT a.source, a.n_docs, a.n_tokens, a.distinct_docs, a.dup_frac, " +
+        "a.mean_tokens, top.lang AS top_lang, " +
+        "round(top.cnt / CAST(a.n_docs AS DOUBLE), 6) AS top_lang_share " +
+        "FROM agg a JOIN top ON top.source = a.source AND top.rn = 1 " +
+        "ORDER BY a.source")),
+
     // Domain-mix diagnostics: KL divergence of each source's token
     // distribution from the corpus mixture — finite by construction
     // (every source token is in the corpus), vocabulary-keyed joins.

@@ -250,6 +250,24 @@ class EvalFunctionsSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 2L), (5L, 5L, 2L)))
   }
 
+  test("ext: sourceReport — volumes, dup rate, dominant lang with deterministic tie-break") {
+    val docs = Seq(
+      (1L, "web", "en", "a b c"),
+      (2L, "web", "en", "a b c"),   // exact dup of 1
+      (3L, "web", "de", "x y"),
+      (4L, "web", "fr", "p q"),     // en=2 > de=1, fr=1
+      (5L, "books", "de", "one two three four"),
+      (6L, "books", "en", "five six")) // 1-1 tie: lang desc -> "en"
+      .toDF("doc_id", "source", "lang", "text")
+    val got = graft.ext.TextAnalysis.sourceReport(docs, "source", "lang", "text")
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Double, Double, String, Double)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("books", 2L, 6L, 2L, 0.0, 3.0, "en", 0.5),
+      ("web", 4L, 10L, 3L, 0.25, 2.5, "en", 0.5)), s"got $got")
+  }
+
   test("ext: extractHtmlText — scripts/comments dropped, entities decoded once, no fused words") {
     val cases = Seq(
       // script payload with a fake tag inside; style; comment; block tags separate words
