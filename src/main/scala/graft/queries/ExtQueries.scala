@@ -182,14 +182,56 @@ object ExtQueries {
     * tuning change can never desynchronize the two oracles from the
     * engine.
     */
-  private val QualitySignalsCte =
-    "t AS (SELECT doc_id, text, string_split_regex(text, ' +') AS toks FROM documents), " +
+  /** The same signal CTEs over an arbitrary upstream relation — the web
+    * funnel runs them over EXTRACTED text, not the raw documents table.
+    */
+  private def qualitySignalsCteFrom(rel: String): String =
+    s"t AS (SELECT doc_id, text, string_split_regex(text, ' +') AS toks FROM $rel), " +
     "s AS (SELECT doc_id, text, len(toks) AS n_tokens, " +
     "(length(text) - len(toks) + 1) / CAST(len(toks) AS DOUBLE) AS mtl, " +
     "(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))) / " +
     "CAST(length(text) AS DOUBLE) AS punct, " +
     "len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on','for'))) / " +
     "CAST(len(toks) AS DOUBLE) AS stop FROM t)"
+
+  private val QualitySignalsCte = qualitySignalsCteFrom("documents")
+
+  /** Deterministic markup wrapped around every document — ONE copy of
+    * the synthetic page shared by `x_html_extract` and `x_web_funnel`
+    * on the Spark side, with [[HtmlWrapSql]] its oracle twin, so the
+    * two can never drift apart.
+    */
+  private def wrappedHtml: org.apache.spark.sql.Column = concat(
+    lit("<html><head><script type=\"text/javascript\">var x = 1 < 2; " +
+      "// <div> inside</script><style>p { color: red }</style></head>" +
+      "<body><!-- banner --><h1>"),
+    col("source"), lit("</h1>\n<p>"), col("text"),
+    lit("</p>\n<p>it&#39;s &quot;done&quot; &lt;eof&gt; &amp;nbsp;</p></body></html>"))
+
+  private val HtmlWrapSql =
+    "'<html><head><script type=\"text/javascript\">var x = 1 < 2; " +
+    "// <div> inside</script><style>p { color: red }</style></head>" +
+    "<body><!-- banner --><h1>' || source || '</h1>' || chr(10) || '<p>' || text || " +
+    "'</p>' || chr(10) || " +
+    "'<p>it&#39;s &quot;done&quot; &lt;eof&gt; &amp;nbsp;</p></body></html>'"
+
+  /** The oracle's strip/decode chain over relation `src` (must expose
+    * doc_id + ht); leaves the pre-collapse text in CTE `d6` column `t` —
+    * finish with [[HtmlExtractedSql]].
+    */
+  private def htmlExtractCtes(src: String): String =
+    s"a AS (SELECT doc_id, regexp_replace(ht, " +
+    s"'(?is)<(script|style)[^>]*>.*?</(script|style)\\s*>', ' ', 'g') AS t FROM $src), " +
+    "b AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM a), " +
+    "c AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM b), " +
+    "d1 AS (SELECT doc_id, regexp_replace(t, '&nbsp;', ' ', 'g') AS t FROM c), " +
+    "d2 AS (SELECT doc_id, regexp_replace(t, '&lt;', '<', 'g') AS t FROM d1), " +
+    "d3 AS (SELECT doc_id, regexp_replace(t, '&gt;', '>', 'g') AS t FROM d2), " +
+    "d4 AS (SELECT doc_id, regexp_replace(t, '&quot;', '\"', 'g') AS t FROM d3), " +
+    "d5 AS (SELECT doc_id, regexp_replace(t, '&#39;', chr(39), 'g') AS t FROM d4), " +
+    "d6 AS (SELECT doc_id, regexp_replace(t, '&amp;', '&', 'g') AS t FROM d5)"
+
+  private val HtmlExtractedSql = "trim(regexp_replace(t, '\\s+', ' ', 'g'))"
 
   private val QualityReasonSql =
     s"CASE WHEN n_tokens < ${TextAnalysis.DefaultMinTokens} THEN 'short' " +
@@ -281,35 +323,49 @@ object ExtQueries {
     // and re-derives the whole strip/decode chain, so every regex stage
     // (incl. the decode-&amp;-last ordering) is engine-checked.
     Q("x_html_extract",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.extractHtmlText(wrappedHtml).as("clean_text"))
+        .orderBy("doc_id"),
+      Some(s"WITH h AS (SELECT doc_id, $HtmlWrapSql AS ht FROM documents), " +
+        htmlExtractCtes("h") +
+        s" SELECT doc_id, $HtmlExtractedSql AS clean_text FROM d6 ORDER BY doc_id")),
+
+    // The web-ingest funnel end to end, per source: wrap each document
+    // in the deterministic markup, EXTRACT plain text, quality-filter
+    // the EXTRACTED text, exact-dedup the keepers — then report
+    // input/kept/unique counts per ingest source. Every stage is the
+    // registered operator; the oracle restates extraction, the signal
+    // thresholds, and hash-distinct-as-text-distinct per source.
+    Q("x_web_funnel",
       (s, d) => {
-        val html = concat(
-          lit("<html><head><script type=\"text/javascript\">var x = 1 < 2; " +
-            "// <div> inside</script><style>p { color: red }</style></head>" +
-            "<body><!-- banner --><h1>"),
-          col("source"), lit("</h1>\n<p>"), col("text"),
-          lit("</p>\n<p>it&#39;s &quot;done&quot; &lt;eof&gt; &amp;nbsp;</p></body></html>"))
-        Tables.documents(s, d)
-          .select(col("doc_id"), TextAnalysis.extractHtmlText(html).as("clean_text"))
-          .orderBy("doc_id")
+        val docs = Tables.documents(s, d)
+        val clean = docs.select(col("doc_id"), col("source"),
+          TextAnalysis.extractHtmlText(wrappedHtml).as("text"))
+        val kept = TextAnalysis.qualityFilter(clean, "text").filter(col("keep"))
+        val perSrc = kept.groupBy("source").agg(
+          count(lit(1)).as("n_kept"),
+          countDistinct(xxhash64(col("text"))).as("n_unique"))
+        docs.groupBy("source").agg(count(lit(1)).as("n_input"))
+          .join(perSrc, Seq("source"), "left")
+          .select(col("source"), col("n_input"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            coalesce(col("n_unique"), lit(0L)).as("n_unique"))
+          .orderBy("source")
       },
-      Some("WITH h AS (SELECT doc_id, '<html><head><script type=\"text/javascript\">" +
-        "var x = 1 < 2; // <div> inside</script><style>p { color: red }</style></head>" +
-        "<body><!-- banner --><h1>' || source || '</h1>' || chr(10) || '<p>' || text || " +
-        "'</p>' || chr(10) || " +
-        "'<p>it&#39;s &quot;done&quot; &lt;eof&gt; &amp;nbsp;</p></body></html>' AS ht " +
-        "FROM documents), " +
-        "a AS (SELECT doc_id, regexp_replace(ht, " +
-        "'(?is)<(script|style)[^>]*>.*?</(script|style)\\s*>', ' ', 'g') AS t FROM h), " +
-        "b AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM a), " +
-        "c AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM b), " +
-        "d1 AS (SELECT doc_id, regexp_replace(t, '&nbsp;', ' ', 'g') AS t FROM c), " +
-        "d2 AS (SELECT doc_id, regexp_replace(t, '&lt;', '<', 'g') AS t FROM d1), " +
-        "d3 AS (SELECT doc_id, regexp_replace(t, '&gt;', '>', 'g') AS t FROM d2), " +
-        "d4 AS (SELECT doc_id, regexp_replace(t, '&quot;', '\"', 'g') AS t FROM d3), " +
-        "d5 AS (SELECT doc_id, regexp_replace(t, '&#39;', chr(39), 'g') AS t FROM d4), " +
-        "d6 AS (SELECT doc_id, regexp_replace(t, '&amp;', '&', 'g') AS t FROM d5) " +
-        "SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS clean_text " +
-        "FROM d6 ORDER BY doc_id")),
+      Some(s"WITH h AS (SELECT doc_id, $HtmlWrapSql AS ht FROM documents), " +
+        htmlExtractCtes("h") +
+        s", xd AS (SELECT doc_id, $HtmlExtractedSql AS text FROM d6), " +
+        qualitySignalsCteFrom("xd") +
+        s", k AS (SELECT doc_id, text FROM s WHERE ($QualityReasonSql) IS NULL), " +
+        "g AS (SELECT dd.source, k.text FROM k JOIN documents dd USING (doc_id)), " +
+        "ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept, " +
+        "CAST(count(DISTINCT text) AS BIGINT) AS n_unique FROM g GROUP BY source), " +
+        "ai AS (SELECT source, CAST(count(*) AS BIGINT) AS n_input " +
+        "FROM documents GROUP BY source) " +
+        "SELECT ai.source, ai.n_input, coalesce(ps.n_kept, 0) AS n_kept, " +
+        "coalesce(ps.n_unique, 0) AS n_unique FROM ai " +
+        "LEFT JOIN ps ON ps.source = ai.source ORDER BY ai.source")),
 
     // Token counting (whitespace tokenizer).
     Q("x_token_count",
