@@ -289,6 +289,31 @@ object TextAnalysis {
     *
     * Output: (groupCol, n_tokens: long, kl: double).
     */
+  /** Tokenizer-vocabulary coverage: per document, the fraction of token
+    * OCCURRENCES outside the corpus's top-`vocabSize` tokens — the
+    * OOV-rate check run before committing to a tokenizer vocabulary
+    * (high per-doc OOV flags domains the vocabulary underserves).
+    *
+    * Scale shape: the vocabulary is a bounded TakeOrdered over the
+    * distinct-token table (sublinear by Heaps' law; ties break
+    * count-desc then token-asc, so the cut is deterministic), BROADCAST
+    * to the probe side; the per-doc aggregate is map-side combined. The
+    * corpus-sized token stream shuffles once, on the doc id.
+    *
+    * Output: (idCol, n_tokens, oov_frac). Empty documents drop out.
+    */
+  def oovRate(df: DataFrame, idCol: String, textCol: String,
+              vocabSize: Int): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("_t"))
+      .filter(length(col("_t")) > 0)
+    val vocab = tok.groupBy("_t").agg(count(lit(1)).as("_c"))
+      .orderBy(col("_c").desc, col("_t")).limit(vocabSize)
+    tok.join(broadcast(vocab.select(col("_t"), lit(1).as("_in"))), Seq("_t"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(when(col("_in").isNull, 1.0).otherwise(0.0)), 6).as("oov_frac"))
+  }
+
   /** Per-source corpus curation report — the release-notes table a
     * Dolma/RedPajama-style corpus ships per ingest source: document and
     * token volume, exact-duplicate rate, and the dominant language with

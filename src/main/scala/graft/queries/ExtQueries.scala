@@ -1029,6 +1029,23 @@ object ExtQueries {
         "round(sum(power(v - (lo + code / 255.0 * (hi - lo)), 2)) / count(*), 12) AS mse " +
         "FROM q GROUP BY vec_id ORDER BY vec_id")),
 
+    // Tokenizer-vocabulary coverage: per-doc OOV fraction against the
+    // corpus's top-20 tokens (vocabulary is 31 types at every sf, so
+    // the cut bites everywhere). The oracle re-derives the
+    // deterministic vocabulary cut as a ranking window.
+    Q("x_oov_rate",
+      (s, d) => TextAnalysis.oovRate(Tables.documents(s, d), "doc_id", "text",
+          vocabSize = 20)
+        .orderBy("doc_id"),
+      Some("WITH tk AS (SELECT doc_id, t FROM (SELECT doc_id, " +
+        "unnest(string_split_regex(text, ' +')) AS t FROM documents) WHERE length(t) > 0), " +
+        "vc AS (SELECT t, count(*) AS c FROM tk GROUP BY t), " +
+        "vr AS (SELECT t, row_number() OVER (ORDER BY c DESC, t) AS rn FROM vc), " +
+        "v AS (SELECT t FROM vr WHERE rn <= 20) " +
+        "SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+        "round(avg(CASE WHEN v.t IS NULL THEN 1.0 ELSE 0.0 END), 6) AS oov_frac " +
+        "FROM tk LEFT JOIN v ON tk.t = v.t GROUP BY tk.doc_id ORDER BY tk.doc_id")),
+
     // Per-source curation report: volumes, exact-dup rate, dominant
     // language + share — one row per ingest source, all hash
     // aggregates. Hash-distinct ≡ text-distinct (the x_dedup_exact

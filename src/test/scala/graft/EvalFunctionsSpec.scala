@@ -250,6 +250,19 @@ class EvalFunctionsSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 2L), (5L, 5L, 2L)))
   }
 
+  test("ext: oovRate — occurrence-weighted OOV against the deterministic top-k cut") {
+    // freqs: aa=4, bb=3, cc=2, dd=2, zz=1; vocabSize=3 -> {aa, bb, cc}
+    // (cc beats dd on the token-asc tie-break)
+    val docs = Seq(
+      (1L, "aa aa bb cc"),          // 0/4 OOV
+      (2L, "aa bb dd dd zz"),       // dd,dd,zz -> 3/5 OOV
+      (3L, "aa aa bb cc"))          // 0/4 OOV
+      .toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis.oovRate(docs, "doc_id", "text", vocabSize = 3)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 4L, 0.0), (2L, 5L, 0.6), (3L, 4L, 0.0)), s"got $got")
+  }
+
   test("ext: sourceReport — volumes, dup rate, dominant lang with deterministic tie-break") {
     val docs = Seq(
       (1L, "web", "en", "a b c"),
