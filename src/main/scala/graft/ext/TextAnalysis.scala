@@ -289,6 +289,99 @@ object TextAnalysis {
     *
     * Output: (groupCol, n_tokens: long, kl: double).
     */
+  /** Byte-pair-encoding merge learning over the corpus — the tokenizer
+    * TRAINING step of a data pipeline: learn the top `numMerges` BPE
+    * merges (Sennrich et al. 2016) from corpus word frequencies.
+    *
+    * Scale shape: the corpus collapses ONCE to the distinct-word
+    * frequency table (sublinear by Heaps' law) and every iteration runs
+    * on that table only — an adjacent-pair frequency aggregate
+    * (map-side combined, keyed on the pair), a distributed
+    * TakeOrdered(1) for the winning pair (ties break count-desc, then
+    * left/right-asc, so the learned table is deterministic), and a
+    * narrow greedy left-to-right fold that applies the merge to each
+    * word's symbol array. State is `localCheckpoint`ed per round (the
+    * [[graft.ext.Dedup.duplicateClusters]] pattern) so lineage stays
+    * flat across iterations; each round releases the previous round's
+    * blocks. The driver holds only the merge table itself —
+    * `numMerges` rows, the learned artifact — never the vocabulary.
+    *
+    * Stops early when no adjacent pair remains (every word fully
+    * merged). Output: (merge_rank, left, right, pair_count) in learn
+    * order.
+    */
+  def bpeLearn(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(numMerges > 0, s"need numMerges > 0, got $numMerges")
+    val words = df.select(explode(tokens(col(textCol))).as("_w"))
+      .filter(length(col("_w")) > 0)
+      .groupBy("_w").agg(count(lit(1)).as("_f"))
+      .select(col("_f"), transform(sequence(lit(0), length(col("_w")) - 1),
+        i => col("_w").substr(i + lit(1), lit(1))).as("_syms"))
+    var state = words.localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val top = state
+        .select(col("_f"), col("_syms"),
+          posexplode(slice(col("_syms"), lit(1), size(col("_syms")) - 1))
+            .as(Seq("_p", "_l")))
+        .select(col("_f"), col("_l"),
+          element_at(col("_syms"), col("_p") + 2).as("_r"))
+        .groupBy("_l", "_r").agg(sum(col("_f")).as("_c"))
+        .orderBy(col("_c").desc, col("_l"), col("_r")).limit(1)
+        .as[(String, String, Long)].collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val l = top.head._1
+        val r = top.head._2
+        merges += ((rank, l, r, top.head._3))
+        val next = state.withColumn("_syms",
+          aggregate(col("_syms"), array().cast("array<string>"),
+            (acc, s) => when(
+              size(acc) > 0 && element_at(acc, -1) === lit(l) && s === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+            .otherwise(concat(acc, array(s)))))
+          .localCheckpoint()
+        Dedup.checkpointRdd(state).foreach(_.unpersist(false))
+        state = next
+        rank += 1
+      }
+    }
+    Dedup.checkpointRdd(state).foreach(_.unpersist(false))
+    merges.toSeq.toDF("merge_rank", "left", "right", "pair_count")
+  }
+
+  /** Apply a learned [[bpeLearn]] merge table to text — the ENCODE half
+    * of the tokenizer lifecycle: each whitespace word explodes to
+    * characters and every merge applies in rank order as the same
+    * greedy left-to-right fold the learner used, so
+    * encode(learn-corpus) reproduces the learner's final symbol states
+    * exactly. A narrow per-row expression chain (one fold per merge) —
+    * no shuffle, no state; the merge table is plan-constant like the
+    * [[graft.ext.Similarity]] JL matrix.
+    *
+    * Output: (idCol, subwords: array<string>).
+    */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    def applyMerge(syms: Column, l: String, r: String): Column =
+      aggregate(syms, array().cast("array<string>"),
+        (acc, s) => when(
+          size(acc) > 0 && element_at(acc, -1) === lit(l) && s === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(s))))
+    def chars(w: Column): Column =
+      transform(sequence(lit(0), length(w) - 1), i => w.substr(i + lit(1), lit(1)))
+    def enc(w: Column): Column =
+      merges.foldLeft(chars(w)) { case (c, (l, r)) => applyMerge(c, l, r) }
+    df.select(col(idCol),
+      flatten(transform(filter(tokens(col(textCol)), w => length(w) > 0),
+        w => enc(w))).as("subwords"))
+  }
+
   /** Tokenizer-vocabulary coverage: per document, the fraction of token
     * OCCURRENCES outside the corpus's top-`vocabSize` tokens — the
     * OOV-rate check run before committing to a tokenizer vocabulary

@@ -1029,6 +1029,33 @@ object ExtQueries {
         "round(sum(power(v - (lo + code / 255.0 * (hi - lo)), 2)) / count(*), 12) AS mse " +
         "FROM q GROUP BY vec_id ORDER BY vec_id")),
 
+    // BPE merge learning: the top-12 merges from corpus word
+    // frequencies — deterministic (ties break count desc, pair asc) but
+    // iterative, so rows-only; the exact merge sequence is pinned on
+    // the classic Sennrich fixture in tests.
+    Q("x_bpe_merges",
+      (s, d) => TextAnalysis.bpeLearn(Tables.documents(s, d), "text", numMerges = 12)
+        .orderBy("merge_rank"),
+      None),
+
+    // The full tokenizer lifecycle: learn the merge table, then ENCODE
+    // the corpus with it — per-doc subword counts plus the compression
+    // ratio vs raw characters. Rows-only (the learn stage is
+    // iterative); encode-side greedy-fold semantics are pinned in
+    // tests via learner-state parity.
+    Q("x_bpe_subwords",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val merges = TextAnalysis.bpeLearn(docs, "text", numMerges = 12)
+          .orderBy("merge_rank")
+          .select("left", "right").collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq
+        TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+          .select(col("doc_id"), size(col("subwords")).cast("long").as("n_subwords"))
+          .orderBy("doc_id")
+      },
+      None),
+
     // Tokenizer-vocabulary coverage: per-doc OOV fraction against the
     // corpus's top-20 tokens (vocabulary is 31 types at every sf, so
     // the cut bites everywhere). The oracle re-derives the

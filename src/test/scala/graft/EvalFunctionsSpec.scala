@@ -250,6 +250,40 @@ class EvalFunctionsSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 2L), (5L, 5L, 2L)))
   }
 
+  test("ext: bpeLearn — reproduces the hand-derived merge sequence on the classic fixture") {
+    // the Sennrich et al. corpus: low×5 lower×2 newest×6 widest×3
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val got = graft.ext.TextAnalysis.bpeLearn(Seq(text).toDF("text"), "text", 8)
+      .as[(Int, String, String, Long)].collect().toSeq
+    // hand-derived greedy merges; ties break count desc then left/right asc
+    assert(got == Seq(
+      (1, "e", "s", 9L), (2, "es", "t", 9L), (3, "l", "o", 7L),
+      (4, "lo", "w", 7L), (5, "e", "w", 6L), (6, "ew", "est", 6L),
+      (7, "n", "ewest", 6L), (8, "d", "est", 3L)), s"got $got")
+  }
+
+  test("ext: bpeEncode — applies merges in rank order with the learner's greedy fold") {
+    val learnText = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val merges = graft.ext.TextAnalysis.bpeLearn(Seq(learnText).toDF("text"), "text", 8)
+      .orderBy("merge_rank").select("left", "right")
+      .as[(String, String)].collect().toSeq
+    // unseen word "lowest" = low + est under the learned merges;
+    // "newest" fully merges; unseen chars stay single symbols
+    val got = graft.ext.TextAnalysis.bpeEncode(
+        Seq((1L, "lowest newest qi")).toDF("doc_id", "text"), "doc_id", "text", merges)
+      .as[(Long, Seq[String])].collect().head
+    assert(got == (1L, Seq("low", "est", "newest", "q", "i")), s"got $got")
+  }
+
+  test("ext: bpeLearn — stops early when every word is fully merged") {
+    val got = graft.ext.TextAnalysis.bpeLearn(Seq("ab ab cd").toDF("text"), "text", 5)
+      .as[(Int, String, String, Long)].collect().toSeq
+    // two merges exhaust both words; asked-for extra ranks never happen
+    assert(got == Seq((1, "a", "b", 2L), (2, "c", "d", 1L)), s"got $got")
+  }
+
   test("ext: oovRate — occurrence-weighted OOV against the deterministic top-k cut") {
     // freqs: aa=4, bb=3, cc=2, dd=2, zz=1; vocabSize=3 -> {aa, bb, cc}
     // (cc beats dd on the token-asc tie-break)
