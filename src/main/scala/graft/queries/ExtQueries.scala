@@ -302,8 +302,11 @@ object ExtQueries {
         val docs = Tables.documents(s, d)
         val seen = Dedup.exact(docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
           .select(col("content_hash"))
+        // size by the metadata-only corpus count (upper bound on the
+        // ingested slice): overestimating only lowers the FPR, and it
+        // avoids a full distinct-count job per call
         val bloom = Dedup.seenBloom(seen, "content_hash",
-          expectedItems = math.max(seen.count(), 1L))
+          expectedItems = math.max(docs.count() / 5, 1L))
         Dedup.exactIncrementalBloom(docs.filter(col("doc_id") % 5 =!= 0),
             "doc_id", "text", seen, bloom)
           .select(col("doc_id"), col("lang"), col("source"))
