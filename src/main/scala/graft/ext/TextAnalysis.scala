@@ -407,6 +407,40 @@ object TextAnalysis {
         round(avg(when(col("_in").isNull, 1.0).otherwise(0.0)), 6).as("oov_frac"))
   }
 
+  /** Cross-source duplication matrix: for every pair of ingest sources,
+    * the number of DISTINCT token `n`-grams they share — the overlap
+    * diagnostic that catches one source mirroring another (or common
+    * boilerplate) before mixture weights are chosen.
+    *
+    * Scale shape: n-grams travel as 64-bit hashes
+    * ([[graft.ext.Dedup.shingleHashRows]]); the (source, gram) frame
+    * dedups on the compact pair, then grams group ONCE and collect
+    * their source SET — bounded by the number of sources (dozens), not
+    * the corpus — and ordered pairs explode from the sorted set. No
+    * gram-keyed self-join exists, so a boilerplate gram present in
+    * every source costs |sources|² pair rows, not a skewed join
+    * bucket; the final count aggregate map-side combines.
+    *
+    * Output: (source_a, source_b, shared_ngrams), source_a < source_b;
+    * pairs sharing nothing are absent.
+    */
+  def sourceOverlap(df: DataFrame, sourceCol: String, textCol: String,
+                    n: Int): DataFrame = {
+    val srcGrams = Dedup.shingleHashRows(
+        df.select(col(sourceCol).as("_sid"), col(textCol)), "_sid", textCol, n)
+      .select(col("_id").as("_src"), col("_sh")).distinct()
+    val perGram = srcGrams.groupBy("_sh")
+      .agg(sort_array(collect_set(col("_src"))).as("_ss"))
+      .filter(size(col("_ss")) > 1)
+    perGram
+      .select(explode(flatten(transform(col("_ss"), (a, i) =>
+        transform(slice(col("_ss"), i + lit(2), size(col("_ss"))),
+          b => struct(a.as("source_a"), b.as("source_b")))))).as("_pair"))
+      .groupBy(col("_pair.source_a").as("source_a"),
+        col("_pair.source_b").as("source_b"))
+      .agg(count(lit(1)).as("shared_ngrams"))
+  }
+
   /** Per-source corpus curation report — the release-notes table a
     * Dolma/RedPajama-style corpus ships per ingest source: document and
     * token volume, exact-duplicate rate, and the dominant language with

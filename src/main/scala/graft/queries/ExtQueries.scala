@@ -1076,6 +1076,23 @@ object ExtQueries {
         "round(avg(CASE WHEN v.t IS NULL THEN 1.0 ELSE 0.0 END), 6) AS oov_frac " +
         "FROM tk LEFT JOIN v ON tk.t = v.t GROUP BY tk.doc_id ORDER BY tk.doc_id")),
 
+    // Cross-source duplication matrix: distinct shared 4-grams per
+    // source pair. Hashed grams ≡ string grams (the x_decontaminate
+    // identity), so the oracle recomputes the matrix from string
+    // n-grams directly.
+    Q("x_source_overlap",
+      (s, d) => TextAnalysis.sourceOverlap(Tables.documents(s, d), "source", "text", n = 4)
+        .orderBy("source_a", "source_b"),
+      Some("WITH t AS (SELECT source, string_split_regex(text, ' +') AS toks " +
+        "FROM documents), " +
+        "e AS (SELECT source, toks, unnest(generate_series(1, len(toks) - 3)) AS p " +
+        "FROM t WHERE len(toks) >= 4), " +
+        "g AS (SELECT DISTINCT source, array_to_string(toks[p:p+3], ' ') AS ngram FROM e) " +
+        "SELECT a.source AS source_a, b.source AS source_b, " +
+        "CAST(count(*) AS BIGINT) AS shared_ngrams " +
+        "FROM g a JOIN g b ON a.ngram = b.ngram AND a.source < b.source " +
+        "GROUP BY 1, 2 ORDER BY 1, 2")),
+
     // Per-source curation report: volumes, exact-dup rate, dominant
     // language + share — one row per ingest source, all hash
     // aggregates. Hash-distinct ≡ text-distinct (the x_dedup_exact

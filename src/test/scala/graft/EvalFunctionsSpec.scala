@@ -297,6 +297,20 @@ class EvalFunctionsSpec extends SparkSpec {
     assert(got == Seq((1L, 4L, 0.0), (2L, 5L, 0.6), (3L, 4L, 0.0)), s"got $got")
   }
 
+  test("ext: sourceOverlap — distinct shared n-grams per pair, no self or reversed pairs") {
+    val docs = Seq(
+      ("s1", "a b c d e"),     // grams: abcd, bcde
+      ("s1", "a b c d x"),     // + abcx... distinct within source
+      ("s2", "a b c d e"),     // shares abcd, bcde with s1
+      ("s3", "a b c d z"),     // shares abcd with s1, s2
+      ("s4", "q r s t u"))     // shares nothing
+      .toDF("source", "text")
+    val got = graft.ext.TextAnalysis.sourceOverlap(docs, "source", "text", n = 4)
+      .orderBy("source_a", "source_b").as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      ("s1", "s2", 2L), ("s1", "s3", 1L), ("s2", "s3", 1L)), s"got $got")
+  }
+
   test("ext: sourceReport — volumes, dup rate, dominant lang with deterministic tie-break") {
     val docs = Seq(
       (1L, "web", "en", "a b c"),
