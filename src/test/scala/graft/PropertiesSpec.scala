@@ -217,6 +217,31 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: bpeEncode subwords always concatenate back to the original words") {
+    val word = Gen.choose(1, 8).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d")).map(_.mkString))
+    val gen = for {
+      nLearn <- Gen.choose(3, 10)
+      learn <- Gen.listOfN(nLearn, word)
+      nEnc <- Gen.choose(1, 6)
+      enc <- Gen.listOfN(nEnc, word) // encode-side words may be unseen
+      merges <- Gen.choose(1, 6)
+    } yield (learn.mkString(" "), enc, merges)
+    cases(gen, 5).foreach { case (learnText, encWords, numMerges) =>
+      val merges = graft.ext.TextAnalysis.bpeLearn(
+          Seq(learnText).toDF("text"), "text", numMerges)
+        .orderBy("merge_rank").select("left", "right")
+        .as[(String, String)].collect().toSeq
+      val got = graft.ext.TextAnalysis.bpeEncode(
+          Seq((1L, encWords.mkString(" "))).toDF("doc_id", "text"),
+          "doc_id", "text", merges)
+        .as[(Long, Seq[String])].collect().head._2
+      // lossless segmentation: merges change the CUTS, never the text
+      assert(got.mkString == encWords.mkString,
+        s"subwords $got do not rebuild ${encWords.mkString(" ")} (merges $merges)")
+    }
+  }
+
   test("property: ngramNovelty fractions lie in [0,1] and cannot overlap") {
     val gen = for {
       nDocs <- Gen.choose(4, 15)
