@@ -911,6 +911,50 @@ object ExtQueries {
         "SELECT CAST(cluster AS BIGINT) AS cluster, id AS canonical_id, " +
         "CAST(members AS BIGINT) AS members FROM w WHERE rn = 1 ORDER BY cluster")),
 
+    // The APPLY step after clustering + canonical selection: drop every
+    // cluster member that is not its cluster's canonical, keep
+    // everything else — the end-of-pipeline corpus materialization.
+    // Same cluster memo and survivor policy as x_canonical_selection;
+    // the oracle restates closure, ranking, and the anti join as
+    // counts.
+    Q("x_canonical_corpus",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val clusters = clustersFor(s, d)
+        val canon = Dedup.canonicalPerCluster(clusters, "id", "cluster",
+          docs, "doc_id", "n_chars")
+        val dropped = clusters
+          .join(canon.select(col("cluster"), col("canonical_id")), "cluster")
+          .filter(col("id") =!= col("canonical_id"))
+          .select(col("id").as("doc_id"))
+        val kept = docs.join(dropped, Seq("doc_id"), "left_anti")
+        docs.agg(count(lit(1)).as("n_input"))
+          .crossJoin(broadcast(clusters.agg(count(lit(1)).as("n_clustered"))))
+          .crossJoin(broadcast(dropped.agg(count(lit(1)).as("n_dropped"))))
+          .crossJoin(broadcast(kept.agg(count(lit(1)).as("n_kept"))))
+      },
+      Some("WITH RECURSIVE " +
+        "d AS (SELECT a.vec_id AS id1, b.vec_id AS id2, unnest(a.embedding) AS x, " +
+        "unnest(b.embedding) AS y FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+        "WHERE a.vec_id < 300 AND b.vec_id < 300), " +
+        "sm AS (SELECT id1, id2, sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dt, " +
+        "sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nx, " +
+        "sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS ny FROM d GROUP BY id1, id2), " +
+        "p AS (SELECT id1, id2 FROM sm WHERE dt / (sqrt(nx) * sqrt(ny)) > 0.3), " +
+        "e AS (SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p), " +
+        "r AS (SELECT a AS id, a AS lab FROM e " +
+        "UNION SELECT e.a, r.lab FROM e JOIN r ON r.id = e.b), " +
+        "cl AS (SELECT id, min(lab) AS cluster FROM r GROUP BY id), " +
+        "q AS (SELECT cl.cluster, cl.id, dd.n_chars FROM cl " +
+        "JOIN documents dd ON cl.id = dd.doc_id), " +
+        "w AS (SELECT cluster, id, row_number() OVER " +
+        "(PARTITION BY cluster ORDER BY n_chars DESC, id) AS rn FROM q) " +
+        "SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_input, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM cl) AS n_clustered, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM w WHERE rn > 1) AS n_dropped, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM documents) - " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM w WHERE rn > 1) AS n_kept")),
+
     // A5 — elementwise mean of vectors per group (the FedAvg aggregation
     // shape, demonstrated on the embeddings table; first 8 dims).
     Q("a5_weight_average",
