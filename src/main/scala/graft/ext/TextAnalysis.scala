@@ -407,6 +407,39 @@ object TextAnalysis {
         round(avg(when(col("_in").isNull, 1.0).otherwise(0.0)), 6).as("oov_frac"))
   }
 
+  /** Global dataset release card — the one-row summary a corpus
+    * version publishes: volumes, source/language breadth, exact-dup
+    * rate, and the language-distribution entropy (nats; the diversity
+    * number mixture tuning watches). Two map-side-combinable
+    * aggregates: a global pass over the narrow (lang, source, token
+    * count, content hash) projection, and a language-count pass
+    * collapsed to entropy via the exact identity
+    * H = ln(N) − (Σ c·ln c)/N — no per-language share column
+    * materializes, so nothing here scales with anything but the
+    * language count.
+    *
+    * Output: (n_docs, n_tokens, n_sources, n_langs, dup_frac,
+    * mean_doc_tokens, lang_entropy).
+    */
+  def datasetCard(df: DataFrame, sourceCol: String, langCol: String,
+                  textCol: String): DataFrame = {
+    val t = df.select(col(langCol).as("_lang"), col(sourceCol).as("_src"),
+      tokenCount(col(textCol)).cast("long").as("_ntok"),
+      xxhash64(col(textCol)).as("_h"))
+    val global = t.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("_ntok")).as("n_tokens"),
+      countDistinct(col("_src")).as("n_sources"),
+      countDistinct(col("_lang")).as("n_langs"),
+      round(lit(1.0) - countDistinct(col("_h")) / count(lit(1)).cast("double"), 6)
+        .as("dup_frac"),
+      round(avg(col("_ntok")), 6).as("mean_doc_tokens"))
+    val entropy = t.groupBy("_lang").agg(count(lit(1)).cast("double").as("_c"))
+      .agg(round(log(sum(col("_c"))) -
+        sum(col("_c") * log(col("_c"))) / sum(col("_c")), 6).as("lang_entropy"))
+    global.crossJoin(broadcast(entropy))
+  }
+
   /** Cross-source duplication matrix: for every pair of ingest sources,
     * the number of DISTINCT token `n`-grams they share — the overlap
     * diagnostic that catches one source mirroring another (or common

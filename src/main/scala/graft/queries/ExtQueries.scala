@@ -1120,6 +1120,23 @@ object ExtQueries {
         "round(avg(CASE WHEN v.t IS NULL THEN 1.0 ELSE 0.0 END), 6) AS oov_frac " +
         "FROM tk LEFT JOIN v ON tk.t = v.t GROUP BY tk.doc_id ORDER BY tk.doc_id")),
 
+    // Global dataset release card: one row of corpus-version summary
+    // stats incl. language-distribution entropy via the exact
+    // H = ln(N) − Σc·ln(c)/N identity, restated verbatim in the oracle.
+    Q("x_dataset_card",
+      (s, d) => TextAnalysis.datasetCard(Tables.documents(s, d), "source", "lang", "text"),
+      Some("WITH t AS (SELECT lang, source, text, " +
+        "len(string_split_regex(text, ' +')) AS ntok FROM documents), " +
+        "lc AS (SELECT lang, CAST(count(*) AS DOUBLE) AS c FROM t GROUP BY lang), " +
+        "ent AS (SELECT round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS h FROM lc) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(ntok) AS BIGINT) AS n_tokens, " +
+        "CAST(count(DISTINCT source) AS BIGINT) AS n_sources, " +
+        "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs, " +
+        "round(1 - count(DISTINCT text) / CAST(count(*) AS DOUBLE), 6) AS dup_frac, " +
+        "round(avg(ntok), 6) AS mean_doc_tokens, " +
+        "(SELECT h FROM ent) AS lang_entropy FROM t")),
+
     // Cross-source duplication matrix: distinct shared 4-grams per
     // source pair. Hashed grams ≡ string grams (the x_decontaminate
     // identity), so the oracle recomputes the matrix from string

@@ -297,6 +297,22 @@ class EvalFunctionsSpec extends SparkSpec {
     assert(got == Seq((1L, 4L, 0.0), (2L, 5L, 0.6), (3L, 4L, 0.0)), s"got $got")
   }
 
+  test("ext: datasetCard — exact entropy identity; uniform langs give ln(k)") {
+    // 4 docs over 2 langs uniformly -> entropy ln(2); one dup text
+    val docs = Seq(
+      (1L, "s1", "en", "a b"),
+      (2L, "s1", "en", "a b"),
+      (3L, "s2", "de", "c d e"),
+      (4L, "s2", "de", "f"))
+      .toDF("doc_id", "source", "lang", "text")
+    val got = graft.ext.TextAnalysis.datasetCard(docs, "source", "lang", "text")
+      .as[(Long, Long, Long, Long, Double, Double, Double)].collect().head
+    assert(got._1 == 4L && got._2 == 8L && got._3 == 2L && got._4 == 2L)
+    assert(got._5 == 0.25, s"dup_frac ${got._5}") // 3 distinct of 4
+    assert(got._6 == 2.0, s"mean tokens ${got._6}")
+    assert(math.abs(got._7 - math.log(2.0)) < 1e-6, s"entropy ${got._7}")
+  }
+
   test("ext: sourceOverlap — distinct shared n-grams per pair, no self or reversed pairs") {
     val docs = Seq(
       ("s1", "a b c d e"),     // grams: abcd, bcde
