@@ -55,6 +55,26 @@ object StreamingOps {
         (keyCols.map(col) :+ col("mse") :+ col("n")): _*)
   }
 
+  /** Per-source ingest report — the streaming twin of
+    * [[graft.ext.TextAnalysis.sourceReport]] over event-time windows:
+    * doc and token volumes are EXACT; the unique-content column is the
+    * HLL estimate (exact distinct aggregation is unsupported in a
+    * streaming aggregate, and the batch report owns the exact number),
+    * so a running dashboard watches per-source volume and dup-rate
+    * drift with bounded state — one row of counters per
+    * (window, source), nothing text-sized retained.
+    */
+  def sourceReportStream(stream: DataFrame, tsCol: String, sourceCol: String,
+                         textCol: String, windowDuration: String,
+                         watermark: String): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDuration), col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.ext.TextAnalysis.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
+        approx_count_distinct(xxhash64(col(textCol))).as("approx_unique"))
+      .select(col("window.start").as("period_start"), col(sourceCol),
+        col("n_docs"), col("n_tokens"), col("approx_unique"))
+
   /** P9-streaming: flag periods whose mean exceeds `threshold`. */
   def thresholdFlags(stream: DataFrame, tsCol: String, valueCol: String,
                      windowDuration: String, watermark: String,

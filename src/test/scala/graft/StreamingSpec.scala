@@ -57,6 +57,36 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming source report: exact volumes per window, HLL uniques exact on small sets") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, String)]
+    val df = input.toDF().toDF("ts", "source", "text")
+    val out = StreamingOps.sourceReportStream(df, "ts", "source", "text",
+      windowDuration = "10 seconds", watermark = "5 seconds")
+    val query = out.writeStream.format("memory").queryName("srcrep_out")
+      .outputMode("append").start()
+    try {
+      def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+      // window [0,10): web has 3 docs (one duplicated), books 1
+      input.addData(Seq(
+        (ts(1), "web", "a b c"), (ts(2), "web", "a b c"),
+        (ts(3), "web", "d e"), (ts(4), "books", "x y z w")))
+      query.processAllAvailable()
+      input.addData(Seq((ts(40), "web", "late opener"))) // advance watermark
+      query.processAllAvailable()
+      input.addData(Seq((ts(59), "web", "closer")))
+      query.processAllAvailable()
+      val rows = spark.table("srcrep_out")
+        .filter(col("period_start") === ts(0))
+        .orderBy("source")
+        .as[(java.sql.Timestamp, String, Long, Long, Long)].collect().toSeq
+      assert(rows.map(r => (r._2, r._3, r._4)) ==
+        Seq(("books", 1L, 4L), ("web", 3L, 8L)), s"got $rows")
+      // HLL is exact at these cardinalities: 2 unique web texts, 1 books
+      assert(rows.map(_._5) == Seq(1L, 2L), s"uniques ${rows.map(_._5)}")
+    } finally query.stop()
+  }
+
   test("streaming sessionize: native session windows close after the gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, Double)]
