@@ -102,6 +102,28 @@ object Dedup {
       .drop("_keep").drop(firstInBatch("content_hash"))
   }
 
+  /** Snapshot diff between two corpus VERSIONS by distinct content:
+    * how many documents were added, removed, and kept — the audit line
+    * a release publishes next to [[exactIncremental]]'s ingest. Both
+    * sides collapse to distinct 8-byte content hashes before any join
+    * (text never crosses the wire, the [[exact]] identity), and the
+    * three counts are two anti joins and a semi join on that compact
+    * key — each broadcastable by AQE when one version's distinct set
+    * is small.
+    *
+    * Output: one row (n_added, n_removed, n_unchanged).
+    */
+  def corpusDiff(v1: DataFrame, v2: DataFrame, textCol: String): DataFrame = {
+    val h1 = v1.select(xxhash64(col(textCol)).as("content_hash")).distinct()
+    val h2 = v2.select(xxhash64(col(textCol)).as("content_hash")).distinct()
+    h2.join(h1, Seq("content_hash"), "left_anti")
+      .agg(count(lit(1)).as("n_added"))
+      .crossJoin(broadcast(h1.join(h2, Seq("content_hash"), "left_anti")
+        .agg(count(lit(1)).as("n_removed"))))
+      .crossJoin(broadcast(h1.join(h2, Seq("content_hash"), "left_semi")
+        .agg(count(lit(1)).as("n_unchanged"))))
+  }
+
   /** Word shingles of length `k` as the minhash token set. */
   def shingles(text: Column, k: Int): Column = {
     val toks = split(text, " +")

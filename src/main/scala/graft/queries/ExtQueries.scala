@@ -370,6 +370,25 @@ object ExtQueries {
         "coalesce(ps.n_unique, 0) AS n_unique FROM ai " +
         "LEFT JOIN ps ON ps.source = ai.source ORDER BY ai.source")),
 
+    // Corpus-version snapshot diff: distinct-content added / removed /
+    // unchanged between two slices (v1 = ids divisible by 3, v2 = even
+    // ids; overlap = ids divisible by 6, so every count is non-trivial
+    // at every sf). Oracle restates the hash joins over text equality.
+    Q("x_corpus_diff",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.corpusDiff(docs.filter(col("doc_id") % 3 === 0),
+          docs.filter(col("doc_id") % 2 === 0), "text")
+      },
+      Some("WITH h1 AS (SELECT DISTINCT text FROM documents WHERE doc_id % 3 = 0), " +
+        "h2 AS (SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0) " +
+        "SELECT (SELECT CAST(count(*) AS BIGINT) FROM h2 " +
+        "LEFT JOIN h1 ON h2.text = h1.text WHERE h1.text IS NULL) AS n_added, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM h1 " +
+        "LEFT JOIN h2 ON h1.text = h2.text WHERE h2.text IS NULL) AS n_removed, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM h1 " +
+        "JOIN h2 ON h1.text = h2.text) AS n_unchanged")),
+
     // Token counting (whitespace tokenizer).
     Q("x_token_count",
       (s, d) => Tables.documents(s, d)

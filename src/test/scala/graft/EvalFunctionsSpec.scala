@@ -363,6 +363,17 @@ class EvalFunctionsSpec extends SparkSpec {
     assert(got == cases.map(_._2), s"got $got")
   }
 
+  test("ext: corpusDiff — distinct-content add/remove/keep counts") {
+    val v1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "beta"), (4L, "gamma"))
+      .toDF("doc_id", "text") // distinct: alpha, beta, gamma
+    val v2 = Seq((10L, "beta"), (11L, "delta"), (12L, "delta"))
+      .toDF("doc_id", "text") // distinct: beta, delta
+    val got = graft.ext.Dedup.corpusDiff(v1, v2, "text")
+      .as[(Long, Long, Long)].collect().head
+    // added: delta; removed: alpha, gamma; unchanged: beta
+    assert(got == ((1L, 2L, 1L)), s"got $got")
+  }
+
   test("ext: exactIncrementalBloom — identical to exactIncremental at any fpp") {
     val seenDocs = (0L until 200L).map(i => (i, s"history doc number $i"))
     val seen = seenDocs.toDF("doc_id", "text")
