@@ -53,9 +53,10 @@ object Dedup {
     * the build is a treeAggregate; `org.apache.spark.util.sketch
     * .BloomFilter` is serializable for storing alongside the hash
     * table). Size by the DISTINCT hash count and target false-positive
-    * probability: ~1.2 bytes × ln(1/fpp)/ln(2)² per item, e.g. ~1.2 GB
-    * for 10⁹ documents at 1 % — broadcastable; for a larger history,
-    * range-partition the hash space and build one bloom per range.
+    * probability: ln(1/fpp)/ln(2)² BITS per item (≈ 1.2 bytes at 1 %),
+    * e.g. ~1.2 GB for 10⁹ documents — broadcastable; for a larger
+    * history, range-partition the hash space and build one bloom per
+    * range.
     */
   def seenBloom(seenHashes: DataFrame, hashCol: String, expectedItems: Long,
                 fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter =
@@ -106,22 +107,27 @@ object Dedup {
     * how many documents were added, removed, and kept — the audit line
     * a release publishes next to [[exactIncremental]]'s ingest. Both
     * sides collapse to distinct 8-byte content hashes before any join
-    * (text never crosses the wire, the [[exact]] identity), and the
-    * three counts are two anti joins and a semi join on that compact
-    * key — each broadcastable by AQE when one version's distinct set
-    * is small.
+    * (text never crosses the wire, the [[exact]] identity), and ONE
+    * full-outer join on that compact key classifies every hash —
+    * added, removed, or kept — in a single pass that collapses to one
+    * counter row.
     *
     * Output: one row (n_added, n_removed, n_unchanged).
     */
   def corpusDiff(v1: DataFrame, v2: DataFrame, textCol: String): DataFrame = {
     val h1 = v1.select(xxhash64(col(textCol)).as("content_hash")).distinct()
+      .withColumn("_in1", lit(1))
     val h2 = v2.select(xxhash64(col(textCol)).as("content_hash")).distinct()
-    h2.join(h1, Seq("content_hash"), "left_anti")
-      .agg(count(lit(1)).as("n_added"))
-      .crossJoin(broadcast(h1.join(h2, Seq("content_hash"), "left_anti")
-        .agg(count(lit(1)).as("n_removed"))))
-      .crossJoin(broadcast(h1.join(h2, Seq("content_hash"), "left_semi")
-        .agg(count(lit(1)).as("n_unchanged"))))
+      .withColumn("_in2", lit(1))
+    // ONE full-outer join on the compact key classifies every hash in a
+    // single pass — the three-separate-joins form re-scanned and
+    // re-hashed both corpora per count leg
+    h1.join(h2, Seq("content_hash"), "full_outer")
+      .agg(
+        sum(when(col("_in1").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("_in2").isNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("_in1").isNotNull && col("_in2").isNotNull, 1L)
+          .otherwise(0L)).as("n_unchanged"))
   }
 
   /** Word shingles of length `k` as the minhash token set. */

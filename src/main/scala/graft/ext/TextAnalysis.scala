@@ -314,23 +314,12 @@ object TextAnalysis {
     val spark = df.sparkSession
     import spark.implicits._
     require(numMerges > 0, s"need numMerges > 0, got $numMerges")
-    val words = df.select(explode(tokens(col(textCol))).as("_w"))
-      .filter(length(col("_w")) > 0)
-      .groupBy("_w").agg(count(lit(1)).as("_f"))
-      .select(col("_f"), transform(sequence(lit(0), length(col("_w")) - 1),
-        i => col("_w").substr(i + lit(1), lit(1))).as("_syms"))
-    var state = words.localCheckpoint()
+    var state = bpeInitialWords(df, textCol).localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var rank = 1
     var exhausted = false
     while (rank <= numMerges && !exhausted) {
-      val top = state
-        .select(col("_f"), col("_syms"),
-          posexplode(slice(col("_syms"), lit(1), size(col("_syms")) - 1))
-            .as(Seq("_p", "_l")))
-        .select(col("_f"), col("_l"),
-          element_at(col("_syms"), col("_p") + 2).as("_r"))
-        .groupBy("_l", "_r").agg(sum(col("_f")).as("_c"))
+      val top = bpePairCounts(state)
         .orderBy(col("_c").desc, col("_l"), col("_r")).limit(1)
         .as[(String, String, Long)].collect()
       if (top.isEmpty) exhausted = true
@@ -338,12 +327,8 @@ object TextAnalysis {
         val l = top.head._1
         val r = top.head._2
         merges += ((rank, l, r, top.head._3))
-        val next = state.withColumn("_syms",
-          aggregate(col("_syms"), array().cast("array<string>"),
-            (acc, s) => when(
-              size(acc) > 0 && element_at(acc, -1) === lit(l) && s === lit(r),
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-            .otherwise(concat(acc, array(s)))))
+        val next = state
+          .withColumn("_syms", applyMergeFold(col("_syms"), l, r))
           .localCheckpoint()
         Dedup.checkpointRdd(state).foreach(_.unpersist(false))
         state = next
@@ -367,20 +352,50 @@ object TextAnalysis {
     */
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
                 merges: Seq[(String, String)]): DataFrame = {
-    def applyMerge(syms: Column, l: String, r: String): Column =
-      aggregate(syms, array().cast("array<string>"),
-        (acc, s) => when(
-          size(acc) > 0 && element_at(acc, -1) === lit(l) && s === lit(r),
-          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-        .otherwise(concat(acc, array(s))))
     def chars(w: Column): Column =
       transform(sequence(lit(0), length(w) - 1), i => w.substr(i + lit(1), lit(1)))
     def enc(w: Column): Column =
-      merges.foldLeft(chars(w)) { case (c, (l, r)) => applyMerge(c, l, r) }
+      merges.foldLeft(chars(w)) { case (c, (l, r)) => applyMergeFold(c, l, r) }
     df.select(col(idCol),
       flatten(transform(filter(tokens(col(textCol)), w => length(w) > 0),
         w => enc(w))).as("subwords"))
   }
+
+  /** The distinct-word frequency/symbol table [[bpeLearn]] starts from —
+    * exposed (like [[graft.ext.Dedup.clusterRound]]) so the plan audit
+    * can sweep the production builders of the iterative loop, whose
+    * registry queries otherwise audit as driver-side LocalRelations.
+    */
+  private[graft] def bpeInitialWords(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("_w"))
+      .filter(length(col("_w")) > 0)
+      .groupBy("_w").agg(count(lit(1)).as("_f"))
+      .select(col("_f"), transform(sequence(lit(0), length(col("_w")) - 1),
+        i => col("_w").substr(i + lit(1), lit(1))).as("_syms"))
+
+  /** One round's adjacent-pair frequency aggregate over the word-symbol
+    * state — the plan [[bpeLearn]] TakeOrders each iteration.
+    */
+  private[graft] def bpePairCounts(state: DataFrame): DataFrame =
+    state
+      .select(col("_f"), col("_syms"),
+        posexplode(slice(col("_syms"), lit(1), size(col("_syms")) - 1))
+          .as(Seq("_p", "_l")))
+      .select(col("_f"), col("_l"),
+        element_at(col("_syms"), col("_p") + 2).as("_r"))
+      .groupBy("_l", "_r").agg(sum(col("_f")).as("_c"))
+
+  /** The ONE greedy left-to-right merge fold shared by [[bpeLearn]]
+    * (applying each round's winner) and [[bpeEncode]] (replaying the
+    * table): a single implementation makes the learner/encoder parity
+    * invariant structural rather than coincidental.
+    */
+  private def applyMergeFold(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, s) => when(
+        size(acc) > 0 && element_at(acc, -1) === lit(l) && s === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+      .otherwise(concat(acc, array(s))))
 
   /** Tokenizer-vocabulary coverage: per document, the fraction of token
     * OCCURRENCES outside the corpus's top-`vocabSize` tokens — the

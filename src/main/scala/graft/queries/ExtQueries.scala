@@ -164,6 +164,8 @@ object ExtQueries {
       Tables.embeddings(s, d).filter(col("vec_id") > 0), "embedding")),
     "memo:gram_pair_index" -> (() => TextAnalysis.ngramPairs(
       Tables.documents(s, d), "doc_id", "text", 3)),
+    "memo:bpe_round" -> (() => TextAnalysis.bpePairCounts(
+      TextAnalysis.bpeInitialWords(Tables.documents(s, d), "text"))),
     "memo:cluster_pairs" -> (() => Similarity.cosineNearDuplicates(
       Tables.embeddings(s, d).filter(col("vec_id") < 300), "vec_id", "embedding", 0.3)),
     "memo:cluster_round" -> (() => {
@@ -923,9 +925,9 @@ object ExtQueries {
         "UNION SELECT e.a, r.lab FROM e JOIN r ON r.id = e.b), " +
         "cl AS (SELECT id, min(lab) AS cluster FROM r GROUP BY id), " +
         "q AS (SELECT cl.cluster, cl.id, dd.n_chars FROM cl " +
-        "JOIN documents dd ON cl.id = dd.doc_id), " +
+        "LEFT JOIN documents dd ON cl.id = dd.doc_id), " +
         "w AS (SELECT cluster, id, row_number() OVER " +
-        "(PARTITION BY cluster ORDER BY n_chars DESC, id) AS rn, " +
+        "(PARTITION BY cluster ORDER BY n_chars DESC NULLS LAST, id) AS rn, " +
         "count(*) OVER (PARTITION BY cluster) AS members FROM q) " +
         "SELECT CAST(cluster AS BIGINT) AS cluster, id AS canonical_id, " +
         "CAST(members AS BIGINT) AS members FROM w WHERE rn = 1 ORDER BY cluster")),
@@ -965,9 +967,9 @@ object ExtQueries {
         "UNION SELECT e.a, r.lab FROM e JOIN r ON r.id = e.b), " +
         "cl AS (SELECT id, min(lab) AS cluster FROM r GROUP BY id), " +
         "q AS (SELECT cl.cluster, cl.id, dd.n_chars FROM cl " +
-        "JOIN documents dd ON cl.id = dd.doc_id), " +
+        "LEFT JOIN documents dd ON cl.id = dd.doc_id), " +
         "w AS (SELECT cluster, id, row_number() OVER " +
-        "(PARTITION BY cluster ORDER BY n_chars DESC, id) AS rn FROM q) " +
+        "(PARTITION BY cluster ORDER BY n_chars DESC NULLS LAST, id) AS rn FROM q) " +
         "SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_input, " +
         "(SELECT CAST(count(*) AS BIGINT) FROM cl) AS n_clustered, " +
         "(SELECT CAST(count(*) AS BIGINT) FROM w WHERE rn > 1) AS n_dropped, " +
