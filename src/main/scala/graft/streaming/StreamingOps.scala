@@ -121,6 +121,36 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("_h")
       .drop("_h")
 
+  /** Incremental dedup vs the STORED corpus at ingest time — the
+    * streaming half of [[graft.ext.Dedup.exactIncrementalBloom]]: every
+    * arriving document checks against the previous corpus version's
+    * hash table. The broadcast bloom (built once from the stored table
+    * via [[graft.ext.Dedup.seenBloom]]) passes definitely-new rows
+    * with a narrow stateless probe; only suspects take the
+    * stream-static left-anti join against the hash table. No false
+    * negatives, so survivors are exactly the rows
+    * [[graft.ext.Dedup.exactIncremental]] would keep (minus
+    * batch-internal dedup, which is [[dedupExact]]'s watermarked job
+    * downstream — streaming has no "lowest id in batch" without
+    * state).
+    *
+    * Output: the surviving rows plus their `content_hash`,
+    * append-mode-safe (union of a stateless filter and a
+    * stream-static join).
+    */
+  def incrementalDedupAtIngest(stream: DataFrame, textCol: String,
+                               seenHashes: DataFrame,
+                               bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+    val bc = stream.sparkSession.sparkContext.broadcast(bloom)
+    val maybeSeen = udf((h: Long) => bc.value.mightContainLong(h))
+    val hashed = stream.withColumn("content_hash", xxhash64(col(textCol)))
+      .withColumn("_suspect", maybeSeen(col("content_hash")))
+    hashed.filter(!col("_suspect"))
+      .unionByName(hashed.filter(col("_suspect"))
+        .join(seenHashes, Seq("content_hash"), "left_anti"))
+      .drop("_suspect")
+  }
+
   /** Benchmark decontamination at INGEST time — the streaming half of
     * [[graft.ext.Dedup.decontaminate]]: every arriving document is
     * flagged if any of its hashed token `n`-grams appears in the

@@ -87,6 +87,34 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming incremental dedup: bloom gate + stream-static anti join match the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val seenDocs = Seq("already in corpus", "also ingested").toDF("text")
+    val seen = seenDocs.select(xxhash64(col("text")).as("content_hash"))
+    val bloom = graft.ext.Dedup.seenBloom(seen, "content_hash", 2L)
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingOps.incrementalDedupAtIngest(
+      input.toDF().toDF("doc_id", "text"), "text", seen, bloom)
+    val query = out.writeStream.format("memory").queryName("incdedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq((1L, "already in corpus"), (2L, "brand new doc")))
+      query.processAllAvailable()
+      input.addData(Seq((3L, "also ingested"), (4L, "another fresh one")))
+      query.processAllAvailable()
+      val got = spark.table("incdedup_out").orderBy("doc_id")
+        .select("doc_id", "text").as[(Long, String)].collect().toSeq
+      assert(got == Seq((2L, "brand new doc"), (4L, "another fresh one")), s"got $got")
+      // parity with the batch operator on the same rows
+      val batch = graft.ext.Dedup.exactIncremental(
+          Seq((1L, "already in corpus"), (2L, "brand new doc"),
+            (3L, "also ingested"), (4L, "another fresh one")).toDF("doc_id", "text"),
+          "doc_id", "text", seen)
+        .orderBy("doc_id").select("doc_id", "text").as[(Long, String)].collect().toSeq
+      assert(got == batch, s"stream $got vs batch $batch")
+    } finally query.stop()
+  }
+
   test("streaming sessionize: native session windows close after the gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, Double)]
