@@ -85,6 +85,26 @@ object Prep {
   def portableHash(id: Column): Column =
     pmod(id.cast("long") * 2654435761L, lit(4294967296L))
 
+  /** [[hashSplit]] on [[portableHash]] buckets — the train/val/test
+    * split whose assignment any engine can re-derive from the id alone
+    * (the lineage-auditable twin; [[hashSplit]]'s xxhash64 stays the
+    * default for string or adversarial keys). Same contract otherwise:
+    * deterministic, append-stable (a new id never moves an old one),
+    * proportions exact over the 10,000-bucket grid. Inherits
+    * [[portableHash]]'s |id| < 2^31 precondition.
+    */
+  def portableSplit(df: DataFrame, idCol: String, fracs: Seq[(String, Double)],
+                    out: String = "split"): DataFrame = {
+    require(fracs.nonEmpty && fracs.map(_._2).sum <= 1.0 + 1e-9,
+      "fractions must sum to <= 1")
+    val bucket = pmod(portableHash(col(idCol)), lit(10000L))
+    val bounds = fracs.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val expr0 = fracs.zip(bounds).foldLeft(when(lit(false), "")) {
+      case (acc, ((name, _), hi)) => acc.when(bucket < math.round(hi * 10000), name)
+    }
+    df.withColumn(out, coalesce(expr0, lit(fracs.last._1)))
+  }
+
   /** Deterministic per-stratum token-budget sampling: within each
     * stratum (language, domain, source…), documents are taken in
     * [[portableHash]] order until the running `weightCol` total (token

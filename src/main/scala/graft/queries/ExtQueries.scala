@@ -372,6 +372,24 @@ object ExtQueries {
         "coalesce(ps.n_unique, 0) AS n_unique FROM ai " +
         "LEFT JOIN ps ON ps.source = ai.source ORDER BY ai.source")),
 
+    // Portable train/val/test split: assignment re-derivable from the
+    // Knuth-hash arithmetic alone, so the oracle recomputes every
+    // document's bucket AND the per-split id checksum — the full
+    // assignment is checked, not just the counts.
+    Q("x_portable_split",
+      (s, d) => graft.prep.Prep.portableSplit(Tables.documents(s, d), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("split"),
+      Some("WITH b AS (SELECT doc_id, " +
+        "((doc_id * 2654435761) % 4294967296) % 10000 AS bk FROM documents), " +
+        "sp AS (SELECT doc_id, CASE WHEN bk < 8000 THEN 'train' " +
+        "WHEN bk < 9000 THEN 'val' ELSE 'test' END AS split FROM b) " +
+        "SELECT split, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(doc_id) AS BIGINT) AS id_sum FROM sp " +
+        "GROUP BY split ORDER BY split")),
+
     // Corpus-version snapshot diff: distinct-content added / removed /
     // unchanged between two slices (v1 = ids divisible by 3, v2 = even
     // ids; overlap = ids divisible by 6, so every count is non-trivial

@@ -95,6 +95,22 @@ class PrepSpec extends SparkSpec {
     assert(subset.forall { case (id, s) => a(id) == s })
   }
 
+  test("portableSplit: assignment equals the local Knuth-hash re-derivation") {
+    val df = (0L until 2000L).toDF("id")
+    val fracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Prep.portableSplit(df, "id", fracs).as[(Long, String)].collect().toMap
+    def knuth(id: Long) = java.lang.Math.floorMod(id * 2654435761L, 4294967296L) % 10000
+    val expect = (0L until 2000L).map { id =>
+      val b = knuth(id)
+      id -> (if (b < 8000) "train" else if (b < 9000) "val" else "test")
+    }.toMap
+    assert(got == expect)
+    // append-stable like hashSplit: a row's split ignores the rest of the frame
+    val subset = Prep.portableSplit(df.filter(col("id") < 100), "id", fracs)
+      .as[(Long, String)].collect().toMap
+    assert(subset.forall { case (id, s) => got(id) == s })
+  }
+
   test("tokenBudgetSample: per-stratum hash-order prefix within budget") {
     // weights 10..29 over 2 strata; local simulation is the contract
     val rows = (0L until 20L).map(i => (i, if (i % 2 == 0) "a" else "b", 10L + i))
