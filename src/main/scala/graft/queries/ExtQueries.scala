@@ -897,6 +897,31 @@ object ExtQueries {
         "SELECT CAST(session AS BIGINT) AS session, CAST(count(*) AS BIGINT) AS n_events, " +
         "min(event_id) AS start_id FROM s GROUP BY session ORDER BY session")),
 
+    // Ordered conversion funnel view -> click -> purchase with a 1-day
+    // horizon (picked so every sf shows real attrition: 15/6/3 at
+    // sf0.001). Micros granularity on both engines (ts DIV 1000 ≡
+    // epoch_us). The oracle chains the same strictly-after,
+    // within-horizon min-joins.
+    Q("x_conversion_funnel",
+      (s, d) => graft.window.Windows.conversionFunnel(
+          Tables.events(s, d), "user_id", "ts_micro", "event_type",
+          Seq("view", "click", "purchase"), horizon = Some(86400000000L))
+        .orderBy("step"),
+      Some("WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tu FROM events), " +
+        "s1 AS (SELECT user_id, min(tu) AS t FROM e WHERE event_type = 'view' " +
+        "GROUP BY user_id), " +
+        "s2 AS (SELECT e.user_id, min(tu) AS t FROM e JOIN s1 ON e.user_id = s1.user_id " +
+        "AND e.tu > s1.t AND e.tu <= s1.t + CAST(86400 AS BIGINT) * 1000000 " +
+        "WHERE event_type = 'click' GROUP BY e.user_id), " +
+        "s3 AS (SELECT e.user_id, min(tu) AS t FROM e JOIN s2 ON e.user_id = s2.user_id " +
+        "AND e.tu > s2.t AND e.tu <= s2.t + CAST(86400 AS BIGINT) * 1000000 " +
+        "WHERE event_type = 'purchase' GROUP BY e.user_id) " +
+        "SELECT 1 AS step, 'view' AS event_type, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_users " +
+        "UNION ALL SELECT 2, 'click', (SELECT CAST(count(*) AS BIGINT) FROM s2) " +
+        "UNION ALL SELECT 3, 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM s3) " +
+        "ORDER BY step")),
+
     // Transitive dedup clustering: connected components over the verified
     // near-dup pairs — every member labeled with its component's minimum
     // id ("keep one survivor per duplicate CLUSTER", the step after

@@ -288,6 +288,43 @@ object Windows {
     * dense positional `idxCol` like every positional operator here.
     * Grouped (per user/sensor): one partitioned window, parallel by key.
     */
+  /** Ordered conversion funnel over an event stream: for each funnel
+    * step, how many keys (users) performed ALL steps so far IN ORDER —
+    * each step strictly after the previous one's FIRST qualifying
+    * occurrence, and (with `horizon`) within `horizon` time units of
+    * it. The classic product-analytics funnel, run per corpus pass.
+    *
+    * Scale shape: one stage per step — a key-equi join of the step's
+    * events against the (shrinking) reached-keys frame, then a
+    * map-side-combined `min` per key; the reached frame only loses
+    * rows stage over stage, so AQE broadcasts it once attrition sets
+    * in, and nothing is ever windowed or sorted globally. The horizon
+    * predicate rides the join as a residual condition on the equi
+    * join, never a join key.
+    *
+    * Output: (step: int 1..k, event_type, n_users), one row per step.
+    */
+  def conversionFunnel(df: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, steps: Seq[String],
+                       horizon: Option[Long] = None): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    var reached = df.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("_t"))
+    val out = scala.collection.mutable.ArrayBuffer(
+      reached.agg(count(lit(1)).as("n_users"))
+        .select(lit(1).as("step"), lit(steps.head).as("event_type"), col("n_users")))
+    steps.tail.zipWithIndex.foreach { case (st, i) =>
+      val within = horizon.map(h => col(tsCol) <= col("_prev") + h).getOrElse(lit(true))
+      reached = df.filter(col(typeCol) === st)
+        .join(reached.select(col(userCol), col("_t").as("_prev")), Seq(userCol))
+        .filter(col(tsCol) > col("_prev") && within)
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("_t"))
+      out += reached.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 2).as("step"), lit(st).as("event_type"), col("n_users"))
+    }
+    out.reduce(_.unionByName(_))
+  }
+
   def sessionize(df: DataFrame, idxCol: String, tsCol: String, gap: Long,
                  partCols: Seq[String] = Nil, out: String = "session",
                  chunkSize: Long = 100000L): DataFrame =

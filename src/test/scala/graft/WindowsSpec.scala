@@ -311,6 +311,28 @@ class WindowsSpec extends SparkSpec {
     assert(b == Seq(0L))
   }
 
+  test("conversionFunnel: strict order, first-occurrence chaining, horizon cutoff") {
+    val events = Seq(
+      // u1 converts fully within horizon
+      (1L, 0L, "A"), (1L, 10L, "B"), (1L, 20L, "C"),
+      // u2 reaches B too late (horizon 100)
+      (2L, 0L, "A"), (2L, 200L, "B"),
+      // u3 never does A -> not in the funnel at all
+      (3L, 5L, "B"), (3L, 6L, "C"),
+      // u4 does B BEFORE A only -> step 2 unreachable
+      (4L, 0L, "B"), (4L, 10L, "A"),
+      // u5: chain is vs the FIRST A (t=0), so the B@50 counts but the
+      // C must follow B@50, not the later A
+      (5L, 0L, "A"), (5L, 90L, "A"), (5L, 50L, "B"), (5L, 40L, "C"))
+      .toDF("user_id", "t", "typ")
+    val got = Windows.conversionFunnel(events, "user_id", "t", "typ",
+        Seq("A", "B", "C"), horizon = Some(100L))
+      .orderBy("step").as[(Int, String, Long)].collect().toSeq
+    // step1: u1,u2,u4,u5; step2: u1,u5 (u2 late, u4 pre-A); step3: u1
+    // (u5's only C precedes its B)
+    assert(got == Seq((1, "A", 4L), (2, "B", 2L), (3, "C", 1L)), s"got $got")
+  }
+
   test("A8 plans: aucRoc keeps every data-sized window partitioned") {
     val df = (0 until 300).map(i => ((i % 97) * 0.21, i % 3 == 0)).toDF("s", "y")
     val auc = graft.eval.Eval.aucRoc(df, col("s"), col("y"))
