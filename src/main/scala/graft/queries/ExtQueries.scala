@@ -897,6 +897,25 @@ object ExtQueries {
         "SELECT CAST(session AS BIGINT) AS session, CAST(count(*) AS BIGINT) AS n_events, " +
         "min(event_id) AS start_id FROM s GROUP BY session ORDER BY session")),
 
+    // Retention cohort matrix at day granularity (the corpus spans ~30
+    // days with visible decay at every sf); DIV-truncation bucketing
+    // matches floor(epoch) on the oracle side.
+    Q("x_retention_cohorts",
+      (s, d) => graft.window.Windows.retentionCohorts(
+          Tables.events(s, d), "user_id", "ts_sec", bucket = 86400L)
+        .orderBy("cohort_start", "age"),
+      Some("WITH e AS (SELECT user_id, " +
+        "CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d FROM events), " +
+        "f AS (SELECT user_id, min(d) AS cohort FROM e GROUP BY user_id), " +
+        "a AS (SELECT DISTINCT e.user_id, f.cohort, e.d - f.cohort AS age " +
+        "FROM e JOIN f USING (user_id)), " +
+        "m AS (SELECT cohort AS cohort_start, age, CAST(count(*) AS BIGINT) AS n_users " +
+        "FROM a GROUP BY 1, 2), " +
+        "c0 AS (SELECT cohort_start, n_users AS base FROM m WHERE age = 0) " +
+        "SELECT m.cohort_start, m.age, m.n_users, " +
+        "round(m.n_users / CAST(c0.base AS DOUBLE), 6) AS frac " +
+        "FROM m JOIN c0 USING (cohort_start) ORDER BY cohort_start, age")),
+
     // Ordered conversion funnel view -> click -> purchase with a 1-day
     // horizon (picked so every sf shows real attrition: 15/6/3 at
     // sf0.001). Micros granularity on both engines (ts DIV 1000 ≡

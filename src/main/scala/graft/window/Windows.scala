@@ -325,6 +325,41 @@ object Windows {
     out.reduce(_.unionByName(_))
   }
 
+  /** Retention cohort matrix: bucket every key's (user's) activity into
+    * `bucket`-second periods, cohort each key by its FIRST active
+    * period, and count distinct keys active at each age — the
+    * product-analytics retention triangle, with `frac` normalized to
+    * the cohort's own size (its age-0 count, which by construction
+    * includes every cohort member).
+    *
+    * Scale shape: a per-key min (map-side combined), a key-equi join
+    * back (AQE-managed), a distinct on the compact (key, cohort, age)
+    * triple, and a (cohort, age)-keyed count; the normalizing join
+    * moves one row per cohort. Integer `DIV` bucketing, not float
+    * division — second-epochs exceed a float's exact range only in
+    * nanos, but DIV keeps the arithmetic engine-portable regardless.
+    *
+    * Output: (cohort_start: long — bucket index, age: long, n_users,
+    * frac), one row per non-empty cell.
+    */
+  def retentionCohorts(df: DataFrame, userCol: String, tsSecCol: String,
+                       bucket: Long): DataFrame = {
+    require(bucket > 0, s"need bucket > 0, got $bucket")
+    val e = df.select(col(userCol).as("_u"),
+      expr(s"`$tsSecCol` DIV ${bucket}L").as("_d"))
+    val first = e.groupBy("_u").agg(min(col("_d")).as("_cohort"))
+    val active = e.join(first, "_u")
+      .select(col("_u"), col("_cohort"), (col("_d") - col("_cohort")).as("age"))
+      .distinct()
+    val matrix = active.groupBy(col("_cohort").as("cohort_start"), col("age"))
+      .agg(count(lit(1)).as("n_users"))
+    val base = matrix.filter(col("age") === 0)
+      .select(col("cohort_start"), col("n_users").as("_base"))
+    matrix.join(broadcast(base), "cohort_start")
+      .withColumn("frac", round(col("n_users") / col("_base").cast("double"), 6))
+      .drop("_base")
+  }
+
   def sessionize(df: DataFrame, idxCol: String, tsCol: String, gap: Long,
                  partCols: Seq[String] = Nil, out: String = "session",
                  chunkSize: Long = 100000L): DataFrame =

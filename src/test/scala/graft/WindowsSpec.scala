@@ -311,6 +311,22 @@ class WindowsSpec extends SparkSpec {
     assert(b == Seq(0L))
   }
 
+  test("retentionCohorts: cohort by first period, distinct per cell, frac vs own cohort") {
+    val events = Seq(
+      // cohort 0: u1 active periods 0,1,2; u2 active 0 only (twice -> distinct)
+      (1L, 5L), (1L, 15L), (1L, 25L),
+      (2L, 1L), (2L, 9L),
+      // cohort 2: u3 active periods 2 and 3
+      (3L, 21L), (3L, 35L))
+      .toDF("user_id", "ts_sec")
+    val got = Windows.retentionCohorts(events, "user_id", "ts_sec", bucket = 10L)
+      .orderBy("cohort_start", "age")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (0L, 0L, 2L, 1.0), (0L, 1L, 1L, 0.5), (0L, 2L, 1L, 0.5),
+      (2L, 0L, 1L, 1.0), (2L, 1L, 1L, 1.0)), s"got $got")
+  }
+
   test("conversionFunnel: strict order, first-occurrence chaining, horizon cutoff") {
     val events = Seq(
       // u1 converts fully within horizon
