@@ -422,6 +422,42 @@ object TextAnalysis {
         round(avg(when(col("_in").isNull, 1.0).otherwise(0.0)), 6).as("oov_frac"))
   }
 
+  /** BM25 relevance of every document to a keyword query — the
+    * retrieval primitive behind corpus inspection ("show me the docs
+    * about X") and retrieval-augmented data curation. Okapi BM25 with
+    * the (k1+1) numerator; idf = ln((N − df + ½)/(df + ½) + 1), always
+    * positive.
+    *
+    * Scale shape: the corpus-sized explode filters to the |query|
+    * terms BEFORE anything groups, so the (doc, term) frame carries at
+    * most |query| rows per matching document; document frequencies and
+    * the (N, avgdl) scalars are one-row/|query|-row broadcasts. One
+    * shuffle on the doc id for the final per-doc sum. Only documents
+    * containing at least one query term appear.
+    *
+    * Output: (idCol, bm25: double).
+    */
+  def bm25Score(df: DataFrame, idCol: String, textCol: String,
+                query: Seq[String], k1: Double = 1.2,
+                b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "need at least one query term")
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("_ts"))
+      .select(col(idCol), col("_ts"), size(col("_ts")).cast("double").as("_dl"))
+    val stats = broadcast(toks.agg(
+      count(lit(1)).cast("double").as("_n"), avg(col("_dl")).as("_avgdl")))
+    val tf = toks.select(col(idCol), col("_dl"), explode(col("_ts")).as("_t"))
+      .filter(col("_t").isin(query.distinct: _*))
+      .groupBy(col(idCol), col("_dl"), col("_t"))
+      .agg(count(lit(1)).cast("double").as("_tf"))
+    val dfT = broadcast(tf.groupBy("_t").agg(count(lit(1)).cast("double").as("_df")))
+    tf.join(dfT, "_t").crossJoin(stats)
+      .withColumn("_idf",
+        log((col("_n") - col("_df") + 0.5) / (col("_df") + 0.5) + 1.0))
+      .withColumn("_s", col("_idf") * col("_tf") * (k1 + 1.0) /
+        (col("_tf") + (col("_dl") / col("_avgdl") * b + (1.0 - b)) * k1))
+      .groupBy(col(idCol)).agg(sum(col("_s")).as("bm25"))
+  }
+
   /** Global dataset release card — the one-row summary a corpus
     * version publishes: volumes, source/language breadth, exact-dup
     * rate, and the language-distribution entropy (nats; the diversity

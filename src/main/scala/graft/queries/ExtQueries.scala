@@ -1203,6 +1203,32 @@ object ExtQueries {
         "round(avg(CASE WHEN v.t IS NULL THEN 1.0 ELSE 0.0 END), 6) AS oov_frac " +
         "FROM tk LEFT JOIN v ON tk.t = v.t GROUP BY tk.doc_id ORDER BY tk.doc_id")),
 
+    // BM25 keyword relevance over the corpus (query: window/join/sort —
+    // common terms, so scores discriminate via tf and length). Output
+    // is every matching doc ordered by id, score rounded — no
+    // top-k rank crosses the engines, so fp summation order cannot
+    // flip a row. Oracle re-derives idf, tf, and the length
+    // normalization verbatim.
+    Q("x_bm25",
+      (s, d) => TextAnalysis.bm25Score(Tables.documents(s, d), "doc_id", "text",
+          Seq("window", "join", "sort"))
+        .select(col("doc_id"), round(col("bm25"), 6).as("bm25"))
+        .orderBy("doc_id"),
+      Some("WITH t AS (SELECT doc_id, string_split_regex(text, ' +') AS toks " +
+        "FROM documents), " +
+        "dd AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM t), " +
+        "st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dd), " +
+        "e AS (SELECT doc_id, unnest(toks) AS tt FROM t), " +
+        "tf AS (SELECT doc_id, tt, CAST(count(*) AS DOUBLE) AS tf FROM e " +
+        "WHERE tt IN ('window', 'join', 'sort') GROUP BY 1, 2), " +
+        "dft AS (SELECT tt, CAST(count(*) AS DOUBLE) AS dft FROM tf GROUP BY 1), " +
+        "sc AS (SELECT tf.doc_id, " +
+        "ln((st.n - dft.dft + 0.5) / (dft.dft + 0.5) + 1) * tf.tf * (1.2 + 1.0) / " +
+        "(tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dd.dl / st.avgdl)) AS s " +
+        "FROM tf JOIN dft USING (tt) JOIN dd ON dd.doc_id = tf.doc_id CROSS JOIN st) " +
+        "SELECT doc_id, round(sum(s), 6) AS bm25 FROM sc " +
+        "GROUP BY doc_id ORDER BY doc_id")),
+
     // Global dataset release card: one row of corpus-version summary
     // stats incl. language-distribution entropy via the exact
     // H = ln(N) − Σc·ln(c)/N identity, restated verbatim in the oracle.

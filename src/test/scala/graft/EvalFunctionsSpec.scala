@@ -297,6 +297,29 @@ class EvalFunctionsSpec extends SparkSpec {
     assert(got == Seq((1L, 4L, 0.0), (2L, 5L, 0.6), (3L, 4L, 0.0)), s"got $got")
   }
 
+  test("ext: bm25Score — rarer terms outrank common ones; non-matching docs absent") {
+    val docs = Seq(
+      (1L, "spark spark spark catalyst"),  // tf(spark)=3
+      (2L, "spark flink"),                 // one spark + the rare term
+      (3L, "flink flink beam"),            // rare term twice
+      (4L, "beam beam beam beam"))         // matches nothing in the query
+      .toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis.bm25Score(docs, "doc_id", "text",
+        Seq("spark", "flink"))
+      .orderBy("doc_id").as[(Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L), s"got $got")
+    val byId = got.toMap
+    // tf saturation: doc 2's two DISTINCT query terms outrank both
+    // doc 3's repeated flink and doc 1's thrice-repeated spark
+    assert(byId(2L) > byId(3L) && byId(2L) > byId(1L), s"got $byId")
+    assert(byId(3L) > 0 && byId(1L) > 0)
+    // hand-check doc 1: N=4, df(spark)=2, idf=ln((4-2+.5)/(2+.5)+1)=ln(2)
+    // tf=3, dl=4, avgdl=13/4 -> s = ln(2)*3*2.2/(3+1.2*(0.25+0.75*16/13))
+    val expect1 = math.log(2.0) * 3 * 2.2 /
+      (3 + 1.2 * (0.25 + 0.75 * 4.0 / (13.0 / 4.0)))
+    assert(math.abs(byId(1L) - expect1) < 1e-9, s"${byId(1L)} vs $expect1")
+  }
+
   test("ext: datasetCard — exact entropy identity; uniform langs give ln(k)") {
     // 4 docs over 2 langs uniformly -> entropy ln(2); one dup text
     val docs = Seq(
