@@ -242,6 +242,61 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: conversionFunnel counts never increase along the funnel") {
+    val gen = for {
+      nEvents <- Gen.choose(20, 120)
+      events <- Gen.listOfN(nEvents, for {
+        u <- Gen.choose(1L, 8L)
+        t <- Gen.choose(0L, 500L)
+        typ <- Gen.oneOf("A", "B", "C")
+      } yield (u, t, typ))
+      horizon <- Gen.oneOf(None, Some(50L), Some(200L))
+    } yield (events, horizon)
+    cases(gen, 5).foreach { case (events, horizon) =>
+      val got = Windows.conversionFunnel(events.toDF("user_id", "t", "typ"),
+          "user_id", "t", "typ", Seq("A", "B", "C"), horizon)
+        .orderBy("step").as[(Int, String, Long)].collect().toSeq
+      assert(got.map(_._1) == Seq(1, 2, 3))
+      val counts = got.map(_._3)
+      assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+        s"funnel grew: $counts (horizon=$horizon)")
+      // a tighter horizon can only lose conversions
+      if (horizon.contains(50L)) {
+        val loose = Windows.conversionFunnel(events.toDF("user_id", "t", "typ"),
+            "user_id", "t", "typ", Seq("A", "B", "C"), Some(200L))
+          .orderBy("step").as[(Int, String, Long)].collect().map(_._3).toSeq
+        assert(counts.zip(loose).forall { case (tight, l) => tight <= l },
+          s"tight $counts > loose $loose")
+      }
+    }
+  }
+
+  test("property: retentionCohorts age-0 covers the cohort; no cell exceeds it") {
+    val gen = for {
+      n <- Gen.choose(10, 80)
+      events <- Gen.listOfN(n, for {
+        u <- Gen.choose(1L, 6L)
+        t <- Gen.choose(0L, 300L)
+      } yield (u, t))
+    } yield events
+    cases(gen, 5).foreach { events =>
+      val got = Windows.retentionCohorts(events.toDF("user_id", "ts_sec"),
+          "user_id", "ts_sec", bucket = 20L)
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      val byCohort = got.groupBy(_._1)
+      byCohort.foreach { case (c, cells) =>
+        val base = cells.find(_._2 == 0L)
+        assert(base.isDefined, s"cohort $c missing age 0")
+        assert(cells.forall(_._3 <= base.get._3), s"cohort $c cell exceeds base")
+        assert(cells.forall(r => r._4 > 0 && r._4 <= 1.0), s"cohort $c frac out of range")
+        assert(base.get._4 == 1.0)
+      }
+      // every user appears in exactly one cohort's age-0 cell
+      val totalBase = byCohort.values.map(_.find(_._2 == 0L).get._3).sum
+      assert(totalBase == events.map(_._1).distinct.size)
+    }
+  }
+
   test("property: ngramNovelty fractions lie in [0,1] and cannot overlap") {
     val gen = for {
       nDocs <- Gen.choose(4, 15)
