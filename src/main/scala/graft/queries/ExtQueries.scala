@@ -1229,6 +1229,61 @@ object ExtQueries {
         "SELECT doc_id, round(sum(s), 6) AS bm25 FROM sc " +
         "GROUP BY doc_id ORDER BY doc_id")),
 
+    // Hybrid retrieval: min-max-normalized BM25 blended 50/50 with the
+    // [0,1]-mapped cosine to the query vector — the lexical+semantic
+    // fusion a retrieval-augmented curation pass runs. The norm stats
+    // are a broadcast 1-row aggregate and the cosine is the narrow
+    // plan-constant kernel, so the blend adds no data-sized shuffle
+    // beyond its two inputs. Oracle re-derives both legs and the
+    // normalization end to end.
+    Q("x_hybrid_search",
+      (s, d) => {
+        val bm = TextAnalysis.bm25Score(Tables.documents(s, d), "doc_id", "text",
+          Seq("window", "join", "sort"))
+        val stats = broadcast(bm.agg(min(col("bm25")).as("_lo"), max(col("bm25")).as("_hi")))
+        val nb = bm.crossJoin(stats).select(col("doc_id"),
+          when(col("_hi") === col("_lo"), lit(1.0))
+            .otherwise((col("bm25") - col("_lo")) / (col("_hi") - col("_lo"))).as("_nb"))
+        val q = queryVec(s, d)
+        val cos = Tables.documents(s, d).select(col("doc_id"))
+          .join(Tables.embeddings(s, d).select(col("vec_id").as("doc_id"),
+            Similarity.cosine(col("embedding"), array(q.map(lit): _*)).as("_cos")),
+            "doc_id")
+        nb.join(cos, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            round(coalesce(col("_nb"), lit(0.0)) * 0.5 +
+              coalesce((col("_cos") + 1.0) / 2.0, lit(0.0)) * 0.5, 6).as("hybrid"))
+          .orderBy("doc_id")
+      },
+      Some("WITH t AS (SELECT doc_id, string_split_regex(text, ' +') AS toks " +
+        "FROM documents), " +
+        "dd AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM t), " +
+        "st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dd), " +
+        "e AS (SELECT doc_id, unnest(toks) AS tt FROM t), " +
+        "tf AS (SELECT doc_id, tt, CAST(count(*) AS DOUBLE) AS tf FROM e " +
+        "WHERE tt IN ('window', 'join', 'sort') GROUP BY 1, 2), " +
+        "dft AS (SELECT tt, CAST(count(*) AS DOUBLE) AS dft FROM tf GROUP BY 1), " +
+        "sc AS (SELECT tf.doc_id, " +
+        "ln((st.n - dft.dft + 0.5) / (dft.dft + 0.5) + 1) * tf.tf * (1.2 + 1.0) / " +
+        "(tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dd.dl / st.avgdl)) AS s " +
+        "FROM tf JOIN dft USING (tt) JOIN dd ON dd.doc_id = tf.doc_id CROSS JOIN st), " +
+        "bm AS (SELECT doc_id, sum(s) AS bm25 FROM sc GROUP BY doc_id), " +
+        "mm AS (SELECT min(bm25) AS lo, max(bm25) AS hi FROM bm), " +
+        "nb AS (SELECT doc_id, CASE WHEN mm.hi = mm.lo THEN 1.0 " +
+        "ELSE (bm25 - mm.lo) / (mm.hi - mm.lo) END AS nbv FROM bm CROSS JOIN mm), " +
+        "qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
+        "dv AS (SELECT emb.vec_id AS doc_id, unnest(emb.embedding) AS a, " +
+        "unnest(qv.qe) AS b FROM embeddings emb, qv " +
+        "WHERE emb.vec_id IN (SELECT doc_id FROM documents)), " +
+        "cs AS (SELECT doc_id, sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)) / " +
+        "(sqrt(sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE))) * " +
+        "sqrt(sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)))) AS cosv " +
+        "FROM dv GROUP BY doc_id), " +
+        "u AS (SELECT coalesce(nb.doc_id, cs.doc_id) AS doc_id, " +
+        "coalesce(nb.nbv, 0) * 0.5 + coalesce((cs.cosv + 1.0) / 2.0, 0) * 0.5 AS h " +
+        "FROM nb FULL OUTER JOIN cs ON nb.doc_id = cs.doc_id) " +
+        "SELECT doc_id, round(h, 6) AS hybrid FROM u ORDER BY doc_id")),
+
     // Global dataset release card: one row of corpus-version summary
     // stats incl. language-distribution entropy via the exact
     // H = ln(N) − Σc·ln(c)/N identity, restated verbatim in the oracle.
