@@ -422,6 +422,39 @@ object TextAnalysis {
         round(avg(when(col("_in").isNull, 1.0).otherwise(0.0)), 6).as("oov_frac"))
   }
 
+  /** Compression-ratio quality signal: deflated size over raw UTF-8
+    * size per document — the Gopher/RefinedWeb-family repetition
+    * detector (highly repetitive or templated text compresses far
+    * below prose; near-random noise compresses above it). Deflate at
+    * the default level with a fixed strategy is DETERMINISTIC for a
+    * given input, so the signal is reproducible run to run — but it is
+    * engine-internal (no SQL twin), hence rows-only at the oracle
+    * gate with the ordering pinned in tests.
+    *
+    * A JVM closure, not a Catalyst expression — justified like the
+    * sketch probes: the codec is library code, and the column is a
+    * narrow per-row map with no shuffle. Empty documents report 1.0.
+    *
+    * Output: (idCol, n_bytes: long, compression_ratio rounded 1e-6).
+    */
+  def compressionRatio(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ratio = udf { (s: String) =>
+      val raw = if (s == null) Array.emptyByteArray
+                else s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (raw.isEmpty) (0L, 1.0)
+      else {
+        val bos = new java.io.ByteArrayOutputStream(raw.length / 2 + 32)
+        val dos = new java.util.zip.DeflaterOutputStream(bos)
+        dos.write(raw)
+        dos.close()
+        (raw.length.toLong, math.rint(bos.size().toDouble / raw.length * 1e6) / 1e6)
+      }
+    }
+    df.select(col(idCol), ratio(col(textCol)).as("_r"))
+      .select(col(idCol), col("_r._1").as("n_bytes"),
+        col("_r._2").as("compression_ratio"))
+  }
+
   /** BM25 relevance of every document to a keyword query — the
     * retrieval primitive behind corpus inspection ("show me the docs
     * about X") and retrieval-augmented data curation. Okapi BM25 with

@@ -1203,6 +1203,14 @@ object ExtQueries {
         "round(avg(CASE WHEN v.t IS NULL THEN 1.0 ELSE 0.0 END), 6) AS oov_frac " +
         "FROM tk LEFT JOIN v ON tk.t = v.t GROUP BY tk.doc_id ORDER BY tk.doc_id")),
 
+    // Compression-ratio repetition signal (deflate bytes / raw bytes):
+    // deterministic run to run but engine-internal, so rows-only; the
+    // repetitive-text-compresses-further ordering is pinned in tests.
+    Q("x_compression_ratio",
+      (s, d) => TextAnalysis.compressionRatio(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      None),
+
     // BM25 keyword relevance over the corpus (query: window/join/sort —
     // common terms, so scores discriminate via tf and length). Output
     // is every matching doc ordered by id, score rounded — no

@@ -297,6 +297,21 @@ class EvalFunctionsSpec extends SparkSpec {
     assert(got == Seq((1L, 4L, 0.0), (2L, 5L, 0.6), (3L, 4L, 0.0)), s"got $got")
   }
 
+  test("ext: compressionRatio — repetition compresses further; deterministic; empty is 1.0") {
+    val docs = Seq(
+      (1L, Seq.fill(200)("spam").mkString(" ")),          // extreme repetition
+      (2L, (0 until 200).map(i => s"w${i * 7919 % 997}").mkString(" ")), // varied
+      (3L, "")).toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis.compressionRatio(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(got(0)._3 < got(1)._3, s"repetitive text should compress further: $got")
+    assert(got(0)._3 > 0 && got(1)._3 < 1.0)
+    assert(got(2) == ((3L, 0L, 1.0)))
+    val again = graft.ext.TextAnalysis.compressionRatio(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(again == got, "deflate signal must be deterministic")
+  }
+
   test("ext: bm25Score — rarer terms outrank common ones; non-matching docs absent") {
     val docs = Seq(
       (1L, "spark spark spark catalyst"),  // tf(spark)=3
