@@ -79,16 +79,27 @@ object Dedup {
     */
   def exactIncrementalBloom(batch: DataFrame, idCol: String, textCol: String,
                             seenHashes: DataFrame,
-                            bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
-    val bc = batch.sparkSession.sparkContext.broadcast(bloom)
+                            bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame =
+    firstPerHash(bloomGatedUnseen(batch, textCol, seenHashes, bloom), idCol)
+
+  /** The bloom-gated unseen-rows stage shared by [[exactIncrementalBloom]]
+    * and [[graft.streaming.StreamingOps.incrementalDedupAtIngest]]: rows
+    * the broadcast bloom has never seen pass with a narrow stateless
+    * probe; suspects take the left-anti join against the stored hash
+    * table. ONE implementation, so the batch and ingest paths cannot
+    * drift. Returns the input rows plus `content_hash`.
+    */
+  private[graft] def bloomGatedUnseen(df: DataFrame, textCol: String,
+                                      seenHashes: DataFrame,
+                                      bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(bloom)
     val maybeSeen = udf((h: Long) => bc.value.mightContainLong(h))
-    val hashed = batch.withColumn("content_hash", xxhash64(col(textCol)))
+    val hashed = df.withColumn("content_hash", xxhash64(col(textCol)))
       .withColumn("_suspect", maybeSeen(col("content_hash")))
-    val unseen = hashed.filter(!col("_suspect"))
+    hashed.filter(!col("_suspect"))
       .unionByName(hashed.filter(col("_suspect"))
         .join(seenHashes, Seq("content_hash"), "left_anti"))
       .drop("_suspect")
-    firstPerHash(unseen, idCol)
   }
 
   /** Lowest-id winner per batch-internal duplicate group — the second

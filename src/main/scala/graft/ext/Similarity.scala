@@ -347,6 +347,31 @@ object Similarity {
       .select("id1", "id2", "bucket", "cos")
   }
 
+  /** Blend a lexical score frame (id, raw score — e.g. BM25) with a
+    * semantic cosine frame (id, cos ∈ [−1, 1]) into one hybrid
+    * relevance: the lexical side min-max normalizes to [0, 1] (a
+    * single-row degenerate range maps to 1.0), the cosine maps as
+    * (cos+1)/2, and a missing leg contributes 0 through the full-outer
+    * join — so a doc matched by either signal still surfaces. The
+    * normalization stats are a broadcast one-row aggregate; nothing
+    * data-sized shuffles beyond the two inputs.
+    *
+    * Output: (idCol, hybrid = α·lex + (1−α)·sem).
+    */
+  def hybridBlend(lexical: DataFrame, semantic: DataFrame, idCol: String,
+                  scoreCol: String, cosCol: String,
+                  alpha: Double = 0.5): DataFrame = {
+    val stats = broadcast(lexical.agg(
+      min(col(scoreCol)).as("_lo"), max(col(scoreCol)).as("_hi")))
+    val nb = lexical.crossJoin(stats).select(col(idCol),
+      when(col("_hi") === col("_lo"), lit(1.0))
+        .otherwise((col(scoreCol) - col("_lo")) / (col("_hi") - col("_lo"))).as("_nb"))
+    nb.join(semantic.select(col(idCol), col(cosCol).as("_cos")), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        (coalesce(col("_nb"), lit(0.0)) * alpha +
+          coalesce((col("_cos") + 1.0) / 2.0, lit(0.0)) * (1.0 - alpha)).as("hybrid"))
+  }
+
   /** Approximate k-nearest-neighbor SELF-join: every row's top-`k`
     * most-cosine-similar other rows, among rows sharing its
     * [[signBuckets]] sign-bit bucket — the all-rows twin of the

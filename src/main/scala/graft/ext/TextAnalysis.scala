@@ -10,6 +10,12 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Executor-side zlib state for [[compressionRatio]] — one per task
+    * thread, reset per row.
+    */
+  private[ext] val deflaterPerThread: ThreadLocal[java.util.zip.Deflater] =
+    ThreadLocal.withInitial(() => new java.util.zip.Deflater())
+
   /** Whitespace tokenization. */
   def tokens(text: Column): Column = split(text, " +")
 
@@ -443,11 +449,18 @@ object TextAnalysis {
                 else s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       if (raw.isEmpty) (0L, 1.0)
       else {
-        val bos = new java.io.ByteArrayOutputStream(raw.length / 2 + 32)
-        val dos = new java.util.zip.DeflaterOutputStream(bos)
-        dos.write(raw)
-        dos.close()
-        (raw.length.toLong, math.rint(bos.size().toDouble / raw.length * 1e6) / 1e6)
+        // one native zlib state per task thread, reset per row — a
+        // fresh Deflater per document would pay native init/teardown
+        // on every row of the corpus
+        val d = TextAnalysis.deflaterPerThread.get()
+        d.reset(); d.setInput(raw); d.finish()
+        var buf = new Array[Byte](raw.length / 2 + 64)
+        var n = 0
+        while (!d.finished()) {
+          if (n == buf.length) buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+          n += d.deflate(buf, n, buf.length - n)
+        }
+        (raw.length.toLong, math.rint(n.toDouble / raw.length * 1e6) / 1e6)
       }
     }
     df.select(col(idCol), ratio(col(textCol)).as("_r"))

@@ -63,9 +63,16 @@ object Prep {
     * other rows, so it is stable under repartition, appends, and reruns.
     */
   def hashSplit(df: DataFrame, idCol: String, fracs: Seq[(String, Double)],
-                out: String = "split"): DataFrame = {
+                out: String = "split"): DataFrame =
+    splitByBucket(df, pmod(xxhash64(col(idCol)), lit(10000L)), fracs, out)
+
+  /** The 10,000-bucket split-assignment grid shared by [[hashSplit]]
+    * and [[portableSplit]] — one copy of the cumulative-bound fold, so
+    * the two documented-identical contracts cannot desynchronize.
+    */
+  private def splitByBucket(df: DataFrame, bucket: Column,
+                            fracs: Seq[(String, Double)], out: String): DataFrame = {
     require(fracs.nonEmpty && fracs.map(_._2).sum <= 1.0 + 1e-9, "fractions must sum to <= 1")
-    val bucket = pmod(xxhash64(col(idCol)), lit(10000L))
     val bounds = fracs.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
     val expr0 = fracs.zip(bounds).foldLeft(when(lit(false), "")) {
       case (acc, ((name, _), hi)) => acc.when(bucket < math.round(hi * 10000), name)
@@ -94,16 +101,8 @@ object Prep {
     * [[portableHash]]'s |id| < 2^31 precondition.
     */
   def portableSplit(df: DataFrame, idCol: String, fracs: Seq[(String, Double)],
-                    out: String = "split"): DataFrame = {
-    require(fracs.nonEmpty && fracs.map(_._2).sum <= 1.0 + 1e-9,
-      "fractions must sum to <= 1")
-    val bucket = pmod(portableHash(col(idCol)), lit(10000L))
-    val bounds = fracs.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
-    val expr0 = fracs.zip(bounds).foldLeft(when(lit(false), "")) {
-      case (acc, ((name, _), hi)) => acc.when(bucket < math.round(hi * 10000), name)
-    }
-    df.withColumn(out, coalesce(expr0, lit(fracs.last._1)))
-  }
+                    out: String = "split"): DataFrame =
+    splitByBucket(df, pmod(portableHash(col(idCol)), lit(10000L)), fracs, out)
 
   /** Deterministic per-stratum token-budget sampling: within each
     * stratum (language, domain, source…), documents are taken in

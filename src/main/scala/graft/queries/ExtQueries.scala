@@ -1248,19 +1248,13 @@ object ExtQueries {
       (s, d) => {
         val bm = TextAnalysis.bm25Score(Tables.documents(s, d), "doc_id", "text",
           Seq("window", "join", "sort"))
-        val stats = broadcast(bm.agg(min(col("bm25")).as("_lo"), max(col("bm25")).as("_hi")))
-        val nb = bm.crossJoin(stats).select(col("doc_id"),
-          when(col("_hi") === col("_lo"), lit(1.0))
-            .otherwise((col("bm25") - col("_lo")) / (col("_hi") - col("_lo"))).as("_nb"))
         val q = queryVec(s, d)
         val cos = Tables.documents(s, d).select(col("doc_id"))
           .join(Tables.embeddings(s, d).select(col("vec_id").as("doc_id"),
-            Similarity.cosine(col("embedding"), array(q.map(lit): _*)).as("_cos")),
+            Similarity.cosine(col("embedding"), array(q.map(lit): _*)).as("cos")),
             "doc_id")
-        nb.join(cos, Seq("doc_id"), "full_outer")
-          .select(col("doc_id"),
-            round(coalesce(col("_nb"), lit(0.0)) * 0.5 +
-              coalesce((col("_cos") + 1.0) / 2.0, lit(0.0)) * 0.5, 6).as("hybrid"))
+        Similarity.hybridBlend(bm, cos, "doc_id", "bm25", "cos")
+          .select(col("doc_id"), round(col("hybrid"), 6).as("hybrid"))
           .orderBy("doc_id")
       },
       Some("WITH t AS (SELECT doc_id, string_split_regex(text, ' +') AS toks " +

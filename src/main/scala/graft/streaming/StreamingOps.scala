@@ -140,16 +140,8 @@ object StreamingOps {
     */
   def incrementalDedupAtIngest(stream: DataFrame, textCol: String,
                                seenHashes: DataFrame,
-                               bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
-    val bc = stream.sparkSession.sparkContext.broadcast(bloom)
-    val maybeSeen = udf((h: Long) => bc.value.mightContainLong(h))
-    val hashed = stream.withColumn("content_hash", xxhash64(col(textCol)))
-      .withColumn("_suspect", maybeSeen(col("content_hash")))
-    hashed.filter(!col("_suspect"))
-      .unionByName(hashed.filter(col("_suspect"))
-        .join(seenHashes, Seq("content_hash"), "left_anti"))
-      .drop("_suspect")
-  }
+                               bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame =
+    graft.ext.Dedup.bloomGatedUnseen(stream, textCol, seenHashes, bloom)
 
   /** Benchmark decontamination at INGEST time — the streaming half of
     * [[graft.ext.Dedup.decontaminate]]: every arriving document is

@@ -335,9 +335,11 @@ object Windows {
     * Scale shape: a per-key min (map-side combined), a key-equi join
     * back (AQE-managed), a distinct on the compact (key, cohort, age)
     * triple, and a (cohort, age)-keyed count; the normalizing join
-    * moves one row per cohort. Integer `DIV` bucketing, not float
-    * division — second-epochs exceed a float's exact range only in
-    * nanos, but DIV keeps the arithmetic engine-portable regardless.
+    * moves one row per cohort. FLOOR-division bucketing (exact:
+    * second-epochs sit far inside a double's 53-bit integer range) —
+    * integer `DIV` truncates toward zero, which would both disagree
+    * with SQL floor-division oracles for pre-1970 timestamps and make
+    * the bucket straddling zero twice as wide as every other.
     *
     * Output: (cohort_start: long — bucket index, age: long, n_users,
     * frac), one row per non-empty cell.
@@ -346,7 +348,7 @@ object Windows {
                        bucket: Long): DataFrame = {
     require(bucket > 0, s"need bucket > 0, got $bucket")
     val e = df.select(col(userCol).as("_u"),
-      expr(s"`$tsSecCol` DIV ${bucket}L").as("_d"))
+      floor(col(tsSecCol) / bucket.toDouble).cast("long").as("_d"))
     val first = e.groupBy("_u").agg(min(col("_d")).as("_cohort"))
     val active = e.join(first, "_u")
       .select(col("_u"), col("_cohort"), (col("_d") - col("_cohort")).as("age"))

@@ -277,6 +277,24 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.head.getAs[Long]("bucket") == expectBucket)
   }
 
+  test("hybridBlend: min-max norm, degenerate range, and missing legs contribute zero") {
+    val lex = Seq((1L, 2.0), (2L, 6.0), (3L, 4.0)).toDF("id", "score")
+    val sem = Seq((2L, 1.0), (3L, -1.0), (4L, 0.0)).toDF("id", "cos")
+    val got = Similarity.hybridBlend(lex, sem, "id", "score", "cos")
+      .orderBy("id").as[(Long, Double)].collect().toMap
+    // id1: lex norm 0, no cos     -> 0.0
+    // id2: lex norm 1, cos 1 -> 1 -> 1.0
+    // id3: lex norm .5, cos -1 -> 0 -> 0.25
+    // id4: no lex, cos 0 -> .5    -> 0.25
+    assert(got == Map(1L -> 0.0, 2L -> 1.0, 3L -> 0.25, 4L -> 0.25), s"got $got")
+    // single lexical row: degenerate hi == lo range normalizes to 1.0
+    val one = Similarity.hybridBlend(
+        Seq((7L, 3.3)).toDF("id", "score"), sem.filter(col("id") === 99), "id",
+        "score", "cos")
+      .as[(Long, Double)].collect().toSeq
+    assert(one == Seq((7L, 0.5)), s"got $one")
+  }
+
   test("knnJoin: per-bucket brute-force agreement, self excluded, k bounded") {
     val k = 2
     val got = Similarity.knnJoin(fixture, "vec_id", "embedding",

@@ -325,6 +325,13 @@ class WindowsSpec extends SparkSpec {
     assert(got == Seq(
       (0L, 0L, 2L, 1.0), (0L, 1L, 1L, 0.5), (0L, 2L, 1L, 0.5),
       (2L, 0L, 1L, 1.0), (2L, 1L, 1L, 1.0)), s"got $got")
+    // FLOOR division: a pre-epoch timestamp buckets to period -1, not 0
+    // (truncation would fold it into period 0 and widen that bucket)
+    val neg = Windows.retentionCohorts(
+        Seq((9L, -5L), (9L, 5L)).toDF("user_id", "ts_sec"),
+        "user_id", "ts_sec", bucket = 10L)
+      .orderBy("age").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(neg == Seq((-1L, 0L, 1L, 1.0), (-1L, 1L, 1L, 1.0)), s"got $neg")
   }
 
   test("conversionFunnel: strict order, first-occurrence chaining, horizon cutoff") {
