@@ -88,6 +88,19 @@ object Dedup {
     * probe; suspects take the left-anti join against the stored hash
     * table. ONE implementation, so the batch and ingest paths cannot
     * drift. Returns the input rows plus `content_hash`.
+    *
+    * Cost contract: the two union legs each reference the input, so the
+    * BATCH is scanned (and hashed + bloom-probed) twice. That is the
+    * deliberate trade — the alternative single-reference shape routes
+    * EVERY row through the seenHashes join and shuffles the whole batch,
+    * which is strictly worse whenever the bloom admits most rows; and a
+    * persist here would leak (this frame is returned lazily, streaming
+    * inputs cannot persist at all, and no release point exists inside
+    * the operator). The double scan is two NARROW passes over the batch
+    * only — never over history — and incremental ingest's contract is
+    * batch ≪ history. A batch caller for whom the re-scan is expensive
+    * (e.g. batch derived from a prior shuffle) should persist or
+    * `localCheckpoint` the input `df` itself, where it owns the release.
     */
   private[graft] def bloomGatedUnseen(df: DataFrame, textCol: String,
                                       seenHashes: DataFrame,
@@ -543,12 +556,19 @@ object Dedup {
     * all-null clusters the lowest id wins). An inner join here would
     * silently under-count clusters and bias the survivor policy.
     *
+    * A NaN score sorts ABOVE every real value in Spark's struct
+    * ordering, so a NaN-scored member would silently win the argmax;
+    * NaN scores are nulled out (treated as unscored) instead.
+    *
     * Output: (clusterCol, canonical_id, members).
     */
   def canonicalPerCluster(clusters: DataFrame, idCol: String, clusterCol: String,
                           quality: DataFrame, qIdCol: String,
                           scoreCol: String): DataFrame =
-    clusters.join(quality.select(col(qIdCol).as(idCol), col(scoreCol)), Seq(idCol), "left")
+    clusters.join(
+        quality.select(col(qIdCol).as(idCol),
+          when(!isnan(col(scoreCol).cast("double")), col(scoreCol)).as(scoreCol)),
+        Seq(idCol), "left")
       .groupBy(clusterCol)
       .agg(
         max(struct(col(scoreCol).as("_s"), (-col(idCol)).as("_nid"))).as("_best"),

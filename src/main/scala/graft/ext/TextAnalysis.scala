@@ -280,21 +280,6 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"), avg(col("_lp")).as("avg_logprob"))
   }
 
-  /** Domain-mix diagnostics: KL(P_group ‖ P_corpus) of the token
-    * distribution of each group (source, language, shard…) against the
-    * whole corpus — the standard check that one domain's language isn't
-    * drifting from the mixture it feeds. Every group token exists in
-    * the corpus distribution by construction, so the divergence is
-    * always finite.
-    *
-    * Scale shape: one (group, token) count aggregate (map-side
-    * combined), group totals and corpus token totals derived FROM it
-    * (vocabulary-keyed frames, never a second corpus scan), corpus size
-    * as a broadcast 1-row aggregate, and the p·ln(p/q) sum reduced per
-    * group.
-    *
-    * Output: (groupCol, n_tokens: long, kl: double).
-    */
   /** Byte-pair-encoding merge learning over the corpus — the tokenizer
     * TRAINING step of a data pipeline: learn the top `numMerges` BPE
     * merges (Sennrich et al. 2016) from corpus word frequencies.
@@ -610,6 +595,21 @@ object TextAnalysis {
       .drop("_topCnt")
   }
 
+  /** Domain-mix diagnostics: KL(P_group ‖ P_corpus) of the token
+    * distribution of each group (source, language, shard…) against the
+    * whole corpus — the standard check that one domain's language isn't
+    * drifting from the mixture it feeds. Every group token exists in
+    * the corpus distribution by construction, so the divergence is
+    * always finite.
+    *
+    * Scale shape: one (group, token) count aggregate (map-side
+    * combined), group totals and corpus token totals derived FROM it
+    * (vocabulary-keyed frames, never a second corpus scan), corpus size
+    * as a broadcast 1-row aggregate, and the p·ln(p/q) sum reduced per
+    * group.
+    *
+    * Output: (groupCol, n_tokens: long, kl: double).
+    */
   def sourceDivergence(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(groupCol), explode(tokens(col(textCol))).as("_t"))
       .filter(length(col("_t")) > 0)

@@ -505,7 +505,7 @@ object ExtQueries {
         "FROM c WHERE len(toks) >= 4), " +
         "cg AS (SELECT DISTINCT doc_id, array_to_string(toks[p:p+3], ' ') AS ngram FROM ec), " +
         "dfc AS (SELECT ngram, count(*) AS docfreq FROM cg GROUP BY ngram), " +
-        "nv AS (SELECT doc_id, avg(CASE WHEN docfreq >= 3 THEN 1.0 ELSE 0.0 END) AS boiler " +
+        "nv AS (SELECT doc_id, round(avg(CASE WHEN docfreq >= 3 THEN 1.0 ELSE 0.0 END), 6) AS boiler " +
         "FROM cg JOIN dfc USING (ngram) GROUP BY doc_id), " +
         "fin AS (SELECT c.doc_id FROM c JOIN nv ON c.doc_id = nv.doc_id " +
         "WHERE nv.boiler < 0.04) " +

@@ -220,13 +220,21 @@ object WindowQueries {
         "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey")),
 
     // J2 — anti join (FP set).
+    // The orders side is restricted to a date subrange: with the full
+    // table every customer has an order at every sf, so the unrestricted
+    // complement is empty and the check would be vacuous (rows/schema/
+    // hash all match on 0 rows). Pre-1996 orders cover only some
+    // customers → a strict non-empty subset (34/150 at sf0.001).
     Q("j2_anti_join",
       (s, d) => Tables.customer(s, d)
-        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(
+          Tables.orders(s, d).filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey"),
       Some("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
-        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey")),
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+        "AND o_orderdate < TIMESTAMP '1996-01-01') ORDER BY c_custkey")),
 
     // J4 — universe complement: range(n) minus pred minus label. The
     // universe IS the (dense 0..n-1) event_id domain, so no range() is

@@ -278,16 +278,6 @@ object Windows {
       .drop("_tgt")
   }
 
-  /** Gap-based sessionization: a new session starts where the time since
-    * the previous event exceeds `gap` (first event = session 0). The
-    * training-data/event-pipeline op for splitting a stream into episodes.
-    *
-    * Ungrouped: composes the scale decompositions — chunk+halo lag for
-    * the previous timestamp, two-phase bucketed cumsum for the running
-    * session id; no global single-task window anywhere, requires the
-    * dense positional `idxCol` like every positional operator here.
-    * Grouped (per user/sensor): one partitioned window, parallel by key.
-    */
   /** Ordered conversion funnel over an event stream: for each funnel
     * step, how many keys (users) performed ALL steps so far IN ORDER —
     * each step strictly after the previous one's FIRST qualifying
@@ -362,6 +352,16 @@ object Windows {
       .drop("_base")
   }
 
+  /** Gap-based sessionization: a new session starts where the time since
+    * the previous event exceeds `gap` (first event = session 0). The
+    * training-data/event-pipeline op for splitting a stream into episodes.
+    *
+    * Ungrouped: composes the scale decompositions — chunk+halo lag for
+    * the previous timestamp, two-phase bucketed cumsum for the running
+    * session id; no global single-task window anywhere, requires the
+    * dense positional `idxCol` like every positional operator here.
+    * Grouped (per user/sensor): one partitioned window, parallel by key.
+    */
   def sessionize(df: DataFrame, idxCol: String, tsCol: String, gap: Long,
                  partCols: Seq[String] = Nil, out: String = "session",
                  chunkSize: Long = 100000L): DataFrame =
