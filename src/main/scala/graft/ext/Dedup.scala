@@ -417,9 +417,21 @@ object Dedup {
     * than once (e.g. the streaming per-band candidates) — but callers
     * passing weighted/duplicated pair frames must pre-aggregate their
     * weights, since multiplicity does not survive verification.
+    *
+    * When a stored (`_id`, `_sh`) gram-pair table exists (written once
+    * at ingest by [[graft.ext.TextAnalysis.ngramPairs]]), pass it as
+    * `gramRows`: verification then delegates to
+    * [[jaccardVerifyFromPairs]] and never touches (or re-shingles)
+    * document text — the 100 TB default. The caller owns the invariant
+    * that the table was built from THIS corpus at THIS `shingleLen`
+    * (results are bitwise-identical when it was; parity pinned in
+    * tests). The text-scan form below is the no-index fallback.
     */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
-                    shingleLen: Int = 3): DataFrame = {
+                    shingleLen: Int = 3,
+                    gramRows: Option[DataFrame] = None): DataFrame = gramRows match {
+    case Some(g) => jaccardVerifyFromPairs(pairs, g)
+    case None =>
     // Shingle sets are built ONLY for documents that appear in a candidate
     // pair (LEFT SEMI join first): at 100 TB the candidate id set is
     // orders of magnitude smaller than the corpus, so verification never

@@ -1079,10 +1079,25 @@ object ExtQueries {
 
     // n-gram Jaccard verification over LSH candidates — rows-only check
     // (candidates come from the hash-dependent LSH stage). Candidates are
-    // memoized ([[minhashCandsFor]]) so this times verification alone.
+    // memoized ([[minhashCandsFor]]) so this times verification alone,
+    // and it verifies from the STORED gram-pair table ([[gramTableFor]],
+    // the 100 TB default where text is never re-shingled); the no-index
+    // text-scan fallback stays covered by x_jaccard_fallback below.
     Q("x_jaccard_verify",
       (s, d) => Dedup.jaccardVerify(minhashCandsFor(s, d), Tables.documents(s, d),
-          "doc_id", "text")
+          "doc_id", "text", gramRows = Some(s.table(gramTableFor(s, d))))
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id1", "id2"),
+      None),
+
+    // The text-scan fallback of the same verification (no gram table):
+    // restricted to a deterministic slice of the memoized candidates so
+    // the bench keeps pricing the no-index path without re-paying the
+    // full corpus shingle build each sweep.
+    Q("x_jaccard_fallback",
+      (s, d) => Dedup.jaccardVerify(
+          minhashCandsFor(s, d).filter(col("id1") % 4 === 0),
+          Tables.documents(s, d), "doc_id", "text")
         .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id1", "id2"),
       None),

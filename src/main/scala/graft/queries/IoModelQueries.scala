@@ -274,7 +274,12 @@ object IoModelQueries {
       (s, d) => {
         val spark = s
         import spark.implicits._
+        // Cache the standardized events for the client builds: each of
+        // the 4 per-client window frames otherwise re-runs the
+        // stats-fit + transform scans of raw events when FedAvg.run
+        // materializes its persist (8 event scans per run instead of 2).
         val std = Prep.standardize(ev(s, d), ev(s, d), Seq("value"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val w = Window.partitionBy(col("client")).orderBy(col("event_id"))
         val perClient = (0 until 4).map { c =>
           std.filter(col("user_id") % 4 === c)
@@ -283,10 +288,12 @@ object IoModelQueries {
         }
         val clients = perClient.map(df =>
           Windows.slidingWindows(df, "cidx", "value", 32, 32))
-        val res = FedAvg.run(new DenseAutoencoder(Seq(32, 8, 32)), clients,
-          "values", rounds = 2, epochsPerRound = 1)
-        res.perClientLoss.zipWithIndex
-          .map { case (h, c) => (c, h.last) }.toDF("client", "final_loss")
+        try {
+          val res = FedAvg.run(new DenseAutoencoder(Seq(32, 8, 32)), clients,
+            "values", rounds = 2, epochsPerRound = 1)
+          res.perClientLoss.zipWithIndex
+            .map { case (h, c) => (c, h.last) }.toDF("client", "final_loss")
+        } finally std.unpersist(blocking = false)
       },
       None)
   )

@@ -160,6 +160,11 @@ class EvalFunctionsSpec extends SparkSpec {
     val fromPairs = graft.ext.Dedup.jaccardVerifyFromPairs(pairsIn, grams)
       .orderBy("id1", "id2").as[(Long, Long, Double)].collect().toSeq
     assert(fromPairs == inline, s"stored-pair verify diverged:\n$fromPairs\n$inline")
+    // the gramRows option on jaccardVerify routes to the same stored path
+    val viaOption = graft.ext.Dedup.jaccardVerify(
+        pairsIn, docs, "doc_id", "text", gramRows = Some(grams))
+      .orderBy("id1", "id2").as[(Long, Long, Double)].collect().toSeq
+    assert(viaOption == inline, s"gramRows delegation diverged:\n$viaOption\n$inline")
     // the missing-doc pair (5,6) and the short-doc pair (0,3) drop in both
     assert(inline.map(r => (r._1, r._2)) == Seq((0L, 1L), (0L, 2L), (2L, 7L)))
     // against a WRITTEN table the verify plan never re-shingles text
