@@ -330,6 +330,126 @@ object TextAnalysis {
     merges.toSeq.toDF("merge_rank", "left", "right", "pair_count")
   }
 
+  /** [[bpeLearn]] with EXACT batched rounds — the scale path toward
+    * production vocabularies (32 k merges), where one Spark job per
+    * merge is impractical. Each round counts adjacent pairs ONCE, pulls
+    * the top `topK` rows of the (count desc, left, right) order to the
+    * driver, and admits the longest PREFIX of that order whose members
+    * the sequential learner provably selects in exactly that order:
+    *
+    *  - '''count invariance''': a later member shares no boundary
+    *    symbol with any earlier one (`pj.l != pi.r`, `pj.r != pi.l`,
+    *    and neither of pj's symbols equals pi's concatenation string),
+    *    so applying the earlier merge cannot change the later pair's
+    *    count — which also makes the recorded `pair_count` the
+    *    sequential learner's number;
+    *  - '''creation bound''': applying (l, r) only CREATES pairs whose
+    *    every occurrence consumes an occurrence of a current FEEDER
+    *    pair — some (x, l) or (r, y) — so a created pair's count is at
+    *    most the largest current feeder count. A later member is
+    *    admitted only while its count is STRICTLY above every earlier
+    *    member's feeder bound (pairs beyond the collected top-K are
+    *    bounded by the K-th count), so no created pair can outrank it;
+    *  - '''symbol-collision stop''': if a member's concatenation string
+    *    already exists as a symbol, the round ends at that member —
+    *    the merge conflates two spellings of one symbol, and only the
+    *    next round's full recount sees the conflated table (exactly as
+    *    the sequential learner would).
+    *
+    * The batch applies as one chained [[applyMergeFold]] in rank order —
+    * one pair-count job per ROUND instead of per merge — and by the
+    * invariance condition the learned table is BITWISE identical to
+    * [[bpeLearn]]'s (pinned in tests on the Sennrich fixture and on
+    * corpus data). Worst case every round admits one merge and the
+    * loop degenerates to the sequential learner.
+    */
+  def bpeLearnBatched(df: DataFrame, textCol: String, numMerges: Int,
+                      maxBatch: Int = 16, topK: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(numMerges > 0, s"need numMerges > 0, got $numMerges")
+    require(maxBatch > 0 && topK >= maxBatch,
+      s"need maxBatch > 0 and topK >= maxBatch, got $maxBatch / $topK")
+    var state = bpeInitialWords(df, textCol).localCheckpoint()
+    // The rounds (and the alphabet collect below) run with AQE off:
+    // everything after the corpus-scale bpeInitialWords aggregate above
+    // (which ran under AQE) is a fixed-width shuffle of the vocab-sized
+    // state table, where AQE's query-stage materialization only
+    // multiplies the per-round job count. Restored in the finally.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeBefore = spark.conf.getOption(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    // symbols live in the driver only as the collision guard: the
+    // initial alphabet, plus one concatenation per learned merge
+    val symbols = scala.collection.mutable.Set[String]()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var rank = 1
+    var exhausted = false
+    // The fold chain is checkpointed every few rounds, not every round:
+    // between checkpoints the lineage grows by one batch of folds per
+    // round over the vocab-sized table (cheap to recompute), and the
+    // previous checkpoint's blocks are released only after the next one
+    // materializes, so no live lineage ever points at freed blocks.
+    val cpEvery = 6
+    var sinceCp = 0
+    var lastCp = state
+    try {
+    symbols ++= state.select(explode(col("_syms")).as("_s"))
+      .distinct().as[String].collect()
+    while (rank <= numMerges && !exhausted) {
+      val top = bpePairCounts(state)
+        .orderBy(col("_c").desc, col("_l"), col("_r")).limit(topK)
+        .as[(String, String, Long)].collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        // counts of pairs NOT collected are bounded by the K-th count
+        val outsideBound = if (top.length == topK) top.last._3 else 0L
+        def feederBoundOf(l: String, r: String): Long =
+          (outsideBound +: top.collect {
+            case (x, y, c) if y == l || x == r => c }).max
+        val batch = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+        var feederBound = Long.MinValue
+        var open = true
+        val roomLeft = math.min(maxBatch, numMerges - rank + 1)
+        top.foreach { case (l, r, c) =>
+          if (open && batch.length < roomLeft) {
+            val admissible = batch.isEmpty ||
+              (c > feederBound && !batch.exists { case (bl, br, _) =>
+                l == br || r == bl || (l == bl && r == br) ||
+                  l == bl + br || r == bl + br })
+            if (!admissible) open = false
+            else {
+              batch += ((l, r, c))
+              if (symbols.contains(l + r)) open = false
+              else feederBound = math.max(feederBound, feederBoundOf(l, r))
+            }
+          }
+        }
+        batch.foreach { case (l, r, c) =>
+          merges += ((rank, l, r, c)); rank += 1; symbols += l + r
+        }
+        state = state.withColumn("_syms", batch.foldLeft(col("_syms")) {
+          case (syms, (l, r, _)) => applyMergeFold(syms, l, r) })
+        sinceCp += 1
+        if (sinceCp >= cpEvery) {
+          val next = state.localCheckpoint()
+          Dedup.checkpointRdd(lastCp).foreach(_.unpersist(false))
+          lastCp = next
+          state = next
+          sinceCp = 0
+        }
+      }
+    }
+    } finally {
+      aqeBefore match {
+        case Some(v) => spark.conf.set(aqeKey, v)
+        case None => spark.conf.unset(aqeKey)
+      }
+      Dedup.checkpointRdd(lastCp).foreach(_.unpersist(false))
+    }
+    merges.toSeq.toDF("merge_rank", "left", "right", "pair_count")
+  }
+
   /** Apply a learned [[bpeLearn]] merge table to text — the ENCODE half
     * of the tokenizer lifecycle: each whitespace word explodes to
     * characters and every merge applies in rank order as the same

@@ -1177,9 +1177,21 @@ object ExtQueries {
     // BPE merge learning: the top-12 merges from corpus word
     // frequencies — deterministic (ties break count desc, pair asc) but
     // iterative, so rows-only; the exact merge sequence is pinned on
-    // the classic Sennrich fixture in tests.
+    // the classic Sennrich fixture in tests. Runs the BATCHED learner
+    // (bitwise-identical table, test-pinned against the sequential
+    // reference; several merges per pair-count job).
     Q("x_bpe_merges",
-      (s, d) => TextAnalysis.bpeLearn(Tables.documents(s, d), "text", numMerges = 12)
+      (s, d) => TextAnalysis.bpeLearnBatched(Tables.documents(s, d), "text",
+          numMerges = 12)
+        .orderBy("merge_rank"),
+      None),
+
+    // The production-vocabulary shape of the same learner: 100 merges,
+    // where one job per merge would be impractical — the batched rounds
+    // are what make tokenizer training scale toward 32 k-merge vocabs.
+    Q("x_bpe_merges_100",
+      (s, d) => TextAnalysis.bpeLearnBatched(Tables.documents(s, d), "text",
+          numMerges = 100)
         .orderBy("merge_rank"),
       None),
 
@@ -1191,7 +1203,7 @@ object ExtQueries {
     Q("x_bpe_subwords",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val merges = TextAnalysis.bpeLearn(docs, "text", numMerges = 12)
+        val merges = TextAnalysis.bpeLearnBatched(docs, "text", numMerges = 12)
           .orderBy("merge_rank")
           .select("left", "right").collect()
           .map(r => (r.getString(0), r.getString(1))).toSeq

@@ -282,6 +282,56 @@ class EvalFunctionsSpec extends SparkSpec {
     assert(got == (1L, Seq("low", "est", "newest", "q", "i")), s"got $got")
   }
 
+  test("ext: bpeLearnBatched — bitwise table parity with bpeLearn, in fewer jobs") {
+    def jobsDuring(group: String)(body: => Unit): Int = {
+      spark.sparkContext.setJobGroup(group, group, interruptOnCancel = false)
+      try body finally spark.sparkContext.clearJobGroup()
+      Thread.sleep(300) // status store updates are async
+      spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    }
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val corpus = Seq(text).toDF("text")
+    var seq: Seq[(Int, String, String, Long)] = null
+    var bat: Seq[(Int, String, String, Long)] = null
+    val seqJobs = jobsDuring("bpe_seq") {
+      seq = graft.ext.TextAnalysis.bpeLearn(corpus, "text", 8)
+        .as[(Int, String, String, Long)].collect().toSeq
+    }
+    val batJobs = jobsDuring("bpe_bat") {
+      bat = graft.ext.TextAnalysis.bpeLearnBatched(corpus, "text", 8)
+        .as[(Int, String, String, Long)].collect().toSeq
+    }
+    assert(bat == seq, s"batched learner diverged:\n$bat\n$seq")
+    assert(batJobs < seqJobs,
+      s"batched learner should launch fewer jobs: $batJobs vs $seqJobs")
+  }
+
+  test("ext: bpeLearnBatched — parity with bpeLearn on corpus data and on " +
+      "an interaction-heavy fixture") {
+    // real corpus: every sf's documents table (31 word types); 40 merges
+    // spans several batch rounds and the feeder-bound stops
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val seq = graft.ext.TextAnalysis.bpeLearn(docs, "text", 40)
+      .as[(Int, String, String, Long)].collect().toSeq
+    val bat = graft.ext.TextAnalysis.bpeLearnBatched(docs, "text", 40)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(bat == seq, s"batched learner diverged on documents:\n$bat\n$seq")
+    // chained merges: each winner feeds the next ((a,a)->(aa,a)->...),
+    // so every batch must stop at one merge yet stay exact
+    val chain = Seq((Seq.fill(3)("aaaaaaaa") :+ "bbbb").mkString(" ")).toDF("text")
+    val seqC = graft.ext.TextAnalysis.bpeLearn(chain, "text", 6)
+      .as[(Int, String, String, Long)].collect().toSeq
+    val batC = graft.ext.TextAnalysis.bpeLearnBatched(chain, "text", 6)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(batC == seqC, s"batched learner diverged on chained merges:\n$batC\n$seqC")
+    // tiny topK still exact (outside-top-K feeder bound engages)
+    val batK = graft.ext.TextAnalysis.bpeLearnBatched(docs, "text", 40,
+        maxBatch = 4, topK = 4)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(batK == seq, s"batched learner diverged at topK=4:\n$batK\n$seq")
+  }
+
   test("ext: bpeLearn — stops early when every word is fully merged") {
     val got = graft.ext.TextAnalysis.bpeLearn(Seq("ab ab cd").toDF("text"), "text", 5)
       .as[(Int, String, String, Long)].collect().toSeq
