@@ -1,0 +1,87 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types.{StringType, StructField}
+
+/** Parser-grade HTML extraction escape hatch — the [[Multimodal]]
+  * stub-codec pattern applied to text. [[TextAnalysis.extractHtmlText]]
+  * is the codegen-friendly regex kernel for the 80 % case; the
+  * Trafilatura-class quality a production crawl pipeline wants needs a
+  * real DOM parser, which is library code a Catalyst expression cannot
+  * host. This stage declares the parser interface and runs it
+  * partition-locally, so swapping the stub for jsoup/Trafilatura-class
+  * extraction changes ONE factory and none of the Spark plumbing.
+  *
+  * Scale shape: a narrow `mapPartitions` over the rows — no shuffle, no
+  * state; parallelism and memory are bounded by the input partitioning
+  * exactly like [[Multimodal.extractFeatures]]. The parser instantiates
+  * once per task, not per row (real DOM parsers are expensive to build
+  * and often not thread-safe).
+  */
+object HtmlExtraction {
+
+  /** The contract a production build plugs a real parser into.
+    * `newPartitionParser` is called once per task; the returned function
+    * must be pure and deterministic (restarts and speculative tasks
+    * re-run it on the same rows), and `null` input must map to `null`.
+    */
+  trait HtmlExtractor extends Serializable {
+    def newPartitionParser(): String => String
+  }
+
+  /** Deterministic stand-in for a real DOM parser: the SAME extraction
+    * chain as [[TextAnalysis.extractHtmlText]], as precompiled JVM
+    * regexes — both run Java regex semantics, so the two paths agree
+    * byte-for-byte on every input (pinned in tests), which makes this
+    * stub the parity baseline any real parser is diffed against.
+    */
+  object StubHtmlExtractor extends HtmlExtractor {
+    def newPartitionParser(): String => String = {
+      import java.util.regex.Pattern
+      val script = Pattern.compile("(?is)<(script|style)[^>]*>.*?</(script|style)\\s*>")
+      val comment = Pattern.compile("(?s)<!--.*?-->")
+      val tag = Pattern.compile("<[^>]*>")
+      val entities = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+        "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+        .map { case (e, r) => (Pattern.compile(e), r) }
+      val ws = Pattern.compile("\\s+")
+      html => {
+        if (html == null) null
+        else {
+          val noMarkup = tag.matcher(
+            comment.matcher(
+              script.matcher(html).replaceAll(" ")).replaceAll(" "))
+            .replaceAll(" ")
+          val decoded = entities.foldLeft(noMarkup) { case (s, (p, r)) =>
+            p.matcher(s).replaceAll(java.util.regex.Matcher.quoteReplacement(r))
+          }
+          ws.matcher(decoded).replaceAll(" ").trim
+        }
+      }
+    }
+  }
+
+  /** The extraction stage itself: appends `out` with the parser's plain
+    * text for `htmlCol`. Partition-local, zero shuffle; the default
+    * [[StubHtmlExtractor]] makes it a drop-in twin of the regex kernel
+    * until a real parser is plugged in.
+    */
+  def extractWithParser(df: DataFrame, htmlCol: String,
+                        parser: HtmlExtractor = StubHtmlExtractor,
+                        out: String = "text_plain"): DataFrame = {
+    val spark = df.sparkSession
+    val idx = df.schema.fieldIndex(htmlCol)
+    val outSchema = df.schema.add(StructField(out, StringType, nullable = true))
+    val rdd = df.rdd.mapPartitions { it =>
+      val extract = parser.newPartitionParser()
+      it.map { r =>
+        val html = r.get(idx) match {
+          case s: String => s
+          case _ => null
+        }
+        Row.fromSeq(r.toSeq :+ extract(html))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+}

@@ -46,8 +46,10 @@ object TextAnalysis {
     * separator (so adjacent block elements never fuse words), decode
     * the six ubiquitous entities, and collapse whitespace. A regex
     * chain, not a DOM parse — the Trafilatura-class extraction quality
-    * a production crawl pipeline wants needs a real parser behind
-    * `mapInPandas` (the [[graft.ext.Multimodal]] stub pattern); this is
+    * a production crawl pipeline wants needs a real parser, which plugs
+    * in behind [[graft.ext.HtmlExtraction.extractWithParser]] (the
+    * [[graft.ext.Multimodal]] stub pattern, with byte-for-byte parity
+    * to this kernel pinned in tests); this is
     * the codegen-friendly narrow kernel for the 80 % case, and every
     * pattern is RE2-portable so other engines reproduce it exactly.
     *

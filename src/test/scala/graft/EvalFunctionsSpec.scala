@@ -456,6 +456,45 @@ class EvalFunctionsSpec extends SparkSpec {
     assert(got == cases.map(_._2), s"got $got")
   }
 
+  test("ext: HtmlExtraction — stub parser path agrees byte-for-byte with the " +
+      "regex kernel; schema and nulls contract") {
+    // the kernel's own fixtures plus messy/degenerate inputs: the stub
+    // replays the same chain with JVM regexes, so parity must hold on
+    // EVERY input, not just clean ones
+    val htmls = Seq(
+      "<script>if (a < b) { x = '<div>' }</script><style>p{}</style>" +
+        "<!-- note --><h1>Title</h1><p>body text</p>",
+      "<script type=\"a\">\nline1\nline2\n</script><a href=\"x\">link</a> tail",
+      "a &lt;b&gt; &quot;c&quot; it&#39;s d&nbsp;e &amp; f &amp;lt;",
+      "   spaced\t\tout\n\ntext   ",
+      "<p>unclosed <b\n", "", "plain words only")
+    val df = htmls.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+      .toDF("doc_id", "html")
+    val parsed = graft.ext.HtmlExtraction.extractWithParser(df, "html")
+    assert(parsed.schema.fieldNames.toSeq == Seq("doc_id", "html", "text_plain"))
+    val viaParser = parsed.orderBy("doc_id")
+      .select("text_plain").as[String].collect().toSeq
+    val viaKernel = df.orderBy("doc_id")
+      .select(graft.ext.TextAnalysis.extractHtmlText(col("html"))).as[String]
+      .collect().toSeq
+    assert(viaParser == viaKernel,
+      s"parser stage diverged from the kernel:\n$viaParser\n$viaKernel")
+    // null html -> null text, row preserved
+    val withNull = graft.ext.HtmlExtraction.extractWithParser(
+      Seq((1L, "<p>a</p>"), (2L, null)).toDF("doc_id", "html"), "html")
+    assert(withNull.count() == 2)
+    assert(withNull.filter(col("text_plain").isNull).count() == 1)
+    // a custom extractor plugs in without touching the plumbing
+    val custom = new graft.ext.HtmlExtraction.HtmlExtractor {
+      def newPartitionParser(): String => String =
+        h => if (h == null) null else s"len:${h.length}"
+    }
+    val got = graft.ext.HtmlExtraction.extractWithParser(
+        Seq((1L, "abcd")).toDF("doc_id", "html"), "html", custom)
+      .select("text_plain").as[String].head()
+    assert(got == "len:4")
+  }
+
   test("ext: corpusDiff — distinct-content add/remove/keep counts") {
     val v1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "beta"), (4L, "gamma"))
       .toDF("doc_id", "text") // distinct: alpha, beta, gamma
