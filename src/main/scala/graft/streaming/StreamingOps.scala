@@ -24,6 +24,12 @@ final case class EpisodeState(lastTsMs: Long, episode: Long)
   */
 final case class AsofState(rightTsMs: Long, rightValue: Double)
 
+/** State for [[StreamingOps.funnelProgress]]: the key's current funnel
+  * step and that step's first qualifying event time — two fields,
+  * bounded regardless of stream length or step count.
+  */
+final case class FunnelState(step: Int, firstTsMs: Long)
+
 /** Streaming-inference surface (SURVEY.md §2.9 — the reference is
   * batch-only; this is the engine's Structured Streaming extension so the
   * same anomaly semantics run over a live sensor feed).
@@ -283,6 +289,69 @@ object StreamingOps {
             state.setTimeoutTimestamp(
               math.max(last, state.getCurrentWatermarkMs() + 1), watermark)
             out.iterator
+          }
+      }
+  }
+
+  final case class FunnelIn(key: String, eventTs: java.sql.Timestamp,
+                            eventType: String)
+  final case class FunnelOut(key: String, step: Int, eventType: String,
+                             reachTs: java.sql.Timestamp)
+
+  /** Conversion-funnel progression at INGEST — the streaming twin of
+    * [[graft.window.Windows.conversionFunnel]]: a row is emitted the
+    * moment a user REACHES a funnel step. Step k requires an event of
+    * the k-th type strictly after the FIRST qualifying occurrence of
+    * step k-1 (and at most `horizonMs` after it, when given) — the
+    * batch operator's exact predicate, applied incrementally, so the
+    * batch funnel table is just the step-keyed distinct-user count of
+    * this stream's output (parity pinned in StreamingSpec on the events
+    * table). Emitting REACH events rather than counts keeps the op
+    * append-mode-safe; the dashboard aggregate composes downstream.
+    *
+    * State per key is two fields (current step, that step's first
+    * qualifying time) — bounded regardless of stream length and of the
+    * number of steps — and keys idle past the watermark horizon are
+    * dropped by the event-time timeout. Append-mode caveats are
+    * [[sessionEpisodes]]'s: a late-but-within-watermark event is
+    * evaluated at its processing batch (each batch's group is sorted by
+    * event time, so only cross-batch reordering is visible), and a key
+    * reclaimed by the timeout restarts from step 0 if it returns.
+    */
+  def funnelProgress(stream: DataFrame, keyCol: String, tsCol: String,
+                     typeCol: String, steps: Seq[String], watermark: String,
+                     horizonMs: Option[Long] = None): Dataset[FunnelOut] = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.withWatermark(tsCol, watermark)
+      .select(col(keyCol).cast("string").as("key"), col(tsCol).as("eventTs"),
+        col(typeCol).cast("string").as("eventType"))
+      .as[FunnelIn]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, rows, state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+            var maxTs = Long.MinValue
+            val out = Seq.newBuilder[FunnelOut]
+            rows.toSeq.sortBy(_.eventTs.getTime).foreach { r =>
+              val t = r.eventTs.getTime
+              maxTs = math.max(maxTs, t)
+              if (st.step < steps.length && r.eventType == steps(st.step) &&
+                  (st.step == 0 ||
+                    (t > st.firstTsMs &&
+                      horizonMs.forall(h => t <= st.firstTsMs + h)))) {
+                st = FunnelState(st.step + 1, t)
+                out += FunnelOut(key, st.step, r.eventType, r.eventTs)
+              }
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(maxTs, state.getCurrentWatermarkMs() + 1), watermark)
+            out.result().iterator
           }
       }
   }

@@ -468,4 +468,81 @@ class StreamingSpec extends SparkSpec {
         (Some(ts(8).getTime), Some(7.0))))
     } finally query.stop()
   }
+
+  test("streaming funnel: reach counts match the batch conversion funnel " +
+      "on the events table, across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    val horizonMs = 86400000L // 1 day, the registry query's horizon
+    // the registry's funnel input (x_conversion_funnel), as an in-order
+    // stream; ms precision on BOTH sides so the arithmetic is identical
+    val rows = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+      .select((col("ts_micro") / lit(1000L)).cast("long").as("ms"),
+        col("user_id").cast("string").as("user"), col("event_type"))
+      .orderBy("ms")
+      .as[(Long, String, String)].collect()
+      .map { case (ms, u, t) => (new java.sql.Timestamp(ms), u, t) }
+    val input = MemoryStream[(java.sql.Timestamp, String, String)]
+    val out = StreamingOps.funnelProgress(
+      input.toDF().toDF("ts", "user", "event_type"),
+      "user", "ts", "event_type", steps,
+      // wider than the month of data: no state reclaim mid-stream, so
+      // multi-hour user idleness cannot reset funnels the batch op keeps
+      watermark = "40 days", horizonMs = Some(horizonMs))
+    val query = out.writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    try {
+      rows.grouped(350).foreach { chunk =>
+        input.addData(chunk.toSeq); query.processAllAvailable()
+      }
+      val streamed = spark.table("funnel_out")
+        .groupBy("step", "eventType")
+        .agg(countDistinct(col("key")).as("n_users"))
+        .orderBy("step")
+        .as[(Int, String, Long)].collect().toSeq
+      val batch = graft.window.Windows.conversionFunnel(
+          rows.toSeq.toDF("ts", "user", "event_type")
+            .withColumn("ms", unix_millis(col("ts"))),
+          "user", "ms", "event_type", steps, horizon = Some(horizonMs))
+        .orderBy("step")
+        .as[(Int, String, Long)].collect().toSeq
+      assert(streamed.nonEmpty && streamed.map(_._3).forall(_ > 0),
+        s"vacuous parity: $streamed")
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    } finally query.stop()
+  }
+
+  test("streaming funnel: strictly-after and horizon predicates gate advancement") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+    val input = MemoryStream[(java.sql.Timestamp, String, String)]
+    val out = StreamingOps.funnelProgress(
+      input.toDF().toDF("ts", "user", "event_type"),
+      "user", "ts", "event_type", Seq("view", "click", "purchase"),
+      watermark = "10 days", horizonMs = Some(60 * 60000L)) // 1 h
+    val query = out.writeStream.format("memory").queryName("funnel_gate")
+      .outputMode("append").start()
+    try {
+      // u1: click at the SAME minute as view (strictly-after fails),
+      //     then a later click inside the horizon advances
+      // u2: click 2 h after view (horizon fails) -> stuck at step 1;
+      //     the purchase can then never qualify
+      // u3: full in-horizon path, split across micro-batches
+      input.addData(Seq(
+        (ts(0), "u1", "view"), (ts(0), "u1", "click"), (ts(30), "u1", "click"),
+        (ts(0), "u2", "view"), (ts(120), "u2", "click"), (ts(150), "u2", "purchase"),
+        (ts(10), "u3", "view"), (ts(20), "u3", "click")))
+      query.processAllAvailable()
+      input.addData(Seq((ts(40), "u3", "purchase")))
+      query.processAllAvailable()
+      val got = spark.table("funnel_gate")
+        .select("key", "step", "eventType")
+        .as[(String, Int, String)].collect().toSeq.sorted
+      assert(got == Seq(
+        ("u1", 1, "view"), ("u1", 2, "click"),
+        ("u2", 1, "view"),
+        ("u3", 1, "view"), ("u3", 2, "click"), ("u3", 3, "purchase")),
+        s"got $got")
+    } finally query.stop()
+  }
 }
