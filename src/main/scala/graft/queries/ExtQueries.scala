@@ -557,12 +557,41 @@ object ExtQueries {
 
     // HLL++ approximate corpus profile per language — constant-memory
     // distinct counts where the exact profiler (x_profile) shuffles
-    // every distinct value. Rows-only (HLL register banks are
-    // engine-specific); tolerance vs exact pinned in EvalFunctionsSpec.
+    // every distinct value. The raw register banks are engine-specific,
+    // but the SKETCH GUARANTEE is oracle-checkable: the query joins the
+    // estimates to their exact twins and emits whether each estimate
+    // lands within 5x the configured rsd (a ~1-in-3.5M miss under the
+    // HLL error model; small groups resolve in exact sparse mode
+    // anyway), so the oracle pins TRUE per group and a drifting sketch
+    // fails the hash gate. Exact counts ride along as checkable output.
     Q("x_approx_profile",
-      (s, d) => Sketches.approxProfile(Tables.documents(s, d), "lang", "doc_id", "text")
-        .orderBy("lang"),
-      None),
+      (s, d) => {
+        val approx = Sketches.approxProfile(Tables.documents(s, d), "lang",
+          "doc_id", "text")
+        val tok = Tables.documents(s, d)
+          .select(col("lang"), col("doc_id"),
+            explode(TextAnalysis.tokens(col("text"))).as("_t"))
+          .filter(length(col("_t")) > 0)
+        val exact = tok.groupBy("lang").agg(
+          countDistinct(col("_t")).as("distinct_tokens"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        approx.join(exact, "lang")
+          .select(col("lang"), col("n_tokens"),
+            col("distinct_tokens"), col("n_docs"),
+            (abs(col("approx_distinct_tokens") - col("distinct_tokens")) <=
+              ceil(col("distinct_tokens") * 0.1)).as("tokens_within_tol"),
+            (abs(col("approx_docs") - col("n_docs")) <=
+              ceil(col("n_docs") * 0.1)).as("docs_within_tol"))
+          .orderBy("lang")
+      },
+      Some("WITH tk AS (SELECT lang, doc_id, t FROM (SELECT lang, doc_id, " +
+        "unnest(string_split_regex(text, ' +')) AS t FROM documents) " +
+        "WHERE length(t) > 0) " +
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens, " +
+        "CAST(count(DISTINCT t) AS BIGINT) AS distinct_tokens, " +
+        "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
+        "TRUE AS tokens_within_tol, TRUE AS docs_within_tol " +
+        "FROM tk GROUP BY lang ORDER BY lang")),
 
     // Bigram top-k — LM co-occurrence stats, same aggregate shape as the
     // vocabulary query over 2-token shingles.
