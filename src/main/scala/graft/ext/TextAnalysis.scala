@@ -474,6 +474,71 @@ object TextAnalysis {
         w => enc(w))).as("subwords"))
   }
 
+  /** [[bpeEncode]] at production vocabulary scale. The expression-chain
+    * encoder nests one fold per merge in the PLAN, which is right at a
+    * dozen merges (whole-stage codegen, zero shuffle) and fatal at a
+    * 32 k-merge production table (codegen blows past JIT limits long
+    * before that). This shape keeps the plan CONSTANT in the merge
+    * count: the corpus collapses to its DISTINCT word table (sublinear
+    * by Heaps' law), each word type encodes ONCE in a single JVM pass
+    * over the broadcast merge table, and the subword arrays join back
+    * to the corpus tokens by word — a vocab-keyed hash join, then a
+    * doc-keyed reassembly aggregate.
+    *
+    * The JVM pass replays [[bpeEncode]]'s exact semantics — each merge
+    * applied exhaustively in RANK order with the same greedy
+    * left-to-right fold (bitwise parity pinned in tests). That order
+    * matters: best-rank-first encoding (the priority-queue shape) is
+    * equivalent only when no merge's concatenation collides with an
+    * earlier symbol spelling, and learned tables CAN carry such
+    * collisions — rank-order replay is always exact. Each word skips a
+    * non-applicable merge in O(1) via a symbol-presence count, so a
+    * 32 k-merge table costs 32 k hash probes per word TYPE, not per
+    * corpus token. Null and empty texts both encode to the empty array
+    * (the narrow encoder returns null for null text — the one
+    * documented contract difference).
+    */
+  def bpeEncodeScalable(df: DataFrame, idCol: String, textCol: String,
+                        merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(merges.toArray)
+    val encodeWord = udf { (w: String) =>
+      var syms = new scala.collection.mutable.ArrayBuffer[String](w.length)
+      w.foreach(c => syms += c.toString)
+      val present = scala.collection.mutable.HashMap.empty[String, Int]
+      syms.foreach(s => present(s) = present.getOrElse(s, 0) + 1)
+      bc.value.foreach { case (l, r) =>
+        if (present.getOrElse(l, 0) > 0 && present.getOrElse(r, 0) > 0) {
+          val next = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+          syms.foreach { s =>
+            if (next.nonEmpty && next.last == l && s == r) {
+              next(next.length - 1) = l + r
+              present(l) -= 1
+              present(r) -= 1
+              present(l + r) = present.getOrElse(l + r, 0) + 1
+            } else next += s
+          }
+          syms = next
+        }
+      }
+      syms.toSeq
+    }
+    val toks = df.select(col(idCol),
+      posexplode(filter(tokens(col(textCol)), w => length(w) > 0))
+        .as(Seq("_p", "_w")))
+    val vocab = toks.select("_w").distinct()
+      .withColumn("_sub", encodeWord(col("_w")))
+    val encoded = toks.join(vocab, "_w")
+      .groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("_p"), col("_sub")))),
+        s => s.getField("_sub"))).as("subwords"))
+    df.select(col(idCol))
+      .join(encoded, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("subwords"), array().cast("array<string>")).as("subwords"))
+  }
+
   /** The distinct-word frequency/symbol table [[bpeLearn]] starts from —
     * exposed (like [[graft.ext.Dedup.clusterRound]]) so the plan audit
     * can sweep the production builders of the iterative loop, whose

@@ -332,6 +332,49 @@ class EvalFunctionsSpec extends SparkSpec {
     assert(batK == seq, s"batched learner diverged at topK=4:\n$batK\n$seq")
   }
 
+  test("ext: bpeEncodeScalable — bitwise parity with the expression-chain " +
+      "encoder; rank-order replay pinned against best-rank-first") {
+    val learnText = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val merges = graft.ext.TextAnalysis.bpeLearn(
+        Seq(learnText).toDF("text"), "text", 8)
+      .orderBy("merge_rank").select("left", "right")
+      .as[(String, String)].collect().toSeq
+    val probe = Seq((1L, "lowest newest qi"), (2L, ""), (3L, "low low"))
+      .toDF("doc_id", "text")
+    val viaChain = graft.ext.TextAnalysis.bpeEncode(probe, "doc_id", "text", merges)
+      .orderBy("doc_id").as[(Long, Seq[String])].collect().toSeq
+    val viaScalable = graft.ext.TextAnalysis.bpeEncodeScalable(
+        probe, "doc_id", "text", merges)
+      .orderBy("doc_id").as[(Long, Seq[String])].collect().toSeq
+    assert(viaScalable == viaChain, s"encoders diverged:\n$viaScalable\n$viaChain")
+    // corpus-wide parity with a learned table
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val learned = graft.ext.TextAnalysis.bpeLearnBatched(docs, "text", 12)
+      .orderBy("merge_rank").select("left", "right")
+      .as[(String, String)].collect().toSeq
+    val chainDocs = graft.ext.TextAnalysis.bpeEncode(docs, "doc_id", "text", learned)
+      .orderBy("doc_id").as[(Long, Seq[String])].collect().toSeq
+    val scalDocs = graft.ext.TextAnalysis.bpeEncodeScalable(
+        docs, "doc_id", "text", learned)
+      .orderBy("doc_id").as[(Long, Seq[String])].collect().toSeq
+    assert(scalDocs == chainDocs, "encoders diverged on documents")
+    // spelling-collision table: rank 1 = (xy, z), rank 2 = (x, y) whose
+    // concatenation IS rank 1's left symbol. Exhaustive rank-order
+    // replay leaves [xy, z] (rank 1's pass ran before "xy" existed);
+    // a best-rank-first encoder would re-visit rank 1 and emit [xyz] —
+    // this pins the exact semantics both encoders must share
+    val collide = Seq(("xy", "z"), ("x", "y"))
+    val word = Seq((1L, "xyz")).toDF("doc_id", "text")
+    val chainC = graft.ext.TextAnalysis.bpeEncode(word, "doc_id", "text", collide)
+      .as[(Long, Seq[String])].collect().head
+    val scalC = graft.ext.TextAnalysis.bpeEncodeScalable(
+        word, "doc_id", "text", collide)
+      .as[(Long, Seq[String])].collect().head
+    assert(chainC == ((1L, Seq("xy", "z"))), s"chain got $chainC")
+    assert(scalC == chainC, s"scalable got $scalC, chain got $chainC")
+  }
+
   test("ext: bpeLearn — stops early when every word is fully merged") {
     val got = graft.ext.TextAnalysis.bpeLearn(Seq("ab ab cd").toDF("text"), "text", 5)
       .as[(Int, String, String, Long)].collect().toSeq
