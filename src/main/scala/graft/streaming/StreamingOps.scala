@@ -30,6 +30,12 @@ final case class AsofState(rightTsMs: Long, rightValue: Double)
   */
 final case class FunnelState(step: Int, firstTsMs: Long)
 
+/** State for [[StreamingOps.retentionAtIngest]]: the key's cohort period
+  * and a bitset of the ages already reported — `maxAges/64` longs,
+  * bounded by the configured horizon, never by stream length.
+  */
+final case class RetentionState(cohort: Long, seenBits: Array[Long])
+
 /** Streaming-inference surface (SURVEY.md §2.9 — the reference is
   * batch-only; this is the engine's Structured Streaming extension so the
   * same anomaly semantics run over a live sensor feed).
@@ -349,6 +355,74 @@ object StreamingOps {
               }
             }
             state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(maxTs, state.getCurrentWatermarkMs() + 1), watermark)
+            out.result().iterator
+          }
+      }
+  }
+
+  final case class RetentionIn(key: String, eventTs: java.sql.Timestamp)
+  final case class RetentionOut(key: String, cohort: Long, age: Long)
+
+  /** Retention-cohort activity at INGEST — the streaming twin of
+    * [[graft.window.Windows.retentionCohorts]]: each arriving event
+    * buckets into its `bucketMs` period, the key's COHORT is its first
+    * active period, and a row is emitted the first time the key is
+    * active at each age (period − cohort) — so the batch retention
+    * matrix is the (cohort, age)-keyed distinct-key count of this
+    * stream's output (parity pinned in StreamingSpec on the events
+    * table; period indexes agree with the batch op's floor division
+    * exactly, floorDiv composing across the ms/s unit change). Emitting
+    * first-activity cells rather than counts keeps the op
+    * append-mode-safe, exactly like [[funnelProgress]].
+    *
+    * State per key is the cohort period plus a `maxAges`-bit age
+    * bitset — bounded by the dashboard horizon, not the stream — and
+    * keys idle past the watermark are reclaimed by the event-time
+    * timeout. Append-mode caveats: activity at ages ≥ `maxAges` is not
+    * reported (widen `maxAges` or the bucket for longer horizons); a
+    * late event from BEFORE the key's first-seen period cannot
+    * re-cohort the key in append mode and is dropped (the batch op,
+    * seeing all data, would have cohorted earlier — in-order streams
+    * never hit this); a reclaimed key restarts as a fresh cohort.
+    */
+  def retentionAtIngest(stream: DataFrame, keyCol: String, tsCol: String,
+                        bucketMs: Long, watermark: String,
+                        maxAges: Int = 512): Dataset[RetentionOut] = {
+    require(bucketMs > 0, s"need bucketMs > 0, got $bucketMs")
+    require(maxAges > 0, s"need maxAges > 0, got $maxAges")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val words = (maxAges + 63) / 64
+    stream.withWatermark(tsCol, watermark)
+      .select(col(keyCol).cast("string").as("key"), col(tsCol).as("eventTs"))
+      .as[RetentionIn]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[RetentionState, RetentionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, rows, state: GroupState[RetentionState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.orNull
+            var maxTs = Long.MinValue
+            val out = Seq.newBuilder[RetentionOut]
+            rows.toSeq.sortBy(_.eventTs.getTime).foreach { r =>
+              val t = r.eventTs.getTime
+              maxTs = math.max(maxTs, t)
+              val period = Math.floorDiv(t, bucketMs)
+              if (st == null) st = RetentionState(period, new Array[Long](words))
+              val age = period - st.cohort
+              if (age >= 0 && age < maxAges) {
+                val w = (age >> 6).toInt
+                val bit = 1L << (age & 63)
+                if ((st.seenBits(w) & bit) == 0L) {
+                  st.seenBits(w) |= bit
+                  out += RetentionOut(key, st.cohort, age)
+                }
+              }
+            }
+            if (st != null) state.update(st)
             state.setTimeoutTimestamp(
               math.max(maxTs, state.getCurrentWatermarkMs() + 1), watermark)
             out.result().iterator

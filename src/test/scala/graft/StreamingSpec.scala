@@ -512,6 +512,46 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming retention: first-activity cells match the batch cohort " +
+      "matrix on the events table, across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val bucketMs = 86400000L // 1 day, the batch query's bucket
+    val rows = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+      .select((col("ts_micro") / lit(1000L)).cast("long").as("ms"),
+        col("user_id").cast("string").as("user"))
+      .orderBy("ms")
+      .as[(Long, String)].collect()
+      .map { case (ms, u) => (new java.sql.Timestamp(ms), u) }
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val out = StreamingOps.retentionAtIngest(
+      input.toDF().toDF("ts", "user"), "user", "ts", bucketMs,
+      watermark = "40 days") // wider than the data: no mid-stream reclaim
+    val query = out.writeStream.format("memory").queryName("retention_out")
+      .outputMode("append").start()
+    try {
+      rows.grouped(350).foreach { chunk =>
+        input.addData(chunk.toSeq); query.processAllAvailable()
+      }
+      val streamed = spark.table("retention_out")
+        .groupBy("cohort", "age")
+        .agg(countDistinct(col("key")).as("n_users"))
+        .orderBy("cohort", "age")
+        .as[(Long, Long, Long)].collect().toSeq
+      // batch matrix over the SAME ms values: floorDiv(ms, day-ms) and
+      // the batch floor(sec / day-s) compose to the same period index
+      val batch = graft.window.Windows.retentionCohorts(
+          rows.toSeq.toDF("ts", "user")
+            .withColumn("sec", (unix_millis(col("ts")) / lit(1000L)).cast("long")),
+          "user", "sec", bucket = 86400L)
+        .select("cohort_start", "age", "n_users")
+        .orderBy("cohort_start", "age")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(streamed.nonEmpty && streamed.map(_._3).forall(_ > 0),
+        s"vacuous parity: $streamed")
+      assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
+    } finally query.stop()
+  }
+
   test("streaming funnel: strictly-after and horizon predicates gate advancement") {
     implicit val sqlCtx = spark.sqlContext
     def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
