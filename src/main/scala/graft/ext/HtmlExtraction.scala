@@ -55,7 +55,15 @@ object HtmlExtraction {
           val decoded = entities.foldLeft(noMarkup) { case (s, (p, r)) =>
             p.matcher(s).replaceAll(java.util.regex.Matcher.quoteReplacement(r))
           }
-          ws.matcher(decoded).replaceAll(" ").trim
+          val collapsed = ws.matcher(decoded).replaceAll(" ")
+          // Spark's trim strips ' ' only; Java's String.trim strips every
+          // char <= U+0020 — strip spaces by hand so control bytes (which
+          // web HTML does carry) round-trip identically to the kernel
+          var b = 0
+          var e = collapsed.length
+          while (b < e && collapsed.charAt(b) == ' ') b += 1
+          while (e > b && collapsed.charAt(e - 1) == ' ') e -= 1
+          collapsed.substring(b, e)
         }
       }
     }

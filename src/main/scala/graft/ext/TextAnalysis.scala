@@ -353,8 +353,10 @@ object TextAnalysis {
     *    member's feeder bound (pairs beyond the collected top-K are
     *    bounded by the K-th count), so no created pair can outrank it;
     *  - '''symbol-collision stop''': if a member's concatenation string
-    *    already exists as a symbol, the round ends at that member —
-    *    the merge conflates two spellings of one symbol, and only the
+    *    already exists as a symbol — including one created by an EARLIER
+    *    member of this same round — the round ends at that member: the
+    *    merge conflates two spellings of one symbol, a conflated pair's
+    *    count can sum ABOVE every individual feeder bound, and only the
     *    next round's full recount sees the conflated table (exactly as
     *    the sequential learner would).
     *
@@ -372,15 +374,18 @@ object TextAnalysis {
     require(numMerges > 0, s"need numMerges > 0, got $numMerges")
     require(maxBatch > 0 && topK >= maxBatch,
       s"need maxBatch > 0 and topK >= maxBatch, got $maxBatch / $topK")
-    var state = bpeInitialWords(df, textCol).localCheckpoint()
     // The rounds (and the alphabet collect below) run with AQE off:
-    // everything after the corpus-scale bpeInitialWords aggregate above
-    // (which ran under AQE) is a fixed-width shuffle of the vocab-sized
-    // state table, where AQE's query-stage materialization only
-    // multiplies the per-round job count. Restored in the finally.
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val aqeBefore = spark.conf.getOption(aqeKey)
-    spark.conf.set(aqeKey, "false")
+    // everything after the corpus-scale bpeInitialWords aggregate
+    // (which runs under AQE, before the re-bind) is a fixed-width
+    // shuffle of the vocab-sized state table, where AQE's query-stage
+    // materialization only multiplies the per-round job count. The
+    // override lives on a CLONED session (shared SparkContext and
+    // blocks, private SQLConf), so concurrent queries on the caller's
+    // session keep their own settings and there is no save/restore
+    // window to race on.
+    var state = org.apache.spark.sql.graftbridge.onClonedSession(
+      bpeInitialWords(df, textCol).localCheckpoint(),
+      "spark.sql.adaptive.enabled" -> "false")
     // symbols live in the driver only as the collision guard: the
     // initial alphabet, plus one concatenation per learned merge
     val symbols = scala.collection.mutable.Set[String]()
@@ -410,6 +415,7 @@ object TextAnalysis {
           (outsideBound +: top.collect {
             case (x, y, c) if y == l || x == r => c }).max
         val batch = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+        val batchConcats = scala.collection.mutable.Set[String]()
         var feederBound = Long.MinValue
         var open = true
         val roomLeft = math.min(maxBatch, numMerges - rank + 1)
@@ -422,8 +428,14 @@ object TextAnalysis {
             if (!admissible) open = false
             else {
               batch += ((l, r, c))
-              if (symbols.contains(l + r)) open = false
-              else feederBound = math.max(feederBound, feederBoundOf(l, r))
+              // close on pre-existing symbols AND on a concat already
+              // produced by this round: two same-round merges spelling
+              // one symbol conflate counts the feeder bound can't see
+              if (symbols.contains(l + r) || batchConcats.contains(l + r)) open = false
+              else {
+                batchConcats += (l + r)
+                feederBound = math.max(feederBound, feederBoundOf(l, r))
+              }
             }
           }
         }
@@ -443,10 +455,6 @@ object TextAnalysis {
       }
     }
     } finally {
-      aqeBefore match {
-        case Some(v) => spark.conf.set(aqeKey, v)
-        case None => spark.conf.unset(aqeKey)
-      }
       Dedup.checkpointRdd(lastCp).foreach(_.unpersist(false))
     }
     merges.toSeq.toDF("merge_rank", "left", "right", "pair_count")
@@ -495,16 +503,29 @@ object TextAnalysis {
     * non-applicable merge in O(1) via a symbol-presence count, so a
     * 32 k-merge table costs 32 k hash probes per word TYPE, not per
     * corpus token. Null and empty texts both encode to the empty array
-    * (the narrow encoder returns null for null text — the one
-    * documented contract difference).
+    * (the narrow encoder returns null for null text — one documented
+    * contract difference). Row identity for the reassembly is the
+    * (id, 64-bit text hash) pair: duplicate ids with distinct texts
+    * encode independently, and exact-duplicate rows encode once and fan
+    * back out with identical arrays — the dedup lane's standard 8-byte
+    * trade-off (a hash collision between two DIFFERENT texts under one
+    * id would conflate them).
     */
   def bpeEncodeScalable(df: DataFrame, idCol: String, textCol: String,
                         merges: Seq[(String, String)]): DataFrame = {
     val spark = df.sparkSession
     val bc = spark.sparkContext.broadcast(merges.toArray)
     val encodeWord = udf { (w: String) =>
+      // split by CODE POINT, matching bpeInitialWords/bpeEncode's Spark
+      // substr semantics — UTF-16 units would shear astral-plane chars
+      // into lone surrogates that no learned merge symbol can match
       var syms = new scala.collection.mutable.ArrayBuffer[String](w.length)
-      w.foreach(c => syms += c.toString)
+      var ci = 0
+      while (ci < w.length) {
+        val n = Character.charCount(w.codePointAt(ci))
+        syms += w.substring(ci, ci + n)
+        ci += n
+      }
       val present = scala.collection.mutable.HashMap.empty[String, Int]
       syms.foreach(s => present(s) = present.getOrElse(s, 0) + 1)
       bc.value.foreach { case (l, r) =>
@@ -523,18 +544,23 @@ object TextAnalysis {
       }
       syms.toSeq
     }
-    val toks = df.select(col(idCol),
+    val keyed = df.select(col(idCol), col(textCol))
+      .withColumn("_h", xxhash64(col(textCol)))
+    val toks = keyed.select(col(idCol), col("_h"),
       posexplode(filter(tokens(col(textCol)), w => length(w) > 0))
         .as(Seq("_p", "_w")))
     val vocab = toks.select("_w").distinct()
       .withColumn("_sub", encodeWord(col("_w")))
+    // collect_set (not _list): exact-duplicate rows fold into one
+    // (id, _h) group, and the set collapses their repeated (_p, _sub)
+    // token entries back to a single copy of the row's positions
     val encoded = toks.join(vocab, "_w")
-      .groupBy(col(idCol))
+      .groupBy(col(idCol), col("_h"))
       .agg(flatten(transform(
-        array_sort(collect_list(struct(col("_p"), col("_sub")))),
+        array_sort(collect_set(struct(col("_p"), col("_sub")))),
         s => s.getField("_sub"))).as("subwords"))
-    df.select(col(idCol))
-      .join(encoded, Seq(idCol), "left")
+    keyed.select(col(idCol), col("_h"))
+      .join(encoded, Seq(idCol, "_h"), "left")
       .select(col(idCol),
         coalesce(col("subwords"), array().cast("array<string>")).as("subwords"))
   }

@@ -20,4 +20,18 @@ package object graftbridge {
                        builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** Re-bind a DataFrame to a clone of its session with the given SQL
+    * confs overridden. The clone shares the SparkContext (and therefore
+    * cached/checkpointed blocks) but owns its SQLConf, so an iterative
+    * operator can run its rounds under e.g. AQE-off without mutating the
+    * caller's session — a concurrent query on the original session keeps
+    * its own settings, and there is no save/restore window to race on.
+    */
+  def onClonedSession(df: Dataset[Row], confs: (String, String)*): Dataset[Row] = {
+    val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    val cloned = cdf.sparkSession.cloneSession()
+    confs.foreach { case (k, v) => cloned.conf.set(k, v) }
+    classic.Dataset.ofRows(cloned, cdf.queryExecution.logical)
+  }
 }

@@ -286,7 +286,9 @@ class EvalFunctionsSpec extends SparkSpec {
     def jobsDuring(group: String)(body: => Unit): Int = {
       spark.sparkContext.setJobGroup(group, group, interruptOnCancel = false)
       try body finally spark.sparkContext.clearJobGroup()
-      Thread.sleep(300) // status store updates are async
+      // status-store updates are async: drain the listener bus instead of
+      // sleeping a fixed interval (flaky on loaded machines)
+      org.apache.spark.graftTestBridge.drainListenerBus(spark.sparkContext)
       spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
     }
     val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
@@ -305,6 +307,9 @@ class EvalFunctionsSpec extends SparkSpec {
     assert(bat == seq, s"batched learner diverged:\n$bat\n$seq")
     assert(batJobs < seqJobs,
       s"batched learner should launch fewer jobs: $batJobs vs $seqJobs")
+    // the AQE-off override lives on a cloned session, never the caller's
+    assert(spark.conf.get("spark.sql.adaptive.enabled") != "false",
+      "batched learner mutated the caller's session conf")
   }
 
   test("ext: bpeLearnBatched — parity with bpeLearn on corpus data and on " +
@@ -373,6 +378,32 @@ class EvalFunctionsSpec extends SparkSpec {
       .as[(Long, Seq[String])].collect().head
     assert(chainC == ((1L, Seq("xy", "z"))), s"chain got $chainC")
     assert(scalC == chainC, s"scalable got $scalC, chain got $chainC")
+  }
+
+  test("ext: bpeEncodeScalable — duplicate ids encode per row; non-BMP " +
+      "chars split by code point like the expression chain") {
+    val merges = Seq(("a", "b"))
+    // duplicate ids with DIFFERENT texts stay separate rows (row identity
+    // is the (id, text-hash) pair), and exact-duplicate rows fan back out
+    // with identical arrays instead of interleaving
+    val dup = Seq((1L, "ab"), (1L, "cd"), (2L, "ab"), (2L, "ab"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Seq[String])] =
+      df.as[(Long, Seq[String])].collect().toSeq
+        .sortBy { case (id, subs) => (id, subs.mkString(" ")) }
+    val chainDup = rows(graft.ext.TextAnalysis.bpeEncode(dup, "doc_id", "text", merges))
+    val scalDup = rows(graft.ext.TextAnalysis.bpeEncodeScalable(dup, "doc_id", "text", merges))
+    assert(chainDup == Seq((1L, Seq("ab")), (1L, Seq("c", "d")),
+      (2L, Seq("ab")), (2L, Seq("ab"))), s"chain got $chainDup")
+    assert(scalDup == chainDup, s"scalable diverged:\n$scalDup\n$chainDup")
+    // astral-plane text: the word UDF must split by CODE POINT — UTF-16
+    // units would shear the emoji into two lone surrogates
+    val emoji = Seq((1L, "😀ab x😀")).toDF("doc_id", "text")
+    val chainE = rows(graft.ext.TextAnalysis.bpeEncode(emoji, "doc_id", "text", merges))
+    val scalE = rows(graft.ext.TextAnalysis.bpeEncodeScalable(emoji, "doc_id", "text", merges))
+    assert(chainE == Seq((1L, Seq("😀", "ab", "x", "😀"))),
+      s"chain got $chainE")
+    assert(scalE == chainE, s"scalable diverged on non-BMP:\n$scalE\n$chainE")
   }
 
   test("ext: bpeLearn — stops early when every word is fully merged") {
@@ -510,7 +541,11 @@ class EvalFunctionsSpec extends SparkSpec {
       "<script type=\"a\">\nline1\nline2\n</script><a href=\"x\">link</a> tail",
       "a &lt;b&gt; &quot;c&quot; it&#39;s d&nbsp;e &amp; f &amp;lt;",
       "   spaced\t\tout\n\ntext   ",
-      "<p>unclosed <b\n", "", "plain words only")
+      "<p>unclosed <b\n", "", "plain words only",
+      // control bytes (not \s, not ' '): Spark's trim strips only
+      // spaces, so U+0001 must survive BOTH paths — Java String.trim
+      // in the stub would strip it and break parity
+      "<p>a</p> ")
     val df = htmls.zipWithIndex.map { case (h, i) => (i.toLong, h) }
       .toDF("doc_id", "html")
     val parsed = graft.ext.HtmlExtraction.extractWithParser(df, "html")
@@ -522,6 +557,8 @@ class EvalFunctionsSpec extends SparkSpec {
       .collect().toSeq
     assert(viaParser == viaKernel,
       s"parser stage diverged from the kernel:\n$viaParser\n$viaKernel")
+    // pin the space-only trim semantics both paths must share
+    assert(viaParser.last == " a", s"got '${viaParser.last}'")
     // null html -> null text, row preserved
     val withNull = graft.ext.HtmlExtraction.extractWithParser(
       Seq((1L, "<p>a</p>"), (2L, null)).toDF("doc_id", "html"), "html")
