@@ -550,6 +550,90 @@ object Dedup {
           .as("text_deduped"))
   }
 
+  /** Every token position covered by a k-gram that at least `minDocs`
+    * documents share verbatim — the shared first stage of
+    * [[duplicatedSpans]] and [[scrubDuplicatedSpans]].
+    *
+    * Scale shape: gram identity is an 8-byte xxhash64 (gram text exists
+    * only transiently inside the projection — it never shuffles); the
+    * "appears in ≥ minDocs documents" test is a two-level aggregate
+    * (distinct (hash, doc), then count per hash), both map-side
+    * combined; duplicated grams join back on the compact hash and fan
+    * out k positions per hit before a (doc, position) distinct. Output:
+    * (idCol, _t) — distinct covered token positions per document.
+    */
+  private[graft] def coveredPositions(df: DataFrame, idCol: String,
+                                      textCol: String, k: Int,
+                                      minDocs: Int): DataFrame = {
+    require(k > 0, s"need positive gram size, got $k")
+    require(minDocs >= 2, s"need minDocs >= 2, got $minDocs")
+    val toks = df.select(col(idCol), split(col(textCol), " +").as("_ws"))
+      .filter(size(col("_ws")) >= k)
+    val grams = toks
+      .select(col(idCol), col("_ws"),
+        explode(sequence(lit(0), size(col("_ws")) - k)).as("_p"))
+      .select(col(idCol), col("_p"),
+        xxhash64(concat_ws(" ", slice(col("_ws"), col("_p") + lit(1), lit(k))))
+          .as("_gh"))
+    val dup = grams.select(col("_gh"), col(idCol)).distinct()
+      .groupBy("_gh").agg(count(lit(1)).as("_d"))
+      .filter(col("_d") >= minDocs)
+      .select("_gh")
+    grams.join(dup, "_gh")
+      .select(col(idCol), explode(sequence(col("_p"), col("_p") + (k - 1))).as("_t"))
+      .distinct()
+  }
+
+  /** Exact duplicated-SPAN detection — the substring-level granularity
+    * between whole-document/chunk dedup and the Gopher duplicate-n-gram
+    * FRACTION signal: every k-token window that `minDocs`+ documents
+    * share verbatim marks its token positions, and maximal covered runs
+    * merge into spans. This is the operator class of Lee et al.'s
+    * "Deduplicating Training Data Makes Language Models Better"
+    * (suffix-array exact substrings), in the k-gram shape a shuffle
+    * engine can run: grams instead of suffixes bound state, at the cost
+    * of missing duplicates shorter than k tokens.
+    *
+    * The span merge is [[graft.window.Windows.islands]] partitioned per
+    * document — no global window anywhere. Output: (idCol, span_start,
+    * span_end), token positions, end-exclusive.
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      k: Int, minDocs: Int = 2): DataFrame =
+    graft.window.Windows.islands(
+        coveredPositions(df, idCol, textCol, k, minDocs), "_t", Seq(idCol))
+      .select(col(idCol),
+        col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"))
+
+  /** [[duplicatedSpans]] applied as a SCRUB: corpus-duplicated spans are
+    * removed from every document and the survivors are rejoined in
+    * order. Unlike [[chunkDedup]] (which keeps each chunk's first
+    * occurrence), the scrub drops EVERY occurrence — the policy for
+    * boilerplate that should train zero times, not once.
+    *
+    * Reassembly is narrow, the [[chunkDedup]] pattern: each document's
+    * covered positions reduce to one small array, and the surviving
+    * text is rebuilt by filtering the document's own token array — the
+    * only row wide enough to hold text is the document's own. A fully
+    * covered document scrubs to the empty string, not a dropped row.
+    *
+    * Output: (idCol, n_tokens, n_dropped, clean_text).
+    */
+  def scrubDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                           k: Int, minDocs: Int = 2): DataFrame = {
+    val covPerDoc = coveredPositions(df, idCol, textCol, k, minDocs)
+      .groupBy(col(idCol)).agg(sort_array(collect_list(col("_t"))).as("_cov"))
+    df.select(col(idCol), split(col(textCol), " +").as("_ws"))
+      .join(covPerDoc, Seq(idCol), "left")
+      .withColumn("_cov", coalesce(col("_cov"), array().cast("array<int>")))
+      .select(col(idCol),
+        size(col("_ws")).cast("long").as("n_tokens"),
+        size(col("_cov")).cast("long").as("n_dropped"),
+        array_join(filter(col("_ws"),
+          (w, i) => !array_contains(col("_cov"), i)), " ").as("clean_text"))
+  }
+
   /** Quality-aware canonical selection: given cluster labels (from
     * [[duplicateClusters]]) and a per-document quality score, keep the
     * HIGHEST-scoring member of each duplicate cluster (ties → lowest

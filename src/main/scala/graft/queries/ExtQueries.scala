@@ -1674,6 +1674,54 @@ object ExtQueries {
         "coalesce(r.txt, '') AS text_deduped " +
         "FROM t LEFT JOIN r ON t.doc_id = r.doc_id ORDER BY t.doc_id")),
 
+    // Exact duplicated-SPAN detection (the Lee et al. suffix-array op in
+    // its k-gram shape): every 6-token window shared verbatim by >= 2
+    // documents marks its positions; maximal covered runs merge into
+    // end-exclusive spans via the per-doc islands window. Gram identity
+    // is an 8-byte hash on the Spark side; the oracle recomputes over
+    // gram STRINGS and restates the island merge.
+    Q("x_dup_spans",
+      (s, d) => Dedup.duplicatedSpans(Tables.documents(s, d), "doc_id", "text",
+          k = 6)
+        .orderBy("doc_id", "span_start"),
+      Some("WITH t AS (SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents), " +
+        "e AS (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 6)) AS p FROM t " +
+        "WHERE len(toks) >= 6), " +
+        "g AS (SELECT doc_id, p, array_to_string(toks[p + 1 : p + 6], ' ') AS gram FROM e), " +
+        "dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2), " +
+        "cov AS (SELECT DISTINCT doc_id, tp FROM " +
+        "(SELECT doc_id, unnest(generate_series(p, p + 5)) AS tp FROM g JOIN dup USING (gram))), " +
+        "isl AS (SELECT doc_id, tp, tp - row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY tp) AS grp FROM cov) " +
+        "SELECT doc_id, CAST(min(tp) AS BIGINT) AS span_start, " +
+        "CAST(max(tp) + 1 AS BIGINT) AS span_end " +
+        "FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start")),
+
+    // The spans applied as a scrub: EVERY occurrence of a duplicated
+    // span is removed (boilerplate trains zero times — contrast
+    // x_chunk_dedup's keep-first policy) and survivors rejoin in order.
+    Q("x_dup_span_scrub",
+      (s, d) => Dedup.scrubDuplicatedSpans(Tables.documents(s, d), "doc_id", "text",
+          k = 6)
+        .orderBy("doc_id"),
+      Some("WITH t AS (SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents), " +
+        "e AS (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 6)) AS p FROM t " +
+        "WHERE len(toks) >= 6), " +
+        "g AS (SELECT doc_id, p, array_to_string(toks[p + 1 : p + 6], ' ') AS gram FROM e), " +
+        "dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2), " +
+        "cov AS (SELECT DISTINCT doc_id, tp FROM " +
+        "(SELECT doc_id, unnest(generate_series(p, p + 5)) AS tp FROM g JOIN dup USING (gram))), " +
+        "tok AS (SELECT doc_id, unnest(toks) AS w, " +
+        "unnest(generate_series(0, len(toks) - 1)) AS p FROM t), " +
+        "kept AS (SELECT tok.doc_id, tok.p, tok.w FROM tok LEFT JOIN cov " +
+        "ON tok.doc_id = cov.doc_id AND tok.p = cov.tp WHERE cov.tp IS NULL), " +
+        "r AS (SELECT doc_id, count(*) AS nk, string_agg(w, ' ' ORDER BY p) AS txt " +
+        "FROM kept GROUP BY doc_id) " +
+        "SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens, " +
+        "CAST(len(t.toks) - coalesce(r.nk, 0) AS BIGINT) AS n_dropped, " +
+        "coalesce(r.txt, '') AS clean_text " +
+        "FROM t LEFT JOIN r USING (doc_id) ORDER BY t.doc_id")),
+
     // Per-document n-gram novelty / boilerplate fractions over the
     // corpus's own 4-grams (df = 1 → novel; df >= 3 → boilerplate).
     // Same hashed-n-gram identity as x_decontaminate: the oracle

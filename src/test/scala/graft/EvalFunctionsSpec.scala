@@ -575,6 +575,31 @@ class EvalFunctionsSpec extends SparkSpec {
     assert(got == "len:4")
   }
 
+  test("ext: duplicatedSpans/scrub — cross-doc k-gram runs merge to spans; " +
+      "every occurrence scrubbed") {
+    // docs 1 and 2 share "a b c d" (3-grams "a b c" and "b c d"); doc 4
+    // repeats both grams in two DISJOINT windows; doc 3 shares nothing
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x x a b c d y y"),
+      (3L, "q r s t u v"),
+      (4L, "a b c z z z b c d"))
+      .toDF("doc_id", "text")
+    val spans = graft.ext.Dedup.duplicatedSpans(docs, "doc_id", "text", k = 3)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(spans == Seq(
+      (1L, 0L, 4L), (2L, 2L, 6L), (4L, 0L, 3L), (4L, 6L, 9L)), s"got $spans")
+    val scrub = graft.ext.Dedup.scrubDuplicatedSpans(docs, "doc_id", "text", k = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(scrub == Seq(
+      (1L, 8L, 4L, "e f g h"),
+      (2L, 8L, 4L, "x x y y"),
+      (3L, 6L, 0L, "q r s t u v"),
+      (4L, 9L, 6L, "z z z")), s"got $scrub")
+  }
+
   test("ext: corpusDiff — distinct-content add/remove/keep counts") {
     val v1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "beta"), (4L, "gamma"))
       .toDF("doc_id", "text") // distinct: alpha, beta, gamma
