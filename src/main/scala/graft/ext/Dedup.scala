@@ -564,25 +564,53 @@ object Dedup {
     */
   private[graft] def coveredPositions(df: DataFrame, idCol: String,
                                       textCol: String, k: Int,
-                                      minDocs: Int): DataFrame = {
+                                      minDocs: Int): DataFrame =
+    coveredAgainst(df, idCol, textCol, k,
+      dupGramTable(df, idCol, textCol, k, minDocs))
+
+  /** The hashed (idCol, position, gram-hash) triples every span operator
+    * starts from — gram text exists only inside the projection.
+    */
+  private def gramsOf(df: DataFrame, idCol: String, textCol: String,
+                      k: Int): DataFrame = {
     require(k > 0, s"need positive gram size, got $k")
-    require(minDocs >= 2, s"need minDocs >= 2, got $minDocs")
-    val toks = df.select(col(idCol), split(col(textCol), " +").as("_ws"))
+    df.select(col(idCol), split(col(textCol), " +").as("_ws"))
       .filter(size(col("_ws")) >= k)
-    val grams = toks
       .select(col(idCol), col("_ws"),
         explode(sequence(lit(0), size(col("_ws")) - k)).as("_p"))
       .select(col(idCol), col("_p"),
         xxhash64(concat_ws(" ", slice(col("_ws"), col("_p") + lit(1), lit(k))))
           .as("_gh"))
-    val dup = grams.select(col("_gh"), col(idCol)).distinct()
-      .groupBy("_gh").agg(count(lit(1)).as("_d"))
-      .filter(col("_d") >= minDocs)
-      .select("_gh")
-    grams.join(dup, "_gh")
+  }
+
+  /** The duplicated-gram hash table the span operators detect against —
+    * STORABLE (8 bytes per gram plus its document count), so incremental
+    * batches and ingest streams can scrub a corpus's known boilerplate
+    * via [[scrubFromStored]] / `StreamingOps.scrubAtIngest` without ever
+    * recounting history (the [[exactIncremental]] posture at span
+    * granularity). Two-level aggregate: distinct (hash, doc), then a
+    * map-side-combined count per hash. Output: (gram_hash, n_docs).
+    */
+  def dupGramTable(df: DataFrame, idCol: String, textCol: String,
+                   k: Int, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"need minDocs >= 2, got $minDocs")
+    gramsOf(df, idCol, textCol, k)
+      .select(col("_gh"), col(idCol)).distinct()
+      .groupBy("_gh").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("_gh").as("gram_hash"), col("n_docs"))
+  }
+
+  /** Distinct covered token positions of `df` against an explicit
+    * duplicated-gram hash set — the join half shared by the self-corpus
+    * and stored-table paths.
+    */
+  private def coveredAgainst(df: DataFrame, idCol: String, textCol: String,
+                             k: Int, dupGrams: DataFrame): DataFrame =
+    gramsOf(df, idCol, textCol, k)
+      .join(dupGrams.select(col("gram_hash").as("_gh")), "_gh")
       .select(col(idCol), explode(sequence(col("_p"), col("_p") + (k - 1))).as("_t"))
       .distinct()
-  }
 
   /** Exact duplicated-SPAN detection — the substring-level granularity
     * between whole-document/chunk dedup and the Gopher duplicate-n-gram
@@ -621,8 +649,26 @@ object Dedup {
     * Output: (idCol, n_tokens, n_dropped, clean_text).
     */
   def scrubDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
-                           k: Int, minDocs: Int = 2): DataFrame = {
-    val covPerDoc = coveredPositions(df, idCol, textCol, k, minDocs)
+                           k: Int, minDocs: Int = 2): DataFrame =
+    scrubWith(df, idCol, textCol,
+      coveredPositions(df, idCol, textCol, k, minDocs))
+
+  /** [[scrubDuplicatedSpans]] against a STORED [[dupGramTable]]: new
+    * batches scrub a corpus's already-known boilerplate without
+    * recounting it — history stays on disk as 8-byte gram hashes, the
+    * batch contributes only its own gram probes. Grams the new batch
+    * duplicates INTERNALLY (absent from the stored table) are kept; run
+    * the self-corpus [[scrubDuplicatedSpans]] on the batch too when that
+    * matters. Same output columns as the self-corpus form.
+    */
+  def scrubFromStored(df: DataFrame, idCol: String, textCol: String,
+                      k: Int, dupGrams: DataFrame): DataFrame =
+    scrubWith(df, idCol, textCol,
+      coveredAgainst(df, idCol, textCol, k, dupGrams))
+
+  private def scrubWith(df: DataFrame, idCol: String, textCol: String,
+                        covered: DataFrame): DataFrame = {
+    val covPerDoc = covered
       .groupBy(col(idCol)).agg(sort_array(collect_list(col("_t"))).as("_cov"))
     df.select(col(idCol), split(col(textCol), " +").as("_ws"))
       .join(covPerDoc, Seq(idCol), "left")

@@ -49,6 +49,10 @@ object FedAvg {
     // Every round re-reads each client's windows (rounds × epochs passes):
     // persist the per-client frames for the duration of the loop so the
     // standardize→window lineage runs once per client, not once per round.
+    // Bench note: warm steady-state at sf0.1 is ~1.5 s, but the JIT
+    // warmup curve is long (measured 2.5 → 1.5 s over reps 2–8), so
+    // median-of-3 bench numbers for this query carry up to ~0.4 s of
+    // process-position noise on an unchanged plan.
     val cached = clients.map(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     try {
       (1 to rounds).foreach { _ =>

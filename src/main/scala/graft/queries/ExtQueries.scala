@@ -158,6 +158,24 @@ object ExtQueries {
       table
     })
 
+  /** Stored duplicated-6-gram hash table ([[graft.ext.Dedup.dupGramTable]]),
+    * written once per (session, sf dir) bucketed by `gram_hash` — the
+    * write side of the span-scrub lifecycle `x_dup_scrub_stored` reads.
+    * Returns the table name.
+    */
+  private val dupGramCache = scala.collection.concurrent.TrieMap[
+    (org.apache.spark.sql.SparkSession, String), String]()
+
+  private def dupGramTableFor(s: org.apache.spark.sql.SparkSession, d: String): String =
+    dupGramCache.getOrElseUpdate((s, d), {
+      evictStale(dupGramCache)(_._1 ne s)(_ => ()) // value is a table name; no blocks
+      val table = "graft_dup_grams_6_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      graft.core.Layout.writeBucketed(
+        Dedup.dupGramTable(Tables.documents(s, d), "doc_id", "text", 6),
+        table, buckets = 8, "gram_hash")
+      table
+    })
+
   /** The UNMATERIALIZED plans behind the memoized queries, for the plan
     * audit (ExplainAuditSpec): a memo returns a checkpoint/persisted
     * frame whose audited plan is just a cache scan — a scale
@@ -181,6 +199,8 @@ object ExtQueries {
       Tables.embeddings(s, d).filter(col("vec_id") > 0), "embedding")),
     "memo:gram_pair_index" -> (() => TextAnalysis.ngramPairs(
       Tables.documents(s, d), "doc_id", "text", 3)),
+    "memo:dup_gram_table" -> (() => Dedup.dupGramTable(
+      Tables.documents(s, d), "doc_id", "text", 6)),
     "memo:bpe_round" -> (() => TextAnalysis.bpePairCounts(
       TextAnalysis.bpeInitialWords(Tables.documents(s, d), "text"))),
     "memo:cluster_pairs" -> (() => Similarity.cosineNearDuplicates(
@@ -1703,6 +1723,34 @@ object ExtQueries {
     Q("x_dup_span_scrub",
       (s, d) => Dedup.scrubDuplicatedSpans(Tables.documents(s, d), "doc_id", "text",
           k = 6)
+        .orderBy("doc_id"),
+      Some("WITH t AS (SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents), " +
+        "e AS (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 6)) AS p FROM t " +
+        "WHERE len(toks) >= 6), " +
+        "g AS (SELECT doc_id, p, array_to_string(toks[p + 1 : p + 6], ' ') AS gram FROM e), " +
+        "dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2), " +
+        "cov AS (SELECT DISTINCT doc_id, tp FROM " +
+        "(SELECT doc_id, unnest(generate_series(p, p + 5)) AS tp FROM g JOIN dup USING (gram))), " +
+        "tok AS (SELECT doc_id, unnest(toks) AS w, " +
+        "unnest(generate_series(0, len(toks) - 1)) AS p FROM t), " +
+        "kept AS (SELECT tok.doc_id, tok.p, tok.w FROM tok LEFT JOIN cov " +
+        "ON tok.doc_id = cov.doc_id AND tok.p = cov.tp WHERE cov.tp IS NULL), " +
+        "r AS (SELECT doc_id, count(*) AS nk, string_agg(w, ' ' ORDER BY p) AS txt " +
+        "FROM kept GROUP BY doc_id) " +
+        "SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens, " +
+        "CAST(len(t.toks) - coalesce(r.nk, 0) AS BIGINT) AS n_dropped, " +
+        "coalesce(r.txt, '') AS clean_text " +
+        "FROM t LEFT JOIN r USING (doc_id) ORDER BY t.doc_id")),
+
+    // The scrub through its STORED lifecycle: the duplicated-gram table
+    // is written bucketed by hash, reloaded from the catalog, and the
+    // scrub joins the batch's gram probes against it — history on disk
+    // as 8 bytes per gram, never recounted. Built from the same corpus
+    // with the same k/minDocs, the output is x_dup_span_scrub's, so the
+    // SAME oracle checks the whole write→reload→scrub path.
+    Q("x_dup_scrub_stored",
+      (s, d) => Dedup.scrubFromStored(Tables.documents(s, d), "doc_id", "text",
+          k = 6, s.table(dupGramTableFor(s, d)))
         .orderBy("doc_id"),
       Some("WITH t AS (SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents), " +
         "e AS (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 6)) AS p FROM t " +

@@ -183,6 +183,46 @@ object StreamingOps {
         lit(benchGrams)))
   }
 
+  /** Duplicated-span SCRUB at INGEST time — the streaming half of
+    * [[graft.ext.Dedup.scrubFromStored]]: every arriving document drops
+    * the spans a stored [[graft.ext.Dedup.dupGramTable]] already knows as
+    * corpus boilerplate. The table's gram hashes embed as a sorted plan
+    * literal (the [[contaminatedAtIngest]] shape), so the whole scrub is
+    * one narrow per-row expression chain — gram probe, k-position
+    * fan-out, indexed token filter — with no state, no shuffle, no join;
+    * append-mode-safe, and a restart rebuilds the literal
+    * deterministically.
+    *
+    * The literal is right when the table is boilerplate-sized (spans
+    * shared across many documents are FEW relative to the corpus); for a
+    * gram table too large to embed, run arriving micro-batches through
+    * the batch [[graft.ext.Dedup.scrubFromStored]] join instead. Output
+    * and verdicts match the batch operator row-for-row (same xxhash64
+    * gram identity; parity pinned in StreamingSpec).
+    */
+  def scrubAtIngest(stream: DataFrame, idCol: String, textCol: String,
+                    dupGrams: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"need positive gram size, got $k")
+    val hashes: Array[Long] = dupGrams
+      .select(col("gram_hash")).distinct().orderBy("gram_hash")
+      .collect().map(_.getLong(0))
+    val ws = split(col(textCol), " +")
+    // start positions whose k-gram hash is in the stored set; the guard
+    // keeps sequence() from running backwards on docs shorter than k
+    val starts = when(size(ws) >= k,
+      filter(sequence(lit(0), size(ws) - k), p =>
+        array_contains(lit(hashes),
+          xxhash64(concat_ws(" ", slice(ws, p + lit(1), lit(k)))))))
+      .otherwise(array().cast("array<int>"))
+    val covered = array_distinct(flatten(
+      transform(starts, p => sequence(p, p + (k - 1)))))
+    stream.select(col(idCol),
+      size(ws).cast("long").as("n_tokens"),
+      size(covered).cast("long").as("n_dropped"),
+      array_join(filter(ws, (w, i) => !array_contains(covered, i)), " ")
+        .as("clean_text"))
+  }
+
   final case class KeyedValue(key: String, seq: Long, value: Double)
   final case class WindowOut(key: String, windowId: Long, values: Seq[Double])
   final case class BandedDoc(id: Long, eventTs: java.sql.Timestamp, band: Int, bucket: Long)

@@ -308,6 +308,47 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming span scrub: ingest output matches scrubFromStored row-for-row") {
+    implicit val sqlCtx = spark.sqlContext
+    // history corpus: docs 10/11 share "a b c d" -> duplicated 3-grams
+    // "a b c" and "b c d" land in the stored gram table
+    val history = Seq(
+      (10L, "a b c d e f"),
+      (11L, "z z a b c d"))
+      .toDF("doc_id", "text")
+    val dupGrams = graft.ext.Dedup.dupGramTable(history, "doc_id", "text", k = 3)
+    // arriving batch: known boilerplate scrubbed, batch-internal dup
+    // ("q r s" in docs 2 and 3, absent from history) kept, short doc kept
+    val arriving = Seq(
+      (1L, "x a b c d y"),
+      (2L, "q r s t u v"),
+      (3L, "q r s w w w"),
+      (4L, "a b"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingOps.scrubAtIngest(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", dupGrams, k = 3)
+    val query = out.writeStream.format("memory").queryName("scrub_out")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq((1L, "x a b c d y"), (2L, "q r s t u v")))
+      query.processAllAvailable()
+      input.addData(Seq((3L, "q r s w w w"), (4L, "a b")))
+      query.processAllAvailable()
+      val streamed = spark.table("scrub_out")
+        .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+      val batch = graft.ext.Dedup.scrubFromStored(
+          arriving, "doc_id", "text", k = 3, dupGrams)
+        .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+      assert(streamed == batch, s"ingest scrub $streamed != batch scrub $batch")
+      assert(streamed == Seq(
+        (1L, 6L, 4L, "x y"),
+        (2L, 6L, 0L, "q r s t u v"),
+        (3L, 6L, 0L, "q r s w w w"),
+        (4L, 2L, 0L, "a b")), s"got $streamed")
+    } finally query.stop()
+  }
+
   test("streaming ingest funnel: quality gate -> contamination gate -> exact dedup in one query") {
     // the streaming mirror of x_corpus_funnel: every stage is the
     // registered ingest operator, chained in ONE append-mode query —
