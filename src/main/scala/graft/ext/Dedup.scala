@@ -430,7 +430,19 @@ object Dedup {
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
                     shingleLen: Int = 3,
                     gramRows: Option[DataFrame] = None): DataFrame = gramRows match {
-    case Some(g) => jaccardVerifyFromPairs(pairs, g)
+    case Some(g) =>
+      // A stored table built at a different gram length yields silently
+      // WRONG Jaccard values — check the build-time stamp
+      // (TextAnalysis.ngramPairs field metadata; survives parquet) when
+      // present; unstamped tables keep the caller-owned contract.
+      g.schema.find(_.name == "_sh").map(_.metadata)
+        .filter(_.contains("gram_k")).foreach { m =>
+          require(m.getLong("gram_k") == shingleLen.toLong,
+            s"stored gram table was built at k=${m.getLong("gram_k")} but " +
+              s"jaccardVerify was called with shingleLen=$shingleLen — " +
+              "pass the matching shingleLen or rebuild the table")
+        }
+      jaccardVerifyFromPairs(pairs, g)
     case None =>
     // Shingle sets are built ONLY for documents that appear in a candidate
     // pair (LEFT SEMI join first): at 100 TB the candidate id set is
@@ -670,14 +682,19 @@ object Dedup {
                         covered: DataFrame): DataFrame = {
     val covPerDoc = covered
       .groupBy(col(idCol)).agg(sort_array(collect_list(col("_t"))).as("_cov"))
+    // Surviving positions via array_except (hash-set lookup, O(tokens +
+    // covered) per document and order-preserving on the ascending
+    // sequence) — a per-token array_contains probe of _cov would go
+    // quadratic on long, heavily-covered documents.
     df.select(col(idCol), split(col(textCol), " +").as("_ws"))
       .join(covPerDoc, Seq(idCol), "left")
       .withColumn("_cov", coalesce(col("_cov"), array().cast("array<int>")))
       .select(col(idCol),
         size(col("_ws")).cast("long").as("n_tokens"),
         size(col("_cov")).cast("long").as("n_dropped"),
-        array_join(filter(col("_ws"),
-          (w, i) => !array_contains(col("_cov"), i)), " ").as("clean_text"))
+        array_join(transform(
+          array_except(sequence(lit(0), size(col("_ws")) - 1), col("_cov")),
+          i => element_at(col("_ws"), i + 1)), " ").as("clean_text"))
   }
 
   /** Quality-aware canonical selection: given cluster labels (from

@@ -78,6 +78,11 @@ object HtmlExtraction {
                         parser: HtmlExtractor = StubHtmlExtractor,
                         out: String = "text_plain"): DataFrame = {
     val spark = df.sparkSession
+    require(df.schema(htmlCol).dataType == StringType,
+      s"extractWithParser needs a StringType html column; " +
+        s"'$htmlCol' is ${df.schema(htmlCol).dataType.simpleString}")
+    require(!df.columns.contains(out),
+      s"output column '$out' already exists in the input schema")
     val idx = df.schema.fieldIndex(htmlCol)
     val outSchema = df.schema.add(StructField(out, StringType, nullable = true))
     val rdd = df.rdd.mapPartitions { it =>

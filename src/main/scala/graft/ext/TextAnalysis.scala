@@ -366,25 +366,55 @@ object TextAnalysis {
     * [[bpeLearn]]'s (pinned in tests on the Sennrich fixture and on
     * corpus data). Worst case every round admits one merge and the
     * loop degenerates to the sequential learner.
+    *
+    * '''Two regimes.''' The state table's ROW count is constant through
+    * learning (one row per distinct word — merges shorten symbol
+    * arrays, never add rows) and sublinear in the corpus (Heaps' law),
+    * so it is checked ONCE: at or below `driverVocabLimit` rows, the
+    * table collects and the whole merge sequence is learned in one
+    * driver pass with the engine's exact semantics — same per-position
+    * pair counts, same (count desc, left asc, right asc) tie-break via
+    * Spark's own `UTF8String` comparator (driver `String.compareTo`
+    * orders UTF-16 units, which DISAGREES with the engine's UTF-8 byte
+    * order for supplementary code points), same greedy fold. Above the
+    * limit, the batched distributed rounds run as before. The driver
+    * tail exists because interaction-heavy corpora cap batches at 1–2
+    * merges (measured 54 rounds for 89 merges on the bench corpus): a
+    * small vocabulary spending one Spark job per round is pure
+    * scheduling overhead, while a 100 TB vocabulary (~10⁸ rows) stays
+    * safely on the distributed path. Both paths are parity-pinned in
+    * tests; pass `driverVocabLimit = 0` to force the distributed
+    * rounds.
     */
   def bpeLearnBatched(df: DataFrame, textCol: String, numMerges: Int,
-                      maxBatch: Int = 16, topK: Int = 256): DataFrame = {
+                      maxBatch: Int = 16, topK: Int = 256,
+                      driverVocabLimit: Long = 1L << 16): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     require(numMerges > 0, s"need numMerges > 0, got $numMerges")
     require(maxBatch > 0 && topK >= maxBatch,
       s"need maxBatch > 0 and topK >= maxBatch, got $maxBatch / $topK")
+    val words0 = bpeInitialWords(df, textCol).localCheckpoint()
+    if (driverVocabLimit > 0 && words0.count() <= driverVocabLimit) {
+      val collected = words0.select(col("_f"), col("_syms")).collect()
+        .map(r => (r.getLong(0), r.getSeq[String](1).toArray))
+      Dedup.checkpointRdd(words0).foreach(_.unpersist(false))
+      return bpeLearnDriverTail(collected, numMerges).toDF(
+        "merge_rank", "left", "right", "pair_count")
+    }
     // The rounds (and the alphabet collect below) run with AQE off:
     // everything after the corpus-scale bpeInitialWords aggregate
-    // (which runs under AQE, before the re-bind) is a fixed-width
+    // (which ran under AQE, before the re-bind) is a fixed-width
     // shuffle of the vocab-sized state table, where AQE's query-stage
     // materialization only multiplies the per-round job count. The
     // override lives on a CLONED session (shared SparkContext and
     // blocks, private SQLConf), so concurrent queries on the caller's
     // session keep their own settings and there is no save/restore
-    // window to race on.
+    // window to race on. The already-checkpointed words0 re-binds to
+    // the clone (blocks are shared); the round loop's checkpoint
+    // rotation releases it like any other round state.
     var state = org.apache.spark.sql.graftbridge.onClonedSession(
-      bpeInitialWords(df, textCol).localCheckpoint(),
+      words0,
       "spark.sql.adaptive.enabled" -> "false")
     // symbols live in the driver only as the collision guard: the
     // initial alphabet, plus one concatenation per learned merge
@@ -460,6 +490,73 @@ object TextAnalysis {
     merges.toSeq.toDF("merge_rank", "left", "right", "pair_count")
   }
 
+  /** The small-vocabulary tail of [[bpeLearnBatched]]: the sequential
+    * learner over the COLLECTED word-frequency table, replicating the
+    * engine's semantics exactly — per-adjacent-position pair counts
+    * weighted by word frequency, winner by (count desc, left asc, right
+    * asc) under Spark's `UTF8String` byte comparator (NOT
+    * `String.compareTo`, which orders UTF-16 units and disagrees on
+    * supplementary code points), and the same greedy left-to-right fold
+    * as `applyMergeFold`. O(total symbols) per merge — the naive exact
+    * loop, right for vocabularies under the collect limit; large-vocab
+    * learning stays on the distributed rounds.
+    */
+  private def bpeLearnDriverTail(words: Array[(Long, Array[String])],
+                                 numMerges: Int): Seq[(Int, String, String, Long)] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    def less(a: String, b: String): Boolean =
+      UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
+    val freqs = words.map(_._1)
+    val bufs: Array[scala.collection.mutable.ArrayBuffer[String]] =
+      words.map { case (_, syms) => scala.collection.mutable.ArrayBuffer.from(syms) }
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var wi = 0
+      while (wi < bufs.length) {
+        val b = bufs(wi); val f = freqs(wi)
+        var i = 0
+        while (i < b.length - 1) {
+          val k = (b(i), b(i + 1))
+          pc.update(k, pc.getOrElse(k, 0L) + f)
+          i += 1
+        }
+        wi += 1
+      }
+      if (pc.isEmpty) exhausted = true
+      else {
+        var bestL: String = null; var bestR: String = null; var bestC = 0L
+        pc.foreach { case ((l, r), c) =>
+          val better = bestL == null || c > bestC || (c == bestC &&
+            (less(l, bestL) || (l == bestL && less(r, bestR))))
+          if (better) { bestL = l; bestR = r; bestC = c }
+        }
+        merges += ((rank, bestL, bestR, bestC))
+        wi = 0
+        while (wi < bufs.length) {
+          val b = bufs(wi)
+          if (b.length >= 2) {
+            val out = new scala.collection.mutable.ArrayBuffer[String](b.length)
+            var i = 0
+            while (i < b.length) {
+              val s = b(i)
+              if (out.nonEmpty && out.last == bestL && s == bestR)
+                out(out.length - 1) = bestL + bestR
+              else out += s
+              i += 1
+            }
+            bufs(wi) = out
+          }
+          wi += 1
+        }
+        rank += 1
+      }
+    }
+    merges.toSeq
+  }
+
   /** Apply a learned [[bpeLearn]] merge table to text — the ENCODE half
     * of the tokenizer lifecycle: each whitespace word explodes to
     * characters and every merge applies in rank order as the same
@@ -510,6 +607,16 @@ object TextAnalysis {
     * back out with identical arrays — the dedup lane's standard 8-byte
     * trade-off (a hash collision between two DIFFERENT texts under one
     * id would conflate them).
+    *
+    * Broadcast lifetime: the merge table broadcasts once per CALL and
+    * lives as long as the returned frame's plan can re-execute — the
+    * operator cannot destroy it without breaking the lazily-returned
+    * frame. The table is merge-count-sized (a 32 k-merge vocabulary is
+    * ~1 MB), so the cost per call is small, but a long-lived session
+    * encoding MANY times should memoize per merge table (the
+    * `bpe100For` registry memo shape) rather than re-call per batch;
+    * Spark's ContextCleaner reclaims the blocks once the frame is
+    * unreachable.
     */
   def bpeEncodeScalable(df: DataFrame, idCol: String, textCol: String,
                         merges: Seq[(String, String)]): DataFrame = {
@@ -859,7 +966,14 @@ object TextAnalysis {
     */
   def ngramPairs(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     Dedup.shingleHashRows(df, idCol, textCol, n)
-      .select(col("_id"), col("_sh")).distinct()
+      .select(col("_id"),
+        // stamp the build-time gram length as field metadata (survives
+        // the parquet round-trip) so a stored table rebuilt at a
+        // different n fails loudly at verify time instead of yielding
+        // silently wrong Jaccard values — see Dedup.jaccardVerify
+        col("_sh").as("_sh", new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("gram_k", n.toLong).build()))
+      .distinct()
 
   /** Per-document n-gram novelty / boilerplate profile: for each
     * document, the fraction of its DISTINCT token `n`-grams that appear

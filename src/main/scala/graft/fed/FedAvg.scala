@@ -32,6 +32,35 @@ object FedAvg {
     out
   }
 
+  /** The round protocol of [[run]] in isolation, deterministically: each
+    * round every client takes one fixed step `w − lr·g_k` from the CURRENT
+    * global and the server applies A5's unweighted elementwise mean — the
+    * reference's round loop (`src/federated_learning/aggregation.py:91-102`)
+    * with the nondeterministic training floats replaced by per-client
+    * gradient vectors given as data. Because the update is linear, the
+    * result is closed-form (`w0 − lr·R·mean_k g_k`) — which is what the
+    * DuckDB oracle states, while this runs the actual iteration, so the
+    * N-clients × R-rounds protocol itself is hash-checked.
+    *
+    * `init` = (dim, w) — the shared initial weights; `grads` = (client,
+    * dim, g). Each round is a broadcast equi-join (the global weight
+    * vector is KBs — the same weights-only transport as [[run]]) plus a
+    * per-dim mean; the chain stays one lazy plan, no driver collect.
+    */
+  def protocolRounds(init: DataFrame, grads: DataFrame,
+                     rounds: Int, lr: Double): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    import org.apache.spark.sql.functions._
+    var global = init
+    (1 to rounds).foreach { _ =>
+      val local = grads.join(broadcast(global), "dim")
+        .select(col("client"), col("dim"),
+          (col("w") - lit(lr) * col("g")).as("lw"))
+      global = local.groupBy("dim").agg(avg(col("lw")).as("w"))
+    }
+    global
+  }
+
   final case class Result(global: TrainedAutoencoder,
                           perClientLoss: Seq[Seq[Double]])
 

@@ -129,6 +129,12 @@ object GraftFunctions {
   def matvec_product(v: Column, matrix: Array[Array[Double]]): Column =
     toColumn(MatVecProduct(toExpression(v), matrix))
 
+  /** Codegen'd binary-search membership of a bigint column in a
+    * plan-constant SORTED long array (caller owns sortedness).
+    */
+  def sorted_long_contains(c: Column, sorted: Array[Long]): Column =
+    toColumn(SortedLongContains(toExpression(c), sorted))
+
   /** Make graft's expressions callable from `spark.sql(...)`. */
   def registerAll(spark: SparkSession): Unit = {
     registerFunction(spark, "fft_magnitude", exprs => FftMagnitude(exprs.head))

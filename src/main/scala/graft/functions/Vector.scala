@@ -178,3 +178,42 @@ case class MatVecProduct(child: Expression, matrix: Array[Array[Double]])
   override protected def withNewChildInternal(newChild: Expression): MatVecProduct =
     copy(child = newChild)
 }
+
+/** Membership probe of a `bigint` column against a PLAN-CONSTANT sorted
+  * long array (the stored-gram-table literal of the streaming scrub):
+  * one binary search per probe — O(log m) against the O(m) linear scan
+  * an `array_contains(lit(hashes), …)` pays — with the array riding
+  * along as a single codegen reference object instead of an m-element
+  * literal expression. Null on null input, like `array_contains`' null
+  * child. The caller owns sortedness (`java.util.Arrays.binarySearch`
+  * contract); [[graft.streaming.StreamingOps.scrubAtIngest]] sorts at
+  * collect time.
+  */
+case class SortedLongContains(child: Expression, sorted: Array[Long])
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "sorted_long_contains"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires bigint, got ${other.sql}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    java.util.Arrays.binarySearch(sorted, input.asInstanceOf[Long]) >= 0
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val arrRef = ctx.addReferenceObj("sortedLongSet", sorted, "long[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = java.util.Arrays.binarySearch($arrRef, $v) >= 0;")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SortedLongContains =
+    copy(child = newChild)
+}

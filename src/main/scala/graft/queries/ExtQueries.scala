@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ext.{Dedup, Multimodal, Similarity, Sketches, TextAnalysis}
+import graft.ext.{Dedup, HtmlExtraction, Multimodal, Similarity, Sketches, TextAnalysis}
 import graft.functions.GraftFunctions
 import graft.window.Windows
 
@@ -56,6 +56,61 @@ object ExtQueries {
       cached.count() // materialize: later probes touch only the cached cells
       (cached, km)
     })
+
+  /** DuckDB restatement of the deterministic BPE-12 learner, shared by
+    * the `x_bpe_merges` and `x_bpe_subwords` oracles. The corpus
+    * vocabulary is tiny (31 word types at every sf), so the ENTIRE
+    * learner state — every word's symbol array plus its frequency —
+    * rides in ONE list-of-structs value per recursive-CTE row; each
+    * iteration restates one sequential merge: adjacent-pair counts via
+    * list lambdas (pair key = l||chr(30)||r, which sorts identically to
+    * (l, r) because chr(30) is below every token byte), winner = first
+    * element of the (−count, key) sort — count desc, then l asc, r asc,
+    * the learner's exact tie-break — and the same greedy left-to-right
+    * fold as `applyMergeFold` via `list_reduce`. Stops at 12 merges or
+    * when no pair remains, like the learner. This is oracle-side
+    * restatement only — the Spark learner stays fully distributed; the
+    * oracle exploits the small vocabulary the way every oracle exploits
+    * small sf.
+    */
+  private val BpeOracleCtes: String =
+    "WITH RECURSIVE " +
+    "tok AS (SELECT t FROM (SELECT unnest(string_split_regex(text, ' +')) AS t " +
+    "FROM documents) WHERE length(t) > 0), " +
+    "words AS (SELECT t AS w, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY t), " +
+    "init AS (SELECT list(struct_pack(syms := list_transform(generate_series(1, length(w)), " +
+    "i -> w[i]), f := f)) AS st FROM words), " +
+    "it AS (" +
+    "SELECT 0 AS merge_rank, CAST(NULL AS VARCHAR) AS l, CAST(NULL AS VARCHAR) AS r, " +
+    "CAST(NULL AS BIGINT) AS c, (SELECT st FROM init) AS st " +
+    "UNION ALL " +
+    "SELECT merge_rank + 1, bl, br, bc, " +
+    "list_transform(st, w -> struct_pack(" +
+    "syms := list_reduce(list_transform(w.syms, s -> [s]), (acc, x) -> " +
+    "CASE WHEN acc[-1] = bl AND x[1] = br " +
+    "THEN list_append(acc[1:len(acc)-1], bl || br) " +
+    "ELSE list_append(acc, x[1]) END), " +
+    "f := w.f)) " +
+    "FROM (" +
+    "SELECT merge_rank, st, " +
+    "string_split(best0.k, chr(30))[1] AS bl, " +
+    "string_split(best0.k, chr(30))[2] AS br, " +
+    "-best0.nc AS bc " +
+    "FROM (" +
+    "SELECT merge_rank, st, " +
+    "list_sort(list_transform(" +
+    "list_distinct(list_transform(prs, p -> p.l || chr(30) || p.r)), " +
+    "d -> struct_pack(" +
+    "nc := -CAST(list_aggregate(list_transform(prs, " +
+    "p -> CASE WHEN p.l || chr(30) || p.r = d THEN p.f ELSE 0 END), 'sum') AS BIGINT), " +
+    "k := d)))[1] AS best0 " +
+    "FROM (" +
+    "SELECT merge_rank, st, " +
+    "flatten(list_transform(st, w -> list_transform(" +
+    "generate_series(1, len(w.syms) - 1), " +
+    "i -> struct_pack(l := w.syms[i], r := w.syms[i + 1], f := w.f)))) AS prs " +
+    "FROM it WHERE merge_rank < 12" +
+    ")) WHERE best0 IS NOT NULL))"
 
   /** 100-merge BPE table memo, one per (session, sf dir): the learned
     * artifact is 100 driver rows (a merge table, not data), so the memo
@@ -369,6 +424,24 @@ object ExtQueries {
         .select(col("doc_id"),
           TextAnalysis.extractHtmlText(wrappedHtml).as("clean_text"))
         .orderBy("doc_id"),
+      Some(s"WITH h AS (SELECT doc_id, $HtmlWrapSql AS ht FROM documents), " +
+        htmlExtractCtes("h") +
+        s" SELECT doc_id, $HtmlExtractedSql AS clean_text FROM d6 ORDER BY doc_id")),
+
+    // The parser-grade escape hatch on the SAME page corpus and oracle:
+    // HtmlExtraction.extractWithParser runs the pluggable partition-local
+    // parser (here the stub, byte-parity with the regex kernel — pinned in
+    // HtmlExtractionSpec) through its real mapPartitions stage, so the
+    // production swap point is priced in BENCH and hash-checked against
+    // the DuckDB extraction oracle, not just unit-tested.
+    Q("x_html_extract_parser",
+      (s, d) => {
+        val wrapped = Tables.documents(s, d)
+          .select(col("doc_id"), wrappedHtml.as("ht"))
+        HtmlExtraction.extractWithParser(wrapped, "ht", out = "clean_text")
+          .select(col("doc_id"), col("clean_text"))
+          .orderBy("doc_id")
+      },
       Some(s"WITH h AS (SELECT doc_id, $HtmlWrapSql AS ht FROM documents), " +
         htmlExtractCtes("h") +
         s" SELECT doc_id, $HtmlExtractedSql AS clean_text FROM d6 ORDER BY doc_id")),
@@ -1241,16 +1314,20 @@ object ExtQueries {
         "FROM q GROUP BY vec_id ORDER BY vec_id")),
 
     // BPE merge learning: the top-12 merges from corpus word
-    // frequencies — deterministic (ties break count desc, pair asc) but
-    // iterative, so rows-only; the exact merge sequence is pinned on
-    // the classic Sennrich fixture in tests. Runs the BATCHED learner
-    // (bitwise-identical table, test-pinned against the sequential
-    // reference; several merges per pair-count job).
+    // frequencies — deterministic (ties break count desc, pair asc), so
+    // ORACLE-CHECKED despite being iterative: the corpus vocabulary is
+    // small (31 word types at every sf), so the whole learner state fits
+    // in one list-valued row per DuckDB recursive-CTE iteration (see
+    // [[BpeOracleCtes]]). Runs the BATCHED learner (bitwise-identical
+    // table, test-pinned against the sequential reference; several
+    // merges per pair-count job).
     Q("x_bpe_merges",
       (s, d) => TextAnalysis.bpeLearnBatched(Tables.documents(s, d), "text",
           numMerges = 12)
         .orderBy("merge_rank"),
-      None),
+      Some(BpeOracleCtes +
+        " SELECT merge_rank, l AS \"left\", r AS \"right\", c AS pair_count " +
+        "FROM it WHERE merge_rank >= 1 ORDER BY merge_rank")),
 
     // The production-vocabulary shape of the same learner: 100 merges,
     // where one job per merge would be impractical — the batched rounds
@@ -1275,10 +1352,12 @@ object ExtQueries {
       None),
 
     // The full tokenizer lifecycle: learn the merge table, then ENCODE
-    // the corpus with it — per-doc subword counts plus the compression
-    // ratio vs raw characters. Rows-only (the learn stage is
-    // iterative); encode-side greedy-fold semantics are pinned in
-    // tests via learner-state parity.
+    // the corpus with it — per-doc subword counts. Oracle-checked: the
+    // encoder replays the learner's greedy fold in rank order, so
+    // encode(learn-corpus) reproduces the learner's FINAL symbol state
+    // word for word — the oracle takes the recursive CTE's last-round
+    // state and sums each document's per-token symbol counts from it,
+    // an independent restatement of that parity invariant.
     Q("x_bpe_subwords",
       (s, d) => {
         val docs = Tables.documents(s, d)
@@ -1290,7 +1369,14 @@ object ExtQueries {
           .select(col("doc_id"), size(col("subwords")).cast("long").as("n_subwords"))
           .orderBy("doc_id")
       },
-      None),
+      Some(BpeOracleCtes + ", " +
+        "fin AS (SELECT unnest(st) AS ws FROM (SELECT st FROM it ORDER BY merge_rank DESC LIMIT 1)), " +
+        "wl AS (SELECT array_to_string(ws.syms, '') AS w, len(ws.syms) AS k FROM fin), " +
+        "dt AS (SELECT doc_id, t FROM (SELECT doc_id, " +
+        "unnest(string_split_regex(text, ' +')) AS t FROM documents) WHERE length(t) > 0), " +
+        "cnt AS (SELECT dt.doc_id, sum(wl.k) AS n FROM dt JOIN wl ON dt.t = wl.w GROUP BY dt.doc_id) " +
+        "SELECT d.doc_id, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_subwords " +
+        "FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id ORDER BY d.doc_id")),
 
     // Tokenizer-vocabulary coverage: per-doc OOV fraction against the
     // corpus's top-20 tokens (vocabulary is 31 types at every sf, so
@@ -1811,16 +1897,19 @@ object ExtQueries {
     // Composed near-dup pipeline at its scale shape: one-pass banded
     // signatures (bandedSignatureRows) → compact-key equi-join candidates
     // → exact cosine verify on candidates only — no all-pairs product
-    // anywhere in the plan (asserted in SimilaritySpec). Threshold 0.5
-    // matches this corpus's top of the similarity range; 8-bit bands
-    // trade some recall at the threshold for a 5.7× smaller candidate set
-    // (the dedup-side trade — true duplicates at cos ≥ 0.9 are still
-    // caught w.p. ≈ 1). dim derives from the corpus's query vector, not a
+    // anywhere in the plan (asserted in SimilaritySpec). Threshold 0.4
+    // sits inside this corpus's populated similarity range (same cut as
+    // the oracle-green x_semantic_dedup), so the result is non-empty at
+    // every checked sf — a green here demonstrates recall on pairs that
+    // actually exist, not a vacuous 0-row match. 8-bit bands trade some
+    // recall at the threshold for a 5.7× smaller candidate set (the
+    // dedup-side trade — true duplicates at cos ≥ 0.9 are still caught
+    // w.p. ≈ 1). dim derives from the corpus's query vector, not a
     // hard-coded constant. Rows-only (hash-derived candidates).
     Q("x_cosine_near_dup_lsh",
       (s, d) => Similarity.cosineNearDupLsh(
           Tables.embeddings(s, d), "vec_id", "embedding", dim = queryVec(s, d).length,
-          minCos = 0.5, bitsPerBand = 8)
+          minCos = 0.4, bitsPerBand = 8)
         .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
         .orderBy("id1", "id2"),
       None),
@@ -1838,7 +1927,7 @@ object ExtQueries {
         val dim = queryVec(s, d).length
         val table = lshIndexTableFor(s, d, dim)
         Similarity.cosineNearDupLsh(Tables.embeddings(s, d), "vec_id", "embedding",
-            dim = dim, minCos = 0.5, bitsPerBand = 8, sigRows = Some(s.table(table)))
+            dim = dim, minCos = 0.4, bitsPerBand = 8, sigRows = Some(s.table(table)))
           .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
           .orderBy("id1", "id2")
       },

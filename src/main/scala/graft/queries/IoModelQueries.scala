@@ -169,6 +169,70 @@ object IoModelQueries {
         "COALESCE(min(CASE WHEN r.rmin > thr.t THEN r.period END), 0) AS anomaly_start " +
         "FROM r, thr GROUP BY thr.t")),
 
+    // §3.1 — the centralized trainer's prep dataflow as ONE plan
+    // (`src/training/trainer.py:44-82`): scan → truncate to a multiple of
+    // the chunk (P6) → ordered split, split point rounded UP (P7) →
+    // per-scope standardization (P11 — the trainer fits ONE scaler on the
+    // full frame over all load columns and a SEPARATE scaler on the train
+    // slice over the train columns only) → column-major channel stack
+    // (R1, `data.T.reshape((-1,1))`) → sliding windows over the stacked
+    // series (W1 — like the reference, windows run straight across the
+    // channel boundary). Every stage is the registered operator; the
+    // composite is what catches inter-stage ordering bugs the per-stage
+    // greens can't. Output = per-window summaries of both legs.
+    Q("trainer_prep_pipeline",
+      (s, d) => {
+        val base = ev(s, d).select(col("event_id"), col("value"),
+          col("user_id").cast("double").as("u"))
+        val trunc = Prep.truncateToMultiple(base, "event_id", 64)
+        val (train, _) = Prep.sequentialSplit(trunc, "event_id", 0.7, 64)
+        // full leg: scaler fit on the whole truncated frame, both channels
+        val fullStd = Prep.standardize(trunc, trunc, Seq("value", "u"))
+        val fullStacked = Prep.stackChannels(fullStd, "event_id", Seq("value", "u"))
+        // train leg: its own scaler, train columns only (train_columns ⊂
+        // load_columns in the reference config)
+        val trainStd = Prep.standardize(train, train, Seq("value"))
+        val trainStacked = Prep.stackChannels(trainStd, "event_id", Seq("value"))
+        def winSummary(df: org.apache.spark.sql.DataFrame, scope: String) =
+          Windows.slidingWindows(df, "global_idx", "value", 64, 32)
+            .select(lit(scope).as("scope"), col("window_id"),
+              round(aggregate(col("values"), lit(0.0), (a, v) => a + v) / 64, 6).as("w_avg"),
+              round(element_at(col("values"), 1), 6).as("first_v"),
+              round(element_at(col("values"), -1), 6).as("last_v"))
+        winSummary(fullStacked, "full")
+          .unionByName(winSummary(trainStacked, "train"))
+          .orderBy("scope", "window_id")
+      },
+      Some("WITH nn AS (SELECT count(*) - count(*) % 64 AS keep FROM events), " +
+        "tr AS (SELECT event_id, value, CAST(user_id AS DOUBLE) AS u " +
+        "FROM events, nn WHERE event_id < keep), " +
+        "spl AS (SELECT t + (64 - t % 64) AS split FROM " +
+        "(SELECT CAST(floor(count(*) * 0.7) AS BIGINT) AS t FROM tr)), " +
+        "trn AS (SELECT * FROM tr, spl WHERE event_id < split), " +
+        "fstat AS (SELECT avg(value) AS mv, stddev_samp(value) AS sv, " +
+        "avg(u) AS mu, stddev_samp(u) AS su FROM tr), " +
+        "fstd AS (SELECT event_id, (value - mv) / sv AS v0, (u - mu) / su AS v1 " +
+        "FROM tr, fstat), " +
+        "fn AS (SELECT count(*) AS n FROM fstd), " +
+        "fser AS (SELECT ch * n + event_id AS gidx, v FROM " +
+        "(SELECT 0 AS ch, event_id, v0 AS v FROM fstd " +
+        "UNION ALL SELECT 1, event_id, v1 FROM fstd), fn), " +
+        "fwin AS (SELECT gidx, count(*) OVER w AS cnt, avg(v) OVER w AS a, " +
+        "first_value(v) OVER w AS fv, last_value(v) OVER w AS lv FROM fser " +
+        "WINDOW w AS (ORDER BY gidx ROWS BETWEEN CURRENT ROW AND 63 FOLLOWING)), " +
+        "ffin AS (SELECT 'full' AS scope, gidx // 32 AS window_id, round(a, 6) AS w_avg, " +
+        "round(fv, 6) AS first_v, round(lv, 6) AS last_v FROM fwin " +
+        "WHERE gidx % 32 = 0 AND cnt = 64), " +
+        "tstat AS (SELECT avg(value) AS mv, stddev_samp(value) AS sv FROM trn), " +
+        "tstd AS (SELECT event_id, (value - mv) / sv AS v FROM trn, tstat), " +
+        "twin AS (SELECT event_id AS gidx, count(*) OVER w AS cnt, avg(v) OVER w AS a, " +
+        "first_value(v) OVER w AS fv, last_value(v) OVER w AS lv FROM tstd " +
+        "WINDOW w AS (ORDER BY event_id ROWS BETWEEN CURRENT ROW AND 63 FOLLOWING)), " +
+        "tfin AS (SELECT 'train' AS scope, gidx // 32 AS window_id, round(a, 6) AS w_avg, " +
+        "round(fv, 6) AS first_v, round(lv, 6) AS last_v FROM twin " +
+        "WHERE gidx % 32 = 0 AND cnt = 64) " +
+        "SELECT * FROM ffin UNION ALL SELECT * FROM tfin ORDER BY scope, window_id")),
+
     // Bearing annotation grid (reference src/data/bearing.py:35-51): the
     // per-segment stats + emphasis flags the reference's annotation plot
     // encodes, as one distributed aggregation.
@@ -295,6 +359,37 @@ object IoModelQueries {
             .map { case (h, c) => (c, h.last) }.toDF("client", "final_loss")
         } finally std.unpersist(blocking = false)
       },
-      None)
+      None),
+
+    // M10 protocol twin, oracle-checked: the same N-clients × R-rounds
+    // FedAvg round loop as m10_fedavg, but over FIXED per-client gradient
+    // vectors derived from data (per-client embedding-dim means) instead
+    // of nondeterministic training floats. The Spark side runs the actual
+    // iteration (FedAvg.protocolRounds — join + A5 mean per round); the
+    // oracle states the closed form w0 − lr·R·mean_k(g_k) that linearity
+    // implies, an independent derivation. Note mean-of-client-means ≠
+    // global mean when client sizes differ — the oracle checks exactly
+    // the unweighted-FedAvg semantics (aggregation.py:60-89).
+    Q("m10_fedavg_protocol",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select((col("vec_id") % 4).as("client"),
+            posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+          .filter(col("dim") < 8)
+          .select(col("client"), col("dim").cast("long").as("dim"), col("x"))
+        val grads = e.groupBy("client", "dim").agg(avg("x").as("g"))
+        val init = e.groupBy("dim").agg(avg("x").as("w"))
+        FedAvg.protocolRounds(init, grads, rounds = 3, lr = 0.1)
+          .select(col("dim"), round(col("w"), 6).as("w"))
+          .orderBy("dim")
+      },
+      Some("WITH dims AS (SELECT unnest(generate_series(0, 7)) AS dim), " +
+        "e AS (SELECT vec_id % 4 AS client, d.dim AS dim, " +
+        "CAST(embedding[d.dim + 1] AS DOUBLE) AS x FROM embeddings, dims d), " +
+        "g AS (SELECT client, dim, avg(x) AS g FROM e GROUP BY client, dim), " +
+        "init AS (SELECT dim, avg(x) AS w0 FROM e GROUP BY dim), " +
+        "gbar AS (SELECT dim, avg(g) AS gb FROM g GROUP BY dim) " +
+        "SELECT i.dim, round(i.w0 - 0.1 * 3 * gb.gb, 6) AS w " +
+        "FROM init i JOIN gbar gb ON i.dim = gb.dim ORDER BY i.dim"))
   )
 }

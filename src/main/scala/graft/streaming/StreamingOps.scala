@@ -201,26 +201,43 @@ object StreamingOps {
     * gram identity; parity pinned in StreamingSpec).
     */
   def scrubAtIngest(stream: DataFrame, idCol: String, textCol: String,
-                    dupGrams: DataFrame, k: Int): DataFrame = {
+                    dupGrams: DataFrame, k: Int,
+                    maxTableSize: Int = 1 << 22): DataFrame = {
     require(k > 0, s"need positive gram size, got $k")
     val hashes: Array[Long] = dupGrams
       .select(col("gram_hash")).distinct().orderBy("gram_hash")
       .collect().map(_.getLong(0))
+    // The embed-as-plan-constant design is sized for boilerplate-scale
+    // tables; failing loudly here beats silently collecting an
+    // ever-growing table to the driver — past the cap, route batches
+    // through the scrubFromStored join instead.
+    require(hashes.length <= maxTableSize,
+      s"stored gram table has ${hashes.length} distinct hashes " +
+        s"(> maxTableSize $maxTableSize) — too large to embed as a plan " +
+        "constant; run micro-batches through Dedup.scrubFromStored, or " +
+        "raise maxTableSize explicitly")
     val ws = split(col(textCol), " +")
-    // start positions whose k-gram hash is in the stored set; the guard
-    // keeps sequence() from running backwards on docs shorter than k
+    // start positions whose k-gram hash is in the stored set — an
+    // O(log m) codegen'd binary search per probe against the SORTED
+    // literal (array_contains would linear-scan all m hashes per
+    // position); the guard keeps sequence() from running backwards on
+    // docs shorter than k
     val starts = when(size(ws) >= k,
       filter(sequence(lit(0), size(ws) - k), p =>
-        array_contains(lit(hashes),
-          xxhash64(concat_ws(" ", slice(ws, p + lit(1), lit(k)))))))
+        graft.functions.GraftFunctions.sorted_long_contains(
+          xxhash64(concat_ws(" ", slice(ws, p + lit(1), lit(k)))), hashes)))
       .otherwise(array().cast("array<int>"))
     val covered = array_distinct(flatten(
       transform(starts, p => sequence(p, p + (k - 1)))))
+    // survivors via array_except (hash-set, O(tokens + covered)) rather
+    // than a per-token array_contains scan of the covered array — the
+    // same shape as the batch scrubWith
     stream.select(col(idCol),
       size(ws).cast("long").as("n_tokens"),
       size(covered).cast("long").as("n_dropped"),
-      array_join(filter(ws, (w, i) => !array_contains(covered, i)), " ")
-        .as("clean_text"))
+      array_join(transform(
+        array_except(sequence(lit(0), size(ws) - 1), covered),
+        i => element_at(ws, i + 1)), " ").as("clean_text"))
   }
 
   final case class KeyedValue(key: String, seq: Long, value: Double)

@@ -300,8 +300,11 @@ class EvalFunctionsSpec extends SparkSpec {
       seq = graft.ext.TextAnalysis.bpeLearn(corpus, "text", 8)
         .as[(Int, String, String, Long)].collect().toSeq
     }
+    // driverVocabLimit = 0 forces the distributed rounds — the path this
+    // test prices; the driver-tail regime is pinned separately below
     val batJobs = jobsDuring("bpe_bat") {
-      bat = graft.ext.TextAnalysis.bpeLearnBatched(corpus, "text", 8)
+      bat = graft.ext.TextAnalysis.bpeLearnBatched(corpus, "text", 8,
+          driverVocabLimit = 0L)
         .as[(Int, String, String, Long)].collect().toSeq
     }
     assert(bat == seq, s"batched learner diverged:\n$bat\n$seq")
@@ -319,20 +322,30 @@ class EvalFunctionsSpec extends SparkSpec {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val seq = graft.ext.TextAnalysis.bpeLearn(docs, "text", 40)
       .as[(Int, String, String, Long)].collect().toSeq
-    val bat = graft.ext.TextAnalysis.bpeLearnBatched(docs, "text", 40)
+    val bat = graft.ext.TextAnalysis.bpeLearnBatched(docs, "text", 40,
+        driverVocabLimit = 0L)
       .as[(Int, String, String, Long)].collect().toSeq
     assert(bat == seq, s"batched learner diverged on documents:\n$bat\n$seq")
+    // the DEFAULT (driver-tail) regime: same table, bitwise — the
+    // 31-word corpus is far under the collect limit
+    val batD = graft.ext.TextAnalysis.bpeLearnBatched(docs, "text", 40)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(batD == seq, s"driver-tail learner diverged on documents:\n$batD\n$seq")
     // chained merges: each winner feeds the next ((a,a)->(aa,a)->...),
     // so every batch must stop at one merge yet stay exact
     val chain = Seq((Seq.fill(3)("aaaaaaaa") :+ "bbbb").mkString(" ")).toDF("text")
     val seqC = graft.ext.TextAnalysis.bpeLearn(chain, "text", 6)
       .as[(Int, String, String, Long)].collect().toSeq
-    val batC = graft.ext.TextAnalysis.bpeLearnBatched(chain, "text", 6)
+    val batC = graft.ext.TextAnalysis.bpeLearnBatched(chain, "text", 6,
+        driverVocabLimit = 0L)
       .as[(Int, String, String, Long)].collect().toSeq
     assert(batC == seqC, s"batched learner diverged on chained merges:\n$batC\n$seqC")
+    val chainD = graft.ext.TextAnalysis.bpeLearnBatched(chain, "text", 6)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(chainD == seqC, s"driver-tail learner diverged on chained merges:\n$chainD\n$seqC")
     // tiny topK still exact (outside-top-K feeder bound engages)
     val batK = graft.ext.TextAnalysis.bpeLearnBatched(docs, "text", 40,
-        maxBatch = 4, topK = 4)
+        maxBatch = 4, topK = 4, driverVocabLimit = 0L)
       .as[(Int, String, String, Long)].collect().toSeq
     assert(batK == seq, s"batched learner diverged at topK=4:\n$batK\n$seq")
   }
