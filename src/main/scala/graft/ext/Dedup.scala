@@ -682,20 +682,31 @@ object Dedup {
                         covered: DataFrame): DataFrame = {
     val covPerDoc = covered
       .groupBy(col(idCol)).agg(sort_array(collect_list(col("_t"))).as("_cov"))
-    // Surviving positions via array_except (hash-set lookup, O(tokens +
-    // covered) per document and order-preserving on the ascending
-    // sequence) — a per-token array_contains probe of _cov would go
-    // quadratic on long, heavily-covered documents.
     df.select(col(idCol), split(col(textCol), " +").as("_ws"))
       .join(covPerDoc, Seq(idCol), "left")
       .withColumn("_cov", coalesce(col("_cov"), array().cast("array<int>")))
-      .select(col(idCol),
-        size(col("_ws")).cast("long").as("n_tokens"),
-        size(col("_cov")).cast("long").as("n_dropped"),
-        array_join(transform(
-          array_except(sequence(lit(0), size(col("_ws")) - 1), col("_cov")),
-          i => element_at(col("_ws"), i + 1)), " ").as("clean_text"))
+      .select(scrubOutputColumns(col(idCol), col("_ws"), col("_cov")): _*)
   }
+
+  /** Survivor-text reconstruction shared by the batch scrubbers and
+    * [[graft.streaming.StreamingOps.scrubAtIngest]]: given the token
+    * array and the SORTED covered-position array, emits (id, n_tokens,
+    * n_dropped, clean_text). One definition makes the pinned
+    * batch/streaming row-for-row parity structural rather than
+    * kept-in-sync-by-comment.
+    */
+  private[graft] def scrubOutputColumns(id: Column, ws: Column,
+                                        cov: Column): Seq[Column] = Seq(
+    id,
+    size(ws).cast("long").as("n_tokens"),
+    size(cov).cast("long").as("n_dropped"),
+    // Surviving positions via array_except (hash-set lookup, O(tokens +
+    // covered) and order-preserving on the ascending sequence) — a
+    // per-token array_contains probe of cov would go quadratic on long,
+    // heavily-covered documents.
+    array_join(transform(
+      array_except(sequence(lit(0), size(ws) - 1), cov),
+      i => element_at(ws, i + 1)), " ").as("clean_text"))
 
   /** Quality-aware canonical selection: given cluster labels (from
     * [[duplicateClusters]]) and a per-document quality score, keep the

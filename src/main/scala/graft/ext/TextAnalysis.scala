@@ -395,7 +395,12 @@ object TextAnalysis {
     require(maxBatch > 0 && topK >= maxBatch,
       s"need maxBatch > 0 and topK >= maxBatch, got $maxBatch / $topK")
     val words0 = bpeInitialWords(df, textCol).localCheckpoint()
-    if (driverVocabLimit > 0 && words0.count() <= driverVocabLimit) {
+    // Regime probe bounded by the limit itself: a plain count() would
+    // scan the full vocabulary (~1e8 rows at corpus scale) only to
+    // learn it exceeds the cap.
+    val probeCap = math.min(driverVocabLimit, Int.MaxValue - 1L).toInt
+    if (driverVocabLimit > 0 &&
+        words0.limit(probeCap + 1).count() <= driverVocabLimit) {
       val collected = words0.select(col("_f"), col("_syms")).collect()
         .map(r => (r.getLong(0), r.getSeq[String](1).toArray))
       Dedup.checkpointRdd(words0).foreach(_.unpersist(false))
@@ -1090,5 +1095,46 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(idCol), col("token"), col("tf"), col("rank"), col("tfidf"))
+  }
+
+  /** Overlapping token-window chunking — the context-window prep step
+    * that turns variable-length documents into fixed-size training /
+    * retrieval units: chunk starts every `stride` tokens, each chunk
+    * spans up to `chunkLen` tokens, and trailing fragments shorter than
+    * `minChunk` are dropped (a tail the stride already covered
+    * `chunkLen - stride` tokens of). `stride < chunkLen` gives the
+    * standard overlapping-context shape; `stride = chunkLen` gives
+    * disjoint packing.
+    *
+    * One narrow Generate per document (split → start sequence →
+    * posexplode → slice): no shuffle, no state — at corpus scale this
+    * runs at scan speed and streams per-document, so a 100 TB corpus
+    * chunks in one map stage. Contrast [[graft.window.Windows.temporalize]],
+    * which windows a VALUE SERIES across rows (chunk+halo exchange);
+    * here every chunk is contained in its own row.
+    *
+    * Output: (idCol, chunk_id, start_pos, n_tokens, chunk_text) — one
+    * row per kept chunk, `chunk_id` 0-based in start order,
+    * `start_pos` the 0-based token offset so spans can be mapped back
+    * to the source document.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkLen: Int, stride: Int,
+                     minChunk: Int = 1): DataFrame = {
+    require(chunkLen > 0 && stride > 0 && stride <= chunkLen,
+      s"need 0 < stride <= chunkLen, got stride=$stride chunkLen=$chunkLen")
+    require(minChunk >= 1 && minChunk <= chunkLen,
+      s"need 1 <= minChunk <= chunkLen, got $minChunk")
+    df.select(col(idCol), tokens(col(textCol)).as("_ws"))
+      .select(col(idCol), col("_ws"),
+        posexplode(sequence(lit(0), size(col("_ws")) - 1, lit(stride)))
+          .as(Seq("chunk_id", "start_pos")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        col("start_pos").cast("long").as("start_pos"),
+        slice(col("_ws"), col("start_pos") + 1, lit(chunkLen)).as("_chunk"))
+      .filter(size(col("_chunk")) >= minChunk)
+      .select(col(idCol), col("chunk_id"), col("start_pos"),
+        size(col("_chunk")).cast("long").as("n_tokens"),
+        array_join(col("_chunk"), " ").as("chunk_text"))
   }
 }

@@ -342,6 +342,38 @@ object Prep {
       .drop("_h", "_rs", "_rate")
   }
 
+  /** Skew-safe exact per-group top-k by SCORE — the per-domain cap rule
+    * (keep at most k documents per source, best-ranked first) that web
+    * corpus builds apply so no single domain dominates the mix.
+    * [[stratifiedTopK]]'s rate prefilter needs hash-uniform ranks; a
+    * quality score has no such distribution, so this takes the
+    * two-level route instead: rank within (group, salt) — `salts`
+    * deterministic `portableHash` buckets — keep k per salt, then rank
+    * the ≤ salts·k survivors per group. The global per-group top-k is
+    * a subset of the per-salt top-ks, so the result is EXACT, and no
+    * window ever serializes more than max(stratum/salts, salts·k) rows
+    * in one task — a billion-document domain costs salts parallel
+    * partial ranks, not one giant sorted partition.
+    *
+    * Ordering is (`score` desc, `idCol` asc) — the id tie-break makes
+    * the kept set deterministic under equal scores. Output: the kept
+    * rows plus `group_rank` (1-based within the group).
+    */
+  def groupTopK(df: DataFrame, groupCol: String, idCol: String,
+                score: Column, k: Int, salts: Int = 32): DataFrame = {
+    require(k > 0 && salts > 0, s"need k > 0 and salts > 0, got $k / $salts")
+    val w1 = Window.partitionBy(col(groupCol), col("_salt"))
+      .orderBy(score.desc, col(idCol).asc)
+    val w2 = Window.partitionBy(col(groupCol))
+      .orderBy(score.desc, col(idCol).asc)
+    df.withColumn("_salt", pmod(portableHash(col(idCol)), lit(salts)))
+      .withColumn("_r1", row_number().over(w1))
+      .filter(col("_r1") <= k)
+      .withColumn("group_rank", row_number().over(w2))
+      .filter(col("group_rank") <= k)
+      .drop("_salt", "_r1")
+  }
+
   /** P11 — z-score standardization. The reference fits scalers on three
     * different slices depending on call-site (full data, train slice, raw
     * file) — so the fit frame and the transform frame are explicit,

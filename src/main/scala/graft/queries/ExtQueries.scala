@@ -857,6 +857,42 @@ object ExtQueries {
         "SELECT doc_id, lang, CAST(rank AS BIGINT) AS sample_rank FROM r " +
         "WHERE rank <= 10 ORDER BY doc_id")),
 
+    // Per-source document cap (the RefinedWeb-style per-domain rule:
+    // keep at most k docs per source, best first — here longest, with
+    // the id tie-break). The engine runs the two-level salted ranking
+    // (no window sees a whole stratum); the ORACLE ranks every row per
+    // source in one window — the green hash certifies the salted
+    // decomposition is exact. Cap bites at every sf (25–250 docs per
+    // source vs k = 10).
+    Q("x_source_cap",
+      (s, d) => graft.prep.Prep.groupTopK(
+          Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars")),
+          "source", "doc_id", col("n_chars"), k = 10)
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          col("group_rank").cast("long").as("group_rank"))
+        .orderBy("source", "group_rank"),
+      Some("WITH r AS (SELECT source, doc_id, n_chars, row_number() OVER " +
+        "(PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank FROM documents) " +
+        "SELECT source, doc_id, n_chars, CAST(rank AS BIGINT) AS group_rank " +
+        "FROM r WHERE rank <= 10 ORDER BY source, group_rank")),
+
+    // Context-window chunking: overlapping 16-token chunks every 8
+    // tokens, tails under 4 tokens dropped — one narrow Generate per
+    // document, no shuffle. The oracle re-derives starts, slices, and
+    // the tail rule; docs are 10–99 tokens so multi-chunk output and
+    // dropped tails both occur at every sf.
+    Q("x_doc_chunks",
+      (s, d) => TextAnalysis.chunkDocuments(Tables.documents(s, d),
+          "doc_id", "text", chunkLen = 16, stride = 8, minChunk = 4)
+        .orderBy("doc_id", "chunk_id"),
+      Some("WITH t AS (SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1, 8)) AS st FROM t), " +
+        "c AS (SELECT doc_id, CAST(st // 8 AS BIGINT) AS chunk_id, " +
+        "CAST(st AS BIGINT) AS start_pos, toks[st + 1:st + 16] AS ch FROM s) " +
+        "SELECT doc_id, chunk_id, start_pos, CAST(len(ch) AS BIGINT) AS n_tokens, " +
+        "array_to_string(ch, ' ') AS chunk_text FROM c WHERE len(ch) >= 4 " +
+        "ORDER BY doc_id, chunk_id")),
+
     // Gopher intra-doc repetition: duplicate 3-gram fraction per doc —
     // a zero-shuffle narrow projection (array_distinct on hashed grams;
     // oracle counts string grams, the usual collision-free identity).
@@ -1318,12 +1354,28 @@ object ExtQueries {
     // ORACLE-CHECKED despite being iterative: the corpus vocabulary is
     // small (31 word types at every sf), so the whole learner state fits
     // in one list-valued row per DuckDB recursive-CTE iteration (see
-    // [[BpeOracleCtes]]). Runs the BATCHED learner (bitwise-identical
-    // table, test-pinned against the sequential reference; several
-    // merges per pair-count job).
+    // [[BpeOracleCtes]]). At this vocabulary size the learner takes its
+    // DRIVER-TAIL regime (the distributed rounds are priced and
+    // oracle-checked separately by x_bpe_merges_dist below; both
+    // regimes are parity-pinned in tests).
     Q("x_bpe_merges",
       (s, d) => TextAnalysis.bpeLearnBatched(Tables.documents(s, d), "text",
           numMerges = 12)
+        .orderBy("merge_rank"),
+      Some(BpeOracleCtes +
+        " SELECT merge_rank, l AS \"left\", r AS \"right\", c AS pair_count " +
+        "FROM it WHERE merge_rank >= 1 ORDER BY merge_rank")),
+
+    // The DISTRIBUTED batched rounds of the same learner, forced via
+    // driverVocabLimit = 0 — the regime a 100 TB corpus vocabulary
+    // (past the collect limit) takes. Identical output to x_bpe_merges
+    // by construction (bitwise parity is also test-pinned), so it
+    // shares the recursive-CTE oracle; registering it keeps the
+    // distributed path priced in BENCH and hash-checked every round
+    // rather than exercised only by tests.
+    Q("x_bpe_merges_dist",
+      (s, d) => TextAnalysis.bpeLearnBatched(Tables.documents(s, d), "text",
+          numMerges = 12, driverVocabLimit = 0L)
         .orderBy("merge_rank"),
       Some(BpeOracleCtes +
         " SELECT merge_rank, l AS \"left\", r AS \"right\", c AS pair_count " +

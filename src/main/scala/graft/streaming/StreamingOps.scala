@@ -204,18 +204,23 @@ object StreamingOps {
                     dupGrams: DataFrame, k: Int,
                     maxTableSize: Int = 1 << 22): DataFrame = {
     require(k > 0, s"need positive gram size, got $k")
-    val hashes: Array[Long] = dupGrams
-      .select(col("gram_hash")).distinct().orderBy("gram_hash")
-      .collect().map(_.getLong(0))
+    require(maxTableSize > 0 && maxTableSize < Int.MaxValue,
+      s"need 0 < maxTableSize < Int.MaxValue, got $maxTableSize")
     // The embed-as-plan-constant design is sized for boilerplate-scale
     // tables; failing loudly here beats silently collecting an
     // ever-growing table to the driver — past the cap, route batches
-    // through the scrubFromStored join instead.
-    require(hashes.length <= maxTableSize,
-      s"stored gram table has ${hashes.length} distinct hashes " +
-        s"(> maxTableSize $maxTableSize) — too large to embed as a plan " +
-        "constant; run micro-batches through Dedup.scrubFromStored, or " +
-        "raise maxTableSize explicitly")
+    // through the scrubFromStored join instead. The limit bounds what
+    // the driver materializes to maxTableSize+1 rows, so the guard
+    // fires BEFORE an oversized table can OOM the collect it polices.
+    val probed = dupGrams
+      .select(col("gram_hash")).distinct().limit(maxTableSize + 1)
+      .collect().map(_.getLong(0))
+    require(probed.length <= maxTableSize,
+      s"stored gram table has more than maxTableSize=$maxTableSize " +
+        "distinct hashes — too large to embed as a plan constant; run " +
+        "micro-batches through Dedup.scrubFromStored, or raise " +
+        "maxTableSize explicitly")
+    val hashes: Array[Long] = probed.sorted
     val ws = split(col(textCol), " +")
     // start positions whose k-gram hash is in the stored set — an
     // O(log m) codegen'd binary search per probe against the SORTED
@@ -229,15 +234,10 @@ object StreamingOps {
       .otherwise(array().cast("array<int>"))
     val covered = array_distinct(flatten(
       transform(starts, p => sequence(p, p + (k - 1)))))
-    // survivors via array_except (hash-set, O(tokens + covered)) rather
-    // than a per-token array_contains scan of the covered array — the
-    // same shape as the batch scrubWith
-    stream.select(col(idCol),
-      size(ws).cast("long").as("n_tokens"),
-      size(covered).cast("long").as("n_dropped"),
-      array_join(transform(
-        array_except(sequence(lit(0), size(ws) - 1), covered),
-        i => element_at(ws, i + 1)), " ").as("clean_text"))
+    // survivor reconstruction is the SAME expression as the batch
+    // scrubbers — shared helper, so the pinned parity is structural
+    stream.select(
+      graft.ext.Dedup.scrubOutputColumns(col(idCol), ws, covered): _*)
   }
 
   final case class KeyedValue(key: String, seq: Long, value: Double)

@@ -994,6 +994,30 @@ class EvalFunctionsSpec extends SparkSpec {
     assert(common.forall(_ == 0.0))
   }
 
+  test("ext: chunkDocuments — overlap, offsets, and the short-tail rule") {
+    // 10 tokens a0..a9: starts 0/4/8; the 8-start tail has 2 tokens
+    val docs = Seq(
+      (0L, (0 until 10).map(i => s"a$i").mkString(" ")),
+      (1L, "one two")).toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis.chunkDocuments(
+        docs, "doc_id", "text", chunkLen = 6, stride = 4, minChunk = 3)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "start_pos", "n_tokens", "chunk_text")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (0L, 0L, 0L, 6L, "a0 a1 a2 a3 a4 a5"),
+      (0L, 1L, 4L, 6L, "a4 a5 a6 a7 a8 a9"))) // 2-token tail dropped; doc 1 too
+    // stride = chunkLen gives disjoint full coverage, every token once
+    val disjoint = graft.ext.TextAnalysis.chunkDocuments(
+        docs, "doc_id", "text", chunkLen = 4, stride = 4)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "start_pos", "chunk_text")
+      .as[(Long, Long, String)].collect()
+    assert(disjoint.toSeq == Seq(
+      (0L, 0L, "a0 a1 a2 a3"), (0L, 4L, "a4 a5 a6 a7"), (0L, 8L, "a8 a9"),
+      (1L, 0L, "one two")))
+  }
+
   test("ext: sourceDivergence — KL is 0 for matching distributions, positive for skew") {
     // two sources with IDENTICAL token distributions → both KL = 0
     val same = Seq((0L, "a", "x x y"), (1L, "b", "x x y")).toDF("doc_id", "source", "text")

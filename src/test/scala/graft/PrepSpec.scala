@@ -211,4 +211,30 @@ class PrepSpec extends SparkSpec {
     val tiny = spark.range(10L).select(col("id"), lit("one").as("s"))
     assert(Prep.stratifiedTopK(tiny, "id", "s", k = 20).count() == 10L)
   }
+
+  test("groupTopK: salted decomposition equals the single-window top-k") {
+    // skewed strata (4900 / 90 / 10 rows) + heavy score ties
+    val df = spark.range(5000L).select(col("id"),
+      when(col("id") < 4900L, "big").when(col("id") < 4990L, "mid")
+        .otherwise("small").as("g"),
+      (col("id") % 7).cast("double").as("score"))
+    val got = Prep.groupTopK(df, "g", "id", col("score"), k = 12)
+      .select("g", "id", "score", "group_rank")
+      .as[(String, Long, Double, Int)].collect()
+    val expect = df.select(col("g"), col("id"), col("score"))
+      .as[(String, Long, Double)].collect()
+      .groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(12).zipWithIndex
+          .map { case (r, i) => (g, r._2, r._3, i + 1) }
+      }.toSet
+    assert(got.toSet == expect)
+    // a group smaller than k is kept whole
+    assert(got.count(_._1 == "small") == 10)
+    // exactness cannot depend on the salt count
+    val one = Prep.groupTopK(df, "g", "id", col("score"), k = 12, salts = 1)
+      .select("g", "id", "group_rank").as[(String, Long, Int)].collect().toSet
+    val many = Prep.groupTopK(df, "g", "id", col("score"), k = 12, salts = 7)
+      .select("g", "id", "group_rank").as[(String, Long, Int)].collect().toSet
+    assert(one == many)
+  }
 }
