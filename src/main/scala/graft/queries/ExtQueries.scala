@@ -67,13 +67,13 @@ object ExtQueries {
     * (l, r) because chr(30) is below every token byte), winner = first
     * element of the (−count, key) sort — count desc, then l asc, r asc,
     * the learner's exact tie-break — and the same greedy left-to-right
-    * fold as `applyMergeFold` via `list_reduce`. Stops at 12 merges or
-    * when no pair remains, like the learner. This is oracle-side
-    * restatement only — the Spark learner stays fully distributed; the
-    * oracle exploits the small vocabulary the way every oracle exploits
-    * small sf.
+    * fold as `applyMergeFold` via `list_reduce`. Stops at `numMerges`
+    * merges or when no pair remains, like the learner. This is
+    * oracle-side restatement only — the Spark learner stays fully
+    * distributed; the oracle exploits the small vocabulary the way
+    * every oracle exploits small sf.
     */
-  private val BpeOracleCtes: String =
+  private def bpeOracleCtes(numMerges: Int): String =
     "WITH RECURSIVE " +
     "tok AS (SELECT t FROM (SELECT unnest(string_split_regex(text, ' +')) AS t " +
     "FROM documents) WHERE length(t) > 0), " +
@@ -109,7 +109,7 @@ object ExtQueries {
     "flatten(list_transform(st, w -> list_transform(" +
     "generate_series(1, len(w.syms) - 1), " +
     "i -> struct_pack(l := w.syms[i], r := w.syms[i + 1], f := w.f)))) AS prs " +
-    "FROM it WHERE merge_rank < 12" +
+    "FROM it WHERE merge_rank < " + numMerges +
     ")) WHERE best0 IS NOT NULL))"
 
   /** 100-merge BPE table memo, one per (session, sf dir): the learned
@@ -1354,7 +1354,7 @@ object ExtQueries {
     // ORACLE-CHECKED despite being iterative: the corpus vocabulary is
     // small (31 word types at every sf), so the whole learner state fits
     // in one list-valued row per DuckDB recursive-CTE iteration (see
-    // [[BpeOracleCtes]]). At this vocabulary size the learner takes its
+    // [[bpeOracleCtes]]). At this vocabulary size the learner takes its
     // DRIVER-TAIL regime (the distributed rounds are priced and
     // oracle-checked separately by x_bpe_merges_dist below; both
     // regimes are parity-pinned in tests).
@@ -1362,7 +1362,7 @@ object ExtQueries {
       (s, d) => TextAnalysis.bpeLearnBatched(Tables.documents(s, d), "text",
           numMerges = 12)
         .orderBy("merge_rank"),
-      Some(BpeOracleCtes +
+      Some(bpeOracleCtes(12) +
         " SELECT merge_rank, l AS \"left\", r AS \"right\", c AS pair_count " +
         "FROM it WHERE merge_rank >= 1 ORDER BY merge_rank")),
 
@@ -1377,31 +1377,44 @@ object ExtQueries {
       (s, d) => TextAnalysis.bpeLearnBatched(Tables.documents(s, d), "text",
           numMerges = 12, driverVocabLimit = 0L)
         .orderBy("merge_rank"),
-      Some(BpeOracleCtes +
+      Some(bpeOracleCtes(12) +
         " SELECT merge_rank, l AS \"left\", r AS \"right\", c AS pair_count " +
         "FROM it WHERE merge_rank >= 1 ORDER BY merge_rank")),
 
     // The production-vocabulary shape of the same learner: 100 merges,
     // where one job per merge would be impractical — the batched rounds
     // are what make tokenizer training scale toward 32 k-merge vocabs.
+    // The 31-type corpus exhausts after 89 merges; the oracle's
+    // recursion stops the same way the learner does, so the whole
+    // 89-row table is hash-checked.
     Q("x_bpe_merges_100",
       (s, d) => TextAnalysis.bpeLearnBatched(Tables.documents(s, d), "text",
           numMerges = 100)
         .orderBy("merge_rank"),
-      None),
+      Some(bpeOracleCtes(100) +
+        " SELECT merge_rank, l AS \"left\", r AS \"right\", c AS pair_count " +
+        "FROM it WHERE merge_rank >= 1 ORDER BY merge_rank")),
 
     // The production ENCODE lifecycle over that table: the scalable
     // encoder (constant plan size, distinct-word encode + join-back)
     // applies the memoized 100-merge table, so this query prices
     // encoding alone — the expression-chain twin x_bpe_subwords stays
-    // the right tool at its 12-merge scale. Rows-only like the other
-    // learn-dependent queries; encoder parity is test-pinned.
+    // the right tool at its 12-merge scale. Oracle-checked like
+    // x_bpe_subwords (encode(learn-corpus) = the learner's final
+    // symbol state), here against the exhausted 89-merge state.
     Q("x_bpe_subwords_100",
       (s, d) => TextAnalysis.bpeEncodeScalable(Tables.documents(s, d),
           "doc_id", "text", bpe100For(s, d))
         .select(col("doc_id"), size(col("subwords")).cast("long").as("n_subwords"))
         .orderBy("doc_id"),
-      None),
+      Some(bpeOracleCtes(100) + ", " +
+        "fin AS (SELECT unnest(st) AS ws FROM (SELECT st FROM it ORDER BY merge_rank DESC LIMIT 1)), " +
+        "wl AS (SELECT array_to_string(ws.syms, '') AS w, len(ws.syms) AS k FROM fin), " +
+        "dt AS (SELECT doc_id, t FROM (SELECT doc_id, " +
+        "unnest(string_split_regex(text, ' +')) AS t FROM documents) WHERE length(t) > 0), " +
+        "cnt AS (SELECT dt.doc_id, sum(wl.k) AS n FROM dt JOIN wl ON dt.t = wl.w GROUP BY dt.doc_id) " +
+        "SELECT d.doc_id, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_subwords " +
+        "FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id ORDER BY d.doc_id")),
 
     // The full tokenizer lifecycle: learn the merge table, then ENCODE
     // the corpus with it — per-doc subword counts. Oracle-checked: the
@@ -1421,7 +1434,7 @@ object ExtQueries {
           .select(col("doc_id"), size(col("subwords")).cast("long").as("n_subwords"))
           .orderBy("doc_id")
       },
-      Some(BpeOracleCtes + ", " +
+      Some(bpeOracleCtes(12) + ", " +
         "fin AS (SELECT unnest(st) AS ws FROM (SELECT st FROM it ORDER BY merge_rank DESC LIMIT 1)), " +
         "wl AS (SELECT array_to_string(ws.syms, '') AS w, len(ws.syms) AS k FROM fin), " +
         "dt AS (SELECT doc_id, t FROM (SELECT doc_id, " +
