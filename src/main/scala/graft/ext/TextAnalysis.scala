@@ -1097,6 +1097,121 @@ object TextAnalysis {
       .select(col(idCol), col("token"), col("tf"), col("rank"), col("tfidf"))
   }
 
+  /** Winnowing document fingerprints (Schleimer et al. 2003, the MOSS
+    * scheme): hash every k-gram of tokens, then slide a w-gram window
+    * and keep each window's MINIMUM hash (rightmost on ties) — the
+    * guarantee is that any shared run of w + k − 1 tokens between two
+    * documents shares at least one selected fingerprint, at a density
+    * of ~2/(w+1) instead of every position. The positional complement
+    * to [[fingerprint]]/MinHash: selected (position, hash) pairs
+    * LOCALIZE where documents overlap, which is what plagiarism-style
+    * span attribution needs.
+    *
+    * Hashes are portable arithmetic, not engine hashes: token hash =
+    * char-code polynomial mod 2³¹−1 (base 31), k-gram hash = token-hash
+    * polynomial (base 131) — deliberately re-derivable in plain SQL so
+    * the whole selection is oracle-checkable (the same trade as
+    * [[graft.prep.Prep.portableHash]]; xxhash64 would be faster and
+    * stays the right choice where the hash itself need not be
+    * re-derived, as in [[fingerprint]]).
+    *
+    * One narrow per-document chain — no shuffle, no state. The
+    * token-hash and gram-hash arrays each materialize BELOW a
+    * single-element-explode Generate (the [[ngramCounts]] /
+    * bandedSignatureRows barrier pattern): without the barriers,
+    * CollapseProject re-inlines `_th` into every gram lambda and `_gh`
+    * into every window lambda, turning the chain O(n²·w·chars) per
+    * document — measured as a hang at 500 docs; with them each array is
+    * computed once per row and every downstream reference is an O(1)
+    * data read. Documents shorter than k tokens have no k-gram and emit
+    * nothing; documents with fewer than w grams are winnowed as one
+    * window.
+    *
+    * Output: (idCol, pos, gram_hash) — distinct selected fingerprints,
+    * `pos` the 0-based token offset of the selected k-gram.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 4, w: Int = 5): DataFrame = {
+    require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got $k / $w")
+    val M = 2147483647L // 2^31 - 1: keeps every intermediate < 2^39
+    def tokHash(t: Column): Column =
+      when(length(t) === 0, lit(0L)).otherwise(
+        aggregate(sequence(lit(1), length(t)), lit(0L),
+          (a, i) => pmod(a * lit(31L) + ascii(t.substr(i, lit(1))), lit(M))))
+    def gramHash(th: Column, p: Column): Column =
+      aggregate(sequence(lit(0), lit(k - 1)), lit(0L),
+        (a, j) => pmod(a * lit(131L) + element_at(th, p + j + 1), lit(M)))
+    val grams = df
+      .select(col(idCol), tokens(col(textCol)).as("_ws"))
+      .filter(size(col("_ws")) >= k)
+      .select(col(idCol),
+        transform(col("_ws"), t => tokHash(t)).as("_th"))
+      .select(col(idCol), col("_th"), explode(array(lit(0))).as("_b1"))
+      .select(col(idCol),
+        transform(sequence(lit(0), size(col("_th")) - k),
+          p => gramHash(col("_th"), p)).as("_gh"))
+      .select(col(idCol), col("_gh"), explode(array(lit(0))).as("_b2"))
+    // a short document (fewer than w grams) degrades to width = #grams:
+    // one whole-document window, the standard winnowing edge rule
+    val width = least(lit(w), size(col("_gh")))
+    def pick(gh: Column, q: Column): Column = {
+      val sl = slice(gh, q + 1, width)
+      val m = array_min(sl)
+      val j = array_max(filter(sequence(lit(0), width - 1),
+        jj => element_at(sl, jj + 1) === m))
+      struct((q + j).cast("long").as("pos"), m.as("gram_hash"))
+    }
+    grams
+      .select(col(idCol), array_distinct(
+        transform(sequence(lit(0), size(col("_gh")) - width),
+          q => pick(col("_gh"), q))).as("_fps"))
+      // explode_OUTER: a plain explode makes InferFiltersFromGenerate
+      // synthesize `size(_fps) > 0`, which pushes below both barriers
+      // and re-inlines the whole chain into one per-row filter (the
+      // exact blow-up the barriers exist to stop). The outer form skips
+      // the inference and is equivalent: ≥ 1 gram ⇒ ≥ 1 window ⇒ _fps
+      // is never empty.
+      .select(col(idCol), explode_outer(col("_fps")).as("_fp"))
+      .select(col(idCol), col("_fp.pos").as("pos"),
+        col("_fp.gram_hash").as("gram_hash"))
+  }
+
+  /** Corpus collocation mining: adjacent token pairs scored by
+    * pointwise mutual information — the lexical-statistics step that
+    * surfaces multiword expressions ("new york") worth protecting from
+    * tokenizers and augmenting retrieval with. PMI uses the bigram
+    * table's own marginals (pmi = ln(c₂·N / (c_l·c_r)) with N = Σc₂),
+    * so the score is self-consistent and fully re-derivable from the
+    * pair counts alone; pairs under `minCount` are dropped (rare pairs
+    * make PMI explode — the standard noise gate).
+    *
+    * Scale shape: one Generate + pair-keyed hash aggregate (map-side
+    * combined; the shuffle carries observed bigram TYPES, Heaps-bounded,
+    * not occurrences), marginals as two aggregates OF that table (tiny),
+    * and a broadcast N. No windows, no driver state. Output: (left,
+    * right, pair_count, pmi) for every qualifying pair.
+    */
+  def collocations(df: DataFrame, textCol: String,
+                   minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1, s"need minCount >= 1, got $minCount")
+    val pairs = df.select(tokens(col(textCol)).as("_ws"))
+      .filter(size(col("_ws")) >= 2)
+      .select(col("_ws"),
+        posexplode(sequence(lit(0), size(col("_ws")) - 2)).as(Seq("_p", "_d")))
+      .select(element_at(col("_ws"), col("_p") + 1).as("left"),
+        element_at(col("_ws"), col("_p") + 2).as("right"))
+    val c2 = pairs.groupBy("left", "right")
+      .agg(count(lit(1)).as("pair_count"))
+    val cl = c2.groupBy("left").agg(sum(col("pair_count")).as("_cl"))
+    val cr = c2.groupBy("right").agg(sum(col("pair_count")).as("_cr"))
+    val n = broadcast(c2.agg(sum(col("pair_count")).as("_n")))
+    c2.filter(col("pair_count") >= minCount)
+      .join(cl, "left").join(cr, "right").crossJoin(n)
+      .select(col("left"), col("right"), col("pair_count"),
+        log(col("pair_count") * col("_n") /
+          (col("_cl") * col("_cr")).cast("double")).as("pmi"))
+  }
+
   /** Overlapping token-window chunking — the context-window prep step
     * that turns variable-length documents into fixed-size training /
     * retrieval units: chunk starts every `stride` tokens, each chunk

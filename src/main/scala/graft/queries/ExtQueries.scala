@@ -893,6 +893,60 @@ object ExtQueries {
         "array_to_string(ch, ' ') AS chunk_text FROM c WHERE len(ch) >= 4 " +
         "ORDER BY doc_id, chunk_id")),
 
+    // Collocation mining: every adjacent pair with count >= 30 (the
+    // gate drops ~half the pair types at sf0.001/0.01), PMI from the
+    // bigram table's own marginals. The oracle restates counts,
+    // marginals, and the log — both engines round the one float to 6dp.
+    Q("x_collocations",
+      (s, d) => TextAnalysis.collocations(Tables.documents(s, d), "text",
+          minCount = 30L)
+        .select(col("left"), col("right"), col("pair_count"),
+          round(col("pmi"), 6).as("pmi"))
+        .orderBy("left", "right"),
+      Some("WITH t AS (SELECT string_split_regex(text, ' +') AS ws FROM documents), " +
+        "b AS (SELECT ws[p] AS l, ws[p + 1] AS r FROM " +
+        "(SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS p FROM t WHERE len(ws) >= 2)), " +
+        "c2 AS (SELECT l, r, CAST(count(*) AS BIGINT) AS pair_count FROM b GROUP BY l, r), " +
+        "cl AS (SELECT l, sum(pair_count) AS cl FROM c2 GROUP BY l), " +
+        "cr AS (SELECT r, sum(pair_count) AS cr FROM c2 GROUP BY r), " +
+        "n AS (SELECT sum(pair_count) AS n FROM c2) " +
+        "SELECT c2.l AS \"left\", c2.r AS \"right\", c2.pair_count, " +
+        "round(ln(c2.pair_count * n.n / CAST(cl.cl * cr.cr AS DOUBLE)), 6) AS pmi " +
+        "FROM c2 JOIN cl ON c2.l = cl.l JOIN cr ON c2.r = cr.r CROSS JOIN n " +
+        "WHERE c2.pair_count >= 30 ORDER BY \"left\", \"right\"")),
+
+    // Winnowing fingerprints (MOSS): min-hash per 5-gram-hash window,
+    // rightmost tie, distinct (pos, hash) per document. The hashes are
+    // portable polynomials, so the ORACLE re-derives the entire
+    // selection — char-code token hashes, 4-gram hashes, window minima,
+    // and the tie rule — in plain SQL.
+    Q("x_winnow_fingerprint",
+      (s, d) => TextAnalysis.winnowFingerprints(Tables.documents(s, d),
+          "doc_id", "text", k = 4, w = 5)
+        .orderBy("doc_id", "pos", "gram_hash"),
+      Some("WITH t AS (SELECT doc_id, string_split_regex(text, ' +') AS ws FROM documents), " +
+        "f AS (SELECT doc_id, ws FROM t WHERE len(ws) >= 4), " +
+        "th AS (SELECT doc_id, list_transform(ws, tk -> list_reduce(" +
+        "list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, length(tk)), " +
+        "i -> CAST(ord(tk[i]) AS BIGINT))), (a, c) -> (a * 31 + c) % 2147483647)) AS hs FROM f), " +
+        "gh AS (SELECT doc_id, list_transform(generate_series(1, len(hs) - 3), " +
+        "p -> list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(generate_series(0, 3), j -> hs[p + j])), " +
+        "(a, h) -> (a * 131 + h) % 2147483647)) AS gs FROM th), " +
+        "wn AS (SELECT doc_id, gs, least(5, len(gs)) AS wd FROM gh), " +
+        // (pos, hash) packed into one BIGINT for list_distinct (DuckDB
+        // can't dedupe struct lists); hash < 2^31 so the packing is
+        // lossless
+        "sel AS (SELECT doc_id, list_distinct(list_transform(" +
+        "generate_series(1, len(gs) - wd + 1), q -> " +
+        "(q - 1 + list_max(list_filter(generate_series(0, wd - 1), " +
+        "j -> gs[q + j] = list_aggregate(gs[q:q + wd - 1], 'min')))) * 4294967296 " +
+        "+ list_aggregate(gs[q:q + wd - 1], 'min'))) AS fps FROM wn), " +
+        "u AS (SELECT doc_id, unnest(fps) AS fp FROM sel) " +
+        "SELECT doc_id, CAST(fp // 4294967296 AS BIGINT) AS pos, " +
+        "CAST(fp % 4294967296 AS BIGINT) AS gram_hash " +
+        "FROM u ORDER BY doc_id, pos, gram_hash")),
+
     // Gopher intra-doc repetition: duplicate 3-gram fraction per doc —
     // a zero-shuffle narrow projection (array_distinct on hashed grams;
     // oracle counts string grams, the usual collision-free identity).

@@ -1018,6 +1018,60 @@ class EvalFunctionsSpec extends SparkSpec {
       (1L, 0L, "one two")))
   }
 
+  test("ext: winnowFingerprints matches a sequential reference, incl. ties and short docs") {
+    val M = 2147483647L
+    def tokHash(t: String): Long = t.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % M)
+    def winnow(text: String, k: Int, w: Int): Set[(Long, Long)] = {
+      val ws = text.split(" +")
+      if (ws.length < k) return Set.empty
+      val th = ws.map(tokHash)
+      val gh = (0 to ws.length - k).map(p =>
+        (0 until k).foldLeft(0L)((a, j) => (a * 131 + th(p + j)) % M))
+      val wd = math.min(w, gh.length)
+      (0 to gh.length - wd).map { q =>
+        val sl = gh.slice(q, q + wd)
+        val m = sl.min
+        val j = sl.lastIndexOf(m) // rightmost tie
+        ((q + j).toLong, m)
+      }.toSet
+    }
+    val texts = Seq(
+      0L -> "a b c d e f g h i j",        // 7 grams, 3 windows
+      1L -> "z1 z2 z3 c d e f g h i j",   // shares the 8-token run c..j
+      2L -> "x y x y x y x y",            // all-tie windows → rightmost
+      3L -> "p q r s t",                  // 2 grams < w → one window
+      4L -> "u v w")                      // < k tokens → no output
+    val docs = texts.toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis.winnowFingerprints(docs, "doc_id", "text", k = 4, w = 5)
+      .select("doc_id", "pos", "gram_hash").as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    texts.foreach { case (id, tx) =>
+      val exp = winnow(tx, 4, 5)
+      assert(got.getOrElse(id, Set.empty) == exp, s"doc $id")
+    }
+    assert(!got.contains(4L) && got(3L).size == 1)
+    // the winnowing guarantee: an 8-token (w+k-1) shared run ⇒ shared fingerprint hash
+    assert(got(0L).map(_._2).intersect(got(1L).map(_._2)).nonEmpty)
+  }
+
+  test("ext: collocations — PMI from bigram-table marginals, minCount gate") {
+    val docs = Seq((0L, "a b a b"), (1L, "a b c")).toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis.collocations(docs, "text", minCount = 1L)
+      .select("left", "right", "pair_count", "pmi")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => ((r._1, r._2), (r._3, r._4))).toMap
+    // c2: (a,b)=3, (b,a)=1, (b,c)=1; N=5; cl: a=3, b=2; cr: b=3, a=1, c=1
+    assert(got.keySet == Set(("a", "b"), ("b", "a"), ("b", "c")))
+    assert(got(("a", "b"))._1 == 3L)
+    assert(math.abs(got(("a", "b"))._2 - math.log(5.0 / 3.0)) < 1e-12)
+    assert(math.abs(got(("b", "a"))._2 - math.log(2.5)) < 1e-12)
+    assert(math.abs(got(("b", "c"))._2 - math.log(2.5)) < 1e-12)
+    // the noise gate drops singleton pairs
+    val gated = graft.ext.TextAnalysis.collocations(docs, "text", minCount = 2L)
+      .select("left", "right").as[(String, String)].collect()
+    assert(gated.toSeq == Seq(("a", "b")))
+  }
+
   test("ext: sourceDivergence — KL is 0 for matching distributions, positive for skew") {
     // two sources with IDENTICAL token distributions → both KL = 0
     val same = Seq((0L, "a", "x x y"), (1L, "b", "x x y")).toDF("doc_id", "source", "text")

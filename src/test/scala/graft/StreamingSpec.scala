@@ -278,6 +278,37 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming chunking: context-window chunks at ingest match the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    // one narrow Generate per document — composes onto a stream with
+    // zero state, like the other narrow text ops at ingest
+    val out = graft.ext.TextAnalysis.chunkDocuments(
+      df, "doc_id", "text", chunkLen = 6, stride = 4, minChunk = 3)
+    val query = out.writeStream.format("memory").queryName("chunk_out")
+      .outputMode("append").start()
+    try {
+      val texts = Seq(
+        10L -> (0 until 11).map(i => s"t$i").mkString(" "),
+        11L -> "a b c d e f g h",
+        12L -> "x y") // < minChunk after chunking → no rows
+      input.addData(texts.take(2))
+      query.processAllAvailable()
+      input.addData(texts.drop(2))
+      query.processAllAvailable()
+      val got = spark.table("chunk_out")
+        .select("doc_id", "chunk_id", "start_pos", "n_tokens", "chunk_text")
+        .as[(Long, Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+      val batch = graft.ext.TextAnalysis.chunkDocuments(
+          texts.toDF("doc_id", "text"), "doc_id", "text",
+          chunkLen = 6, stride = 4, minChunk = 3)
+        .as[(Long, Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+      assert(got.toSeq == batch.toSeq && got.nonEmpty)
+      assert(!got.exists(_._1 == 12L))
+    } finally query.stop()
+  }
+
   test("streaming decontamination: ingest flags match the batch operator row-for-row") {
     implicit val sqlCtx = spark.sqlContext
     val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
