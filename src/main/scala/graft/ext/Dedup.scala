@@ -262,6 +262,45 @@ object Dedup {
       .distinct()
   }
 
+  /** Near-dup candidate pairs from winnowing fingerprints
+    * ([[graft.ext.TextAnalysis.winnowFingerprints]]): documents sharing
+    * at least `minShared` selected fingerprints. Where MinHash banding
+    * answers "how SIMILAR are these sets" probabilistically, winnowing
+    * candidates carry the exact-substring guarantee — any shared run of
+    * w + k − 1 tokens shares a fingerprint, so sufficiently long copies
+    * are caught with certainty — and the portable hashes make the whole
+    * candidate set oracle-checkable, which no xxhash-seeded lane can be.
+    *
+    * Scale shape: per-doc fingerprint sets are ~2/(w+1) of gram count;
+    * fingerprints appearing in more than `maxDocFreq` documents are
+    * dropped before pairing (a stop-gram fingerprint shared by f docs
+    * would emit f²/2 pairs — the same quadratic boilerplate blow-up the
+    * LSH bucket caps guard against; callers wanting those spans should
+    * run [[duplicatedSpans]], which aggregates them per-document
+    * instead of per-pair). The pair join is a fingerprint-keyed equi
+    * join with id1 < id2 as residual, then one pair-keyed count.
+    *
+    * Output: (id1, id2, n_shared), id1 < id2.
+    */
+  def winnowCandidates(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 4, w: Int = 5,
+                       maxDocFreq: Long = 64L, minShared: Long = 2L): DataFrame = {
+    require(maxDocFreq >= 2 && minShared >= 1,
+      s"need maxDocFreq >= 2 and minShared >= 1, got $maxDocFreq / $minShared")
+    val fp = graft.ext.TextAnalysis.winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col(idCol).as("_id"), col("gram_hash")).distinct()
+    val rare = fp.groupBy("gram_hash")
+      .agg(count(lit(1)).as("_df")).filter(col("_df") <= maxDocFreq)
+      .select("gram_hash")
+    val gated = fp.join(rare, "gram_hash")
+    gated.as("a")
+      .join(gated.as("b"),
+        col("a.gram_hash") === col("b.gram_hash") && col("a._id") < col("b._id"))
+      .groupBy(col("a._id").as("id1"), col("b._id").as("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** SimHash: 64-bit signature where bit i is the sign of the weighted sum
     * of token-hash bit i. Narrow per-row computation; near-dups differ in
     * few bits → candidate join on 4 16-bit bands (any equal band =

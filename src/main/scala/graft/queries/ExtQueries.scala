@@ -947,6 +947,34 @@ object ExtQueries {
         "CAST(fp % 4294967296 AS BIGINT) AS gram_hash " +
         "FROM u ORDER BY doc_id, pos, gram_hash")),
 
+    // Winnowing near-dup CANDIDATES — the oracle-checkable counterpart
+    // of x_minhash_lsh: docs sharing >= 2 selected fingerprints, stop
+    // fingerprints (df > 64) dropped before pairing. 27/24/282 pairs at
+    // sf0.001/0.01/0.1 — the gate and the pairing both bite everywhere.
+    Q("x_winnow_pairs",
+      (s, d) => Dedup.winnowCandidates(Tables.documents(s, d),
+          "doc_id", "text", k = 4, w = 5)
+        .orderBy("id1", "id2"),
+      Some("WITH t AS (SELECT doc_id, string_split_regex(text, ' +') AS ws FROM documents), " +
+        "f AS (SELECT doc_id, ws FROM t WHERE len(ws) >= 4), " +
+        "th AS (SELECT doc_id, list_transform(ws, tk -> list_reduce(" +
+        "list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, length(tk)), " +
+        "i -> CAST(ord(tk[i]) AS BIGINT))), (a, c) -> (a * 31 + c) % 2147483647)) AS hs FROM f), " +
+        "gh AS (SELECT doc_id, list_transform(generate_series(1, len(hs) - 3), " +
+        "p -> list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(generate_series(0, 3), j -> hs[p + j])), " +
+        "(a, h) -> (a * 131 + h) % 2147483647)) AS gs FROM th), " +
+        "wn AS (SELECT doc_id, gs, least(5, len(gs)) AS wd FROM gh), " +
+        "sel AS (SELECT doc_id, list_distinct(list_transform(" +
+        "generate_series(1, len(gs) - wd + 1), q -> " +
+        "list_aggregate(gs[q:q + wd - 1], 'min'))) AS fps FROM wn), " +
+        "u AS (SELECT DISTINCT doc_id, unnest(fps) AS h FROM sel), " +
+        "dfc AS (SELECT h FROM (SELECT h, count(*) AS df FROM u GROUP BY h) WHERE df <= 64), " +
+        "g2 AS (SELECT u.doc_id, u.h FROM u JOIN dfc ON u.h = dfc.h), " +
+        "pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(count(*) AS BIGINT) AS n_shared " +
+        "FROM g2 a JOIN g2 b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT id1, id2, n_shared FROM pr WHERE n_shared >= 2 ORDER BY id1, id2")),
+
     // Gopher intra-doc repetition: duplicate 3-gram fraction per doc —
     // a zero-shuffle narrow projection (array_distinct on hashed grams;
     // oracle counts string grams, the usual collision-free identity).

@@ -1054,6 +1054,26 @@ class EvalFunctionsSpec extends SparkSpec {
     assert(got(0L).map(_._2).intersect(got(1L).map(_._2)).nonEmpty)
   }
 
+  test("ext: winnowCandidates — shared-run pairs found, stop fingerprints gated") {
+    val run = (0 until 12).map(i => s"s$i").mkString(" ") // ≥ w+k−1 ⇒ guaranteed shared fingerprint
+    val docs = Seq(
+      (0L, s"alpha beta $run gamma delta"),
+      (1L, s"$run epsilon zeta eta theta"),
+      (2L, "totally different words with no overlap at all in here")).toDF("doc_id", "text")
+    val got = graft.ext.Dedup.winnowCandidates(docs, "doc_id", "text",
+        k = 4, w = 5, minShared = 1L)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(got.contains((0L, 1L)))
+    assert(!got.exists(p => p._1 == 2L || p._2 == 2L))
+    // a fingerprint shared by MORE than maxDocFreq docs is a stop gram:
+    // 10 identical docs pair fully without the gate, not at all with it
+    val many = (0 until 10).map(i => (i.toLong, run)).toDF("doc_id", "text")
+    assert(graft.ext.Dedup.winnowCandidates(many, "doc_id", "text",
+      k = 4, w = 5, maxDocFreq = 3L, minShared = 1L).count() == 0L)
+    assert(graft.ext.Dedup.winnowCandidates(many, "doc_id", "text",
+      k = 4, w = 5, maxDocFreq = 64L, minShared = 1L).count() == 45L)
+  }
+
   test("ext: collocations — PMI from bigram-table marginals, minCount gate") {
     val docs = Seq((0L, "a b a b"), (1L, "a b c")).toDF("doc_id", "text")
     val got = graft.ext.TextAnalysis.collocations(docs, "text", minCount = 1L)
