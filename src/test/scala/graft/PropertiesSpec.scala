@@ -217,6 +217,61 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: chunkDocuments covers every token; disjoint mode rebuilds the doc") {
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      toks <- Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd"))
+      chunkLen <- Gen.choose(1, 12)
+      stride <- Gen.choose(1, chunkLen)
+    } yield (toks, chunkLen, stride)
+    cases(gen, 6).foreach { case (toks, chunkLen, stride) =>
+      val docs = Seq((7L, toks.mkString(" "))).toDF("doc_id", "text")
+      val got = graft.ext.TextAnalysis.chunkDocuments(
+          docs, "doc_id", "text", chunkLen, stride, minChunk = 1)
+        .orderBy("chunk_id")
+        .select("chunk_id", "start_pos", "chunk_text")
+        .as[(Long, Long, String)].collect().toSeq
+      // chunk count and starts are pure stride arithmetic
+      assert(got.map(_._2) == (0 until toks.size by stride).map(_.toLong))
+      // with minChunk = 1 every token position is covered by ≥ 1 chunk
+      val covered = got.flatMap { case (_, s, t) =>
+        s.toInt until (s.toInt + t.split(" +").length) }.toSet
+      assert(covered == toks.indices.toSet, s"L=$chunkLen s=$stride")
+      // disjoint mode (stride = chunkLen) rebuilds the document exactly
+      if (stride == chunkLen)
+        assert(got.map(_._3).mkString(" ") == toks.mkString(" "))
+    }
+  }
+
+  test("property: winnowFingerprints equals the sequential reference on random docs") {
+    val M = 2147483647L
+    def tokHash(t: String): Long = t.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % M)
+    def winnow(ws: Seq[String], k: Int, w: Int): Set[(Long, Long)] = {
+      if (ws.length < k) return Set.empty
+      val th = ws.map(tokHash)
+      val gh = (0 to ws.length - k).map(p =>
+        (0 until k).foldLeft(0L)((a, j) => (a * 131 + th(p + j)) % M))
+      val wd = math.min(w, gh.length)
+      (0 to gh.length - wd).map { q =>
+        val sl = gh.slice(q, q + wd)
+        ((q + sl.lastIndexOf(sl.min)).toLong, sl.min)
+      }.toSet
+    }
+    val gen = for {
+      n <- Gen.choose(1, 40)
+      // tiny vocabulary makes repeated grams (hash ties) common
+      toks <- Gen.listOfN(n, Gen.oneOf("x", "y"))
+      k <- Gen.choose(1, 5)
+      w <- Gen.choose(1, 7)
+    } yield (toks, k, w)
+    cases(gen, 6).foreach { case (toks, k, w) =>
+      val docs = Seq((3L, toks.mkString(" "))).toDF("doc_id", "text")
+      val got = graft.ext.TextAnalysis.winnowFingerprints(docs, "doc_id", "text", k, w)
+        .select("pos", "gram_hash").as[(Long, Long)].collect().toSet
+      assert(got == winnow(toks, k, w), s"k=$k w=$w toks=$toks")
+    }
+  }
+
   test("property: bpeEncode subwords always concatenate back to the original words") {
     val word = Gen.choose(1, 8).flatMap(len =>
       Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d")).map(_.mkString))
