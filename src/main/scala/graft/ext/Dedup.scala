@@ -301,6 +301,45 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** [[winnowCandidates]] against a STORED fingerprint index (the
+    * written output of [[graft.ext.TextAnalysis.winnowFingerprints]],
+    * 16 bytes per (doc, pos) selection): new batches pair against the
+    * corpus history without re-fingerprinting it — the incremental
+    * lifecycle every stored lane here follows (dupGramTable,
+    * ngramPairs, the LSH signature index). Stop fingerprints are capped
+    * by their HISTORY document frequency (history defines what counts
+    * as boilerplate). A stored index built at different (k, w) selects
+    * different fingerprints and would silently miss everything — the
+    * build-time stamp is checked when present.
+    *
+    * Output: (batch_id, stored_id, n_shared).
+    */
+  def winnowCandidatesFromStored(batch: DataFrame, idCol: String, textCol: String,
+                                 storedFp: DataFrame, storedIdCol: String,
+                                 k: Int = 4, w: Int = 5,
+                                 maxDocFreq: Long = 64L, minShared: Long = 2L): DataFrame = {
+    require(maxDocFreq >= 1 && minShared >= 1,
+      s"need maxDocFreq >= 1 and minShared >= 1, got $maxDocFreq / $minShared")
+    storedFp.schema.find(_.name == "gram_hash").map(_.metadata)
+      .filter(m => m.contains("winnow_k") || m.contains("winnow_w")).foreach { m =>
+        require(m.getLong("winnow_k") == k.toLong && m.getLong("winnow_w") == w.toLong,
+          s"stored fingerprint index was built at k=${m.getLong("winnow_k")}, " +
+            s"w=${m.getLong("winnow_w")} but the probe runs k=$k, w=$w — " +
+            "pass matching parameters or rebuild the index")
+      }
+    val bfp = graft.ext.TextAnalysis.winnowFingerprints(batch, idCol, textCol, k, w)
+      .select(col(idCol).as("batch_id"), col("gram_hash")).distinct()
+    val sfp = storedFp
+      .select(col(storedIdCol).as("stored_id"), col("gram_hash")).distinct()
+    val rare = sfp.groupBy("gram_hash")
+      .agg(count(lit(1)).as("_df")).filter(col("_df") <= maxDocFreq)
+      .select("gram_hash")
+    bfp.join(sfp.join(rare, "gram_hash"), "gram_hash")
+      .groupBy(col("batch_id"), col("stored_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** SimHash: 64-bit signature where bit i is the sign of the weighted sum
     * of token-hash bit i. Narrow per-row computation; near-dups differ in
     * few bits → candidate join on 4 16-bit bands (any equal band =

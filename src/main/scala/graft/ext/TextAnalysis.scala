@@ -1173,7 +1173,13 @@ object TextAnalysis {
       // is never empty.
       .select(col(idCol), explode_outer(col("_fps")).as("_fp"))
       .select(col(idCol), col("_fp.pos").as("pos"),
-        col("_fp.gram_hash").as("gram_hash"))
+        // build-time (k, w) stamped as field metadata (survives the
+        // parquet round-trip) so a stored fingerprint index probed at
+        // different parameters fails loudly — the ngramPairs contract
+        col("_fp.gram_hash").as("gram_hash",
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("winnow_k", k.toLong).putLong("winnow_w", w.toLong)
+            .build()))
   }
 
   /** Corpus collocation mining: adjacent token pairs scored by

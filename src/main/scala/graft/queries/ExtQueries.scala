@@ -975,6 +975,44 @@ object ExtQueries {
         "FROM g2 a JOIN g2 b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
         "SELECT id1, id2, n_shared FROM pr WHERE n_shared >= 2 ORDER BY id1, id2")),
 
+    // The stored-index half of the winnowing lifecycle: every 5th doc is
+    // the fingerprint HISTORY, the rest probe it as the new batch —
+    // history is never re-fingerprinted at probe time in the operator
+    // contract (here both sides compute inline, like x_dedup_incremental).
+    // 11/13/99 pairs at sf0.001/0.01/0.1.
+    Q("x_winnow_stored",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val hist = TextAnalysis.winnowFingerprints(
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", k = 4, w = 5)
+        Dedup.winnowCandidatesFromStored(
+            docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+            hist, "doc_id", k = 4, w = 5)
+          .orderBy("batch_id", "stored_id")
+      },
+      Some("WITH t AS (SELECT doc_id, string_split_regex(text, ' +') AS ws FROM documents), " +
+        "f AS (SELECT doc_id, ws FROM t WHERE len(ws) >= 4), " +
+        "th AS (SELECT doc_id, list_transform(ws, tk -> list_reduce(" +
+        "list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, length(tk)), " +
+        "i -> CAST(ord(tk[i]) AS BIGINT))), (a, c) -> (a * 31 + c) % 2147483647)) AS hs FROM f), " +
+        "gh AS (SELECT doc_id, list_transform(generate_series(1, len(hs) - 3), " +
+        "p -> list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(generate_series(0, 3), j -> hs[p + j])), " +
+        "(a, h) -> (a * 131 + h) % 2147483647)) AS gs FROM th), " +
+        "wn AS (SELECT doc_id, gs, least(5, len(gs)) AS wd FROM gh), " +
+        "sel AS (SELECT doc_id, list_distinct(list_transform(" +
+        "generate_series(1, len(gs) - wd + 1), q -> " +
+        "list_aggregate(gs[q:q + wd - 1], 'min'))) AS fps FROM wn), " +
+        "u AS (SELECT DISTINCT doc_id, unnest(fps) AS h FROM sel), " +
+        "hist AS (SELECT * FROM u WHERE doc_id % 5 = 0), " +
+        "bat AS (SELECT * FROM u WHERE doc_id % 5 <> 0), " +
+        "dfc AS (SELECT h FROM (SELECT h, count(*) AS df FROM hist GROUP BY h) WHERE df <= 64), " +
+        "hg AS (SELECT hist.doc_id, hist.h FROM hist JOIN dfc ON hist.h = dfc.h), " +
+        "pr AS (SELECT bat.doc_id AS batch_id, hg.doc_id AS stored_id, " +
+        "CAST(count(*) AS BIGINT) AS n_shared FROM bat JOIN hg ON bat.h = hg.h GROUP BY 1, 2) " +
+        "SELECT batch_id, stored_id, n_shared FROM pr WHERE n_shared >= 2 " +
+        "ORDER BY batch_id, stored_id")),
+
     // Gopher intra-doc repetition: duplicate 3-gram fraction per doc —
     // a zero-shuffle narrow projection (array_distinct on hashed grams;
     // oracle counts string grams, the usual collision-free identity).

@@ -1074,6 +1074,30 @@ class EvalFunctionsSpec extends SparkSpec {
       k = 4, w = 5, maxDocFreq = 64L, minShared = 1L).count() == 45L)
   }
 
+  test("ext: winnowCandidatesFromStored — write→reload→probe parity, (k,w) stamp checked") {
+    val run = (0 until 12).map(i => s"s$i").mkString(" ")
+    val hist = Seq((0L, s"alpha beta $run gamma delta"),
+      (2L, "totally different words with no overlap in them at all")).toDF("doc_id", "text")
+    val batch = Seq((11L, s"$run epsilon zeta eta theta")).toDF("doc_id", "text")
+    val fp = graft.ext.TextAnalysis.winnowFingerprints(hist, "doc_id", "text", k = 4, w = 5)
+    val dir = java.nio.file.Files.createTempDirectory("winnow_idx").toString
+    fp.write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val got = graft.ext.Dedup.winnowCandidatesFromStored(
+        batch, "doc_id", "text", stored, "doc_id", k = 4, w = 5, minShared = 1L)
+      .select("batch_id", "stored_id").as[(Long, Long)].collect().toSet
+    val inline = graft.ext.Dedup.winnowCandidatesFromStored(
+        batch, "doc_id", "text", fp, "doc_id", k = 4, w = 5, minShared = 1L)
+      .select("batch_id", "stored_id").as[(Long, Long)].collect().toSet
+    assert(got == inline && got == Set((11L, 0L)))
+    // the metadata stamp survives parquet and blocks a mismatched probe
+    val e = intercept[IllegalArgumentException] {
+      graft.ext.Dedup.winnowCandidatesFromStored(
+        batch, "doc_id", "text", stored, "doc_id", k = 3, w = 5)
+    }
+    assert(e.getMessage.contains("built at k=4"))
+  }
+
   test("ext: collocations — PMI from bigram-table marginals, minCount gate") {
     val docs = Seq((0L, "a b a b"), (1L, "a b c")).toDF("doc_id", "text")
     val got = graft.ext.TextAnalysis.collocations(docs, "text", minCount = 1L)
