@@ -287,8 +287,23 @@ object Dedup {
                        maxDocFreq: Long = 64L, minShared: Long = 2L): DataFrame = {
     require(maxDocFreq >= 2 && minShared >= 1,
       s"need maxDocFreq >= 2 and minShared >= 1, got $maxDocFreq / $minShared")
-    val fp = graft.ext.TextAnalysis.winnowFingerprints(df, idCol, textCol, k, w)
-      .select(col(idCol).as("_id"), col("gram_hash")).distinct()
+    winnowPairsFrom(
+      graft.ext.TextAnalysis.winnowFingerprints(df, idCol, textCol, k, w)
+        .select(col(idCol).as("_id"), col("gram_hash"))
+        // both self-join sides and the stop-gram count read this frame —
+        // materialize the 16-byte-per-row selection once (the
+        // winnowMatches trade; measured 2× otherwise)
+        .localCheckpoint(),
+      maxDocFreq, minShared)
+  }
+
+  /** The pair half of [[winnowCandidates]] over an already-computed
+    * (_id, gram_hash) fingerprint frame — shared with [[winnowMatches]]
+    * so the composite fingerprints the corpus once.
+    */
+  private def winnowPairsFrom(idHash: DataFrame, maxDocFreq: Long,
+                              minShared: Long): DataFrame = {
+    val fp = idHash.distinct()
     val rare = fp.groupBy("gram_hash")
       .agg(count(lit(1)).as("_df")).filter(col("_df") <= maxDocFreq)
       .select("gram_hash")
@@ -299,6 +314,45 @@ object Dedup {
       .groupBy(col("a._id").as("id1"), col("b._id").as("id2"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  /** Span ATTRIBUTION for winnowing candidates — the report step of the
+    * plagiarism/copy-detection chain: for every candidate pair (the
+    * [[winnowCandidates]] gate), every matched fingerprint with its
+    * position in BOTH documents, so each shared region can be quoted
+    * and aligned. MinHash tells you THAT two documents overlap;
+    * winnowing matches tell you WHERE.
+    *
+    * Fingerprints compute ONCE; the position join is fingerprint-keyed
+    * equi (id1 < id2 residual) + a pair-keyed semi join against the
+    * gated candidate set. A fingerprint selected at several positions
+    * of both documents matches all position combinations — span
+    * RANGES per document stay the job of [[duplicatedSpans]].
+    *
+    * Output: (id1, id2, pos1, pos2, gram_hash), id1 < id2.
+    */
+  def winnowMatches(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 4, w: Int = 5,
+                    maxDocFreq: Long = 64L, minShared: Long = 2L): DataFrame = {
+    require(maxDocFreq >= 2 && minShared >= 1,
+      s"need maxDocFreq >= 2 and minShared >= 1, got $maxDocFreq / $minShared")
+    // the fingerprint frame feeds the pair gate AND both join sides —
+    // localCheckpoint materializes the ~2/(w+1)-density selection once
+    // instead of re-fingerprinting the corpus per plan reference
+    // (measured 3×); blocks live until the session drops the frame, the
+    // bpeEncodeScalable lifetime contract
+    val fp = graft.ext.TextAnalysis.winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col(idCol).as("_id"), col("pos"), col("gram_hash"))
+      .localCheckpoint()
+    val pairs = winnowPairsFrom(fp.select("_id", "gram_hash"), maxDocFreq, minShared)
+      .select(col("id1"), col("id2"))
+    fp.as("fa")
+      .join(fp.as("fb"),
+        col("fa.gram_hash") === col("fb.gram_hash") && col("fa._id") < col("fb._id"))
+      .select(col("fa._id").as("id1"), col("fb._id").as("id2"),
+        col("fa.pos").as("pos1"), col("fb.pos").as("pos2"),
+        col("fa.gram_hash").as("gram_hash"))
+      .join(pairs, Seq("id1", "id2"), "left_semi")
   }
 
   /** [[winnowCandidates]] against a STORED fingerprint index (the

@@ -1013,6 +1013,43 @@ object ExtQueries {
         "SELECT batch_id, stored_id, n_shared FROM pr WHERE n_shared >= 2 " +
         "ORDER BY batch_id, stored_id")),
 
+    // Span attribution over the candidate pairs: every matched
+    // fingerprint with its position in BOTH documents — the aligned
+    // copy-report the fingerprint lane exists to produce. One
+    // fingerprint pass feeds both the pair gate and the position join.
+    Q("x_winnow_matches",
+      (s, d) => Dedup.winnowMatches(Tables.documents(s, d),
+          "doc_id", "text", k = 4, w = 5)
+        .orderBy("id1", "id2", "pos1", "pos2"),
+      Some("WITH t AS (SELECT doc_id, string_split_regex(text, ' +') AS ws FROM documents), " +
+        "f AS (SELECT doc_id, ws FROM t WHERE len(ws) >= 4), " +
+        "th AS (SELECT doc_id, list_transform(ws, tk -> list_reduce(" +
+        "list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, length(tk)), " +
+        "i -> CAST(ord(tk[i]) AS BIGINT))), (a, c) -> (a * 31 + c) % 2147483647)) AS hs FROM f), " +
+        "gh AS (SELECT doc_id, list_transform(generate_series(1, len(hs) - 3), " +
+        "p -> list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(generate_series(0, 3), j -> hs[p + j])), " +
+        "(a, h) -> (a * 131 + h) % 2147483647)) AS gs FROM th), " +
+        "wn AS (SELECT doc_id, gs, least(5, len(gs)) AS wd FROM gh), " +
+        "sel AS (SELECT doc_id, list_distinct(list_transform(" +
+        "generate_series(1, len(gs) - wd + 1), q -> " +
+        "(q - 1 + list_max(list_filter(generate_series(0, wd - 1), " +
+        "j -> gs[q + j] = list_aggregate(gs[q:q + wd - 1], 'min')))) * 4294967296 " +
+        "+ list_aggregate(gs[q:q + wd - 1], 'min'))) AS fps FROM wn), " +
+        "u2 AS (SELECT doc_id, CAST(fp // 4294967296 AS BIGINT) AS pos, " +
+        "CAST(fp % 4294967296 AS BIGINT) AS h FROM " +
+        "(SELECT doc_id, unnest(fps) AS fp FROM sel)), " +
+        "u AS (SELECT DISTINCT doc_id, h FROM u2), " +
+        "dfc AS (SELECT h FROM (SELECT h, count(*) AS df FROM u GROUP BY h) WHERE df <= 64), " +
+        "g2 AS (SELECT u.doc_id, u.h FROM u JOIN dfc ON u.h = dfc.h), " +
+        "pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared " +
+        "FROM g2 a JOIN g2 b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "pq AS (SELECT id1, id2 FROM pr WHERE n_shared >= 2) " +
+        "SELECT fa.doc_id AS id1, fb.doc_id AS id2, fa.pos AS pos1, fb.pos AS pos2, " +
+        "fa.h AS gram_hash FROM u2 fa JOIN u2 fb ON fa.h = fb.h AND fa.doc_id < fb.doc_id " +
+        "JOIN pq ON fa.doc_id = pq.id1 AND fb.doc_id = pq.id2 " +
+        "ORDER BY id1, id2, pos1, pos2")),
+
     // Gopher intra-doc repetition: duplicate 3-gram fraction per doc —
     // a zero-shuffle narrow projection (array_distinct on hashed grams;
     // oracle counts string grams, the usual collision-free identity).

@@ -1074,6 +1074,22 @@ class EvalFunctionsSpec extends SparkSpec {
       k = 4, w = 5, maxDocFreq = 64L, minShared = 1L).count() == 45L)
   }
 
+  test("ext: winnowMatches aligns shared-run positions with the run offset") {
+    val run = (0 until 12).map(i => s"s$i").mkString(" ")
+    // the run starts at token 2 in doc 0 and token 0 in doc 1 ⇒ every
+    // in-run matched fingerprint must satisfy pos1 − pos2 = 2
+    val docs = Seq(
+      (0L, s"alpha beta $run gamma delta"),
+      (1L, s"$run epsilon zeta eta theta"),
+      (2L, "totally different words with no overlap in them at all")).toDF("doc_id", "text")
+    val got = graft.ext.Dedup.winnowMatches(docs, "doc_id", "text",
+        k = 4, w = 5, minShared = 1L)
+      .select("id1", "id2", "pos1", "pos2").as[(Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall(r => r._1 == 0L && r._2 == 1L))
+    assert(got.forall(r => r._3 - r._4 == 2L), got.mkString(","))
+  }
+
   test("ext: winnowCandidatesFromStored — write→reload→probe parity, (k,w) stamp checked") {
     val run = (0 until 12).map(i => s"s$i").mkString(" ")
     val hist = Seq((0L, s"alpha beta $run gamma delta"),
