@@ -287,34 +287,37 @@ object Dedup {
                        maxDocFreq: Long = 64L, minShared: Long = 2L): DataFrame = {
     require(maxDocFreq >= 2 && minShared >= 1,
       s"need maxDocFreq >= 2 and minShared >= 1, got $maxDocFreq / $minShared")
-    winnowPairsFrom(
-      graft.ext.TextAnalysis.winnowFingerprints(df, idCol, textCol, k, w)
-        .select(col(idCol).as("_id"), col("gram_hash"))
-        // both self-join sides and the stop-gram count read this frame —
-        // materialize the 16-byte-per-row selection once (the
-        // winnowMatches trade; measured 2× otherwise)
-        .localCheckpoint(),
-      maxDocFreq, minShared)
+    val idHash = graft.ext.TextAnalysis.winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col(idCol).as("_id"), col("gram_hash")).distinct()
+      // both self-join sides and the stop-gram count read this frame —
+      // materialize the 16-byte-per-row selection once (the
+      // winnowMatches trade; measured 2× otherwise)
+      .localCheckpoint()
+    winnowPairsFrom(idHash.join(winnowRare(idHash, maxDocFreq), "gram_hash"),
+      minShared)
   }
 
-  /** The pair half of [[winnowCandidates]] over an already-computed
-    * (_id, gram_hash) fingerprint frame — shared with [[winnowMatches]]
-    * so the composite fingerprints the corpus once.
+  /** Fingerprint hashes under the stop-gram document-frequency cap —
+    * the gate BOTH the pair count and the position join must sit
+    * behind: an ungated fingerprint shared by f documents costs f²/2
+    * join rows wherever it appears.
     */
-  private def winnowPairsFrom(idHash: DataFrame, maxDocFreq: Long,
-                              minShared: Long): DataFrame = {
-    val fp = idHash.distinct()
-    val rare = fp.groupBy("gram_hash")
+  private def winnowRare(idHash: DataFrame, maxDocFreq: Long): DataFrame =
+    idHash.groupBy("gram_hash")
       .agg(count(lit(1)).as("_df")).filter(col("_df") <= maxDocFreq)
       .select("gram_hash")
-    val gated = fp.join(rare, "gram_hash")
+
+  /** The pair half of [[winnowCandidates]] over an already-gated
+    * distinct (_id, gram_hash) frame — shared with [[winnowMatches]]
+    * so the composite fingerprints the corpus once.
+    */
+  private def winnowPairsFrom(gated: DataFrame, minShared: Long): DataFrame =
     gated.as("a")
       .join(gated.as("b"),
         col("a.gram_hash") === col("b.gram_hash") && col("a._id") < col("b._id"))
       .groupBy(col("a._id").as("id1"), col("b._id").as("id2"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
-  }
 
   /** Span ATTRIBUTION for winnowing candidates — the report step of the
     * plagiarism/copy-detection chain: for every candidate pair (the
@@ -325,9 +328,13 @@ object Dedup {
     *
     * Fingerprints compute ONCE; the position join is fingerprint-keyed
     * equi (id1 < id2 residual) + a pair-keyed semi join against the
-    * gated candidate set. A fingerprint selected at several positions
-    * of both documents matches all position combinations — span
-    * RANGES per document stay the job of [[duplicatedSpans]].
+    * gated candidate set, and the stop-gram cap gates the POSITION join
+    * too — an ungated boilerplate fingerprint in f documents would
+    * emit its f²/2 join rows before any pair-level prune could fire
+    * (and report matches that [[winnowCandidates]] excluded from
+    * n_shared). A fingerprint selected at several positions of both
+    * documents matches all position combinations — span RANGES per
+    * document stay the job of [[duplicatedSpans]].
     *
     * Output: (id1, id2, pos1, pos2, gram_hash), id1 < id2.
     */
@@ -344,10 +351,13 @@ object Dedup {
     val fp = graft.ext.TextAnalysis.winnowFingerprints(df, idCol, textCol, k, w)
       .select(col(idCol).as("_id"), col("pos"), col("gram_hash"))
       .localCheckpoint()
-    val pairs = winnowPairsFrom(fp.select("_id", "gram_hash"), maxDocFreq, minShared)
+    val rare = winnowRare(fp.select("_id", "gram_hash").distinct(), maxDocFreq)
+    val fpg = fp.join(rare, Seq("gram_hash"), "left_semi")
+    val pairs = winnowPairsFrom(
+        fp.select("_id", "gram_hash").distinct().join(rare, "gram_hash"), minShared)
       .select(col("id1"), col("id2"))
-    fp.as("fa")
-      .join(fp.as("fb"),
+    fpg.as("fa")
+      .join(fpg.as("fb"),
         col("fa.gram_hash") === col("fb.gram_hash") && col("fa._id") < col("fb._id"))
       .select(col("fa._id").as("id1"), col("fb._id").as("id2"),
         col("fa.pos").as("pos1"), col("fb.pos").as("pos2"),
@@ -376,6 +386,12 @@ object Dedup {
       s"need maxDocFreq >= 1 and minShared >= 1, got $maxDocFreq / $minShared")
     storedFp.schema.find(_.name == "gram_hash").map(_.metadata)
       .filter(m => m.contains("winnow_k") || m.contains("winnow_w")).foreach { m =>
+        // a half-present stamp is its own loud error — reading the
+        // missing key would throw a bare NoSuchElementException instead
+        require(m.contains("winnow_k") && m.contains("winnow_w"),
+          "stored fingerprint index carries a PARTIAL winnow stamp " +
+            "(one of winnow_k/winnow_w) — rebuild the index with " +
+            "winnowFingerprints, which stamps both")
         require(m.getLong("winnow_k") == k.toLong && m.getLong("winnow_w") == w.toLong,
           s"stored fingerprint index was built at k=${m.getLong("winnow_k")}, " +
             s"w=${m.getLong("winnow_w")} but the probe runs k=$k, w=$w — " +

@@ -1214,8 +1214,12 @@ object TextAnalysis {
     c2.filter(col("pair_count") >= minCount)
       .join(cl, "left").join(cr, "right").crossJoin(n)
       .select(col("left"), col("right"), col("pair_count"),
-        log(col("pair_count") * col("_n") /
-          (col("_cl") * col("_cr")).cast("double")).as("pmi"))
+        // products in DOUBLE: at corpus scale c·N and c_l·c_r overflow
+        // Long (N ~ 1e12 × marginals ~ 1e10 wraps silently); counts
+        // stay < 2^53 so the double products are still exact where the
+        // Long ones were
+        log(col("pair_count").cast("double") * col("_n").cast("double") /
+          (col("_cl").cast("double") * col("_cr").cast("double"))).as("pmi"))
   }
 
   /** Overlapping token-window chunking — the context-window prep step
@@ -1247,6 +1251,10 @@ object TextAnalysis {
     require(minChunk >= 1 && minChunk <= chunkLen,
       s"need 1 <= minChunk <= chunkLen, got $minChunk")
     df.select(col(idCol), tokens(col(textCol)).as("_ws"))
+      // same output (no chunk of a shorter doc survives the per-chunk
+      // minChunk filter), but also drops NULL text, whose size(-1)
+      // would make sequence() throw and kill the stage
+      .filter(size(col("_ws")) >= minChunk)
       .select(col(idCol), col("_ws"),
         posexplode(sequence(lit(0), size(col("_ws")) - 1, lit(stride)))
           .as(Seq("chunk_id", "start_pos")))

@@ -366,7 +366,11 @@ object Prep {
       .orderBy(score.desc, col(idCol).asc)
     val w2 = Window.partitionBy(col(groupCol))
       .orderBy(score.desc, col(idCol).asc)
-    df.withColumn("_salt", pmod(portableHash(col(idCol)), lit(salts)))
+    // xxhash64, not portableHash: the salt is internal (never oracle
+    // re-derived), and portableHash casts string/URL ids to NULL —
+    // every row would land in one (group, null) salt bucket, silently
+    // rebuilding the giant single-partition window this exists to avoid
+    df.withColumn("_salt", pmod(xxhash64(col(idCol)), lit(salts.toLong)))
       .withColumn("_r1", row_number().over(w1))
       .filter(col("_r1") <= k)
       .withColumn("group_rank", row_number().over(w2))

@@ -73,6 +73,37 @@ object ExtQueries {
     * distributed; the oracle exploits the small vocabulary the way
     * every oracle exploits small sf.
     */
+  /** Shared winnowing oracle prefix at the registry parameters
+    * (k = 4, w = 5): restates `TextAnalysis.winnowFingerprints`'
+    * portable arithmetic — char-code token polynomials, 4-gram hash
+    * polynomials, per-window packed (pos, hash) minimum with the
+    * rightmost-tie rule ((pos, hash) packed into one BIGINT because
+    * DuckDB's list_distinct can't dedupe struct lists) — ending in
+    * `u2` (doc_id, pos, h) and `u` (distinct doc_id, h). One
+    * definition for the four x_winnow_* oracles, the bpeOracleCtes
+    * rationale: hand-synced copies go stale one at a time.
+    */
+  private val WinnowOracleCtes: String =
+    "WITH t AS (SELECT doc_id, string_split_regex(text, ' +') AS ws FROM documents), " +
+    "f AS (SELECT doc_id, ws FROM t WHERE len(ws) >= 4), " +
+    "th AS (SELECT doc_id, list_transform(ws, tk -> list_reduce(" +
+    "list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, length(tk)), " +
+    "i -> CAST(ord(tk[i]) AS BIGINT))), (a, c) -> (a * 31 + c) % 2147483647)) AS hs FROM f), " +
+    "gh AS (SELECT doc_id, list_transform(generate_series(1, len(hs) - 3), " +
+    "p -> list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+    "list_transform(generate_series(0, 3), j -> hs[p + j])), " +
+    "(a, h) -> (a * 131 + h) % 2147483647)) AS gs FROM th), " +
+    "wn AS (SELECT doc_id, gs, least(5, len(gs)) AS wd FROM gh), " +
+    "sel AS (SELECT doc_id, list_distinct(list_transform(" +
+    "generate_series(1, len(gs) - wd + 1), q -> " +
+    "(q - 1 + list_max(list_filter(generate_series(0, wd - 1), " +
+    "j -> gs[q + j] = list_aggregate(gs[q:q + wd - 1], 'min')))) * 4294967296 " +
+    "+ list_aggregate(gs[q:q + wd - 1], 'min'))) AS fps FROM wn), " +
+    "u2 AS (SELECT doc_id, CAST(fp // 4294967296 AS BIGINT) AS pos, " +
+    "CAST(fp % 4294967296 AS BIGINT) AS h FROM " +
+    "(SELECT doc_id, unnest(fps) AS fp FROM sel)), " +
+    "u AS (SELECT DISTINCT doc_id, h FROM u2)"
+
   private def bpeOracleCtes(numMerges: Int): String =
     "WITH RECURSIVE " +
     "tok AS (SELECT t FROM (SELECT unnest(string_split_regex(text, ' +')) AS t " +
@@ -924,28 +955,9 @@ object ExtQueries {
       (s, d) => TextAnalysis.winnowFingerprints(Tables.documents(s, d),
           "doc_id", "text", k = 4, w = 5)
         .orderBy("doc_id", "pos", "gram_hash"),
-      Some("WITH t AS (SELECT doc_id, string_split_regex(text, ' +') AS ws FROM documents), " +
-        "f AS (SELECT doc_id, ws FROM t WHERE len(ws) >= 4), " +
-        "th AS (SELECT doc_id, list_transform(ws, tk -> list_reduce(" +
-        "list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, length(tk)), " +
-        "i -> CAST(ord(tk[i]) AS BIGINT))), (a, c) -> (a * 31 + c) % 2147483647)) AS hs FROM f), " +
-        "gh AS (SELECT doc_id, list_transform(generate_series(1, len(hs) - 3), " +
-        "p -> list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-        "list_transform(generate_series(0, 3), j -> hs[p + j])), " +
-        "(a, h) -> (a * 131 + h) % 2147483647)) AS gs FROM th), " +
-        "wn AS (SELECT doc_id, gs, least(5, len(gs)) AS wd FROM gh), " +
-        // (pos, hash) packed into one BIGINT for list_distinct (DuckDB
-        // can't dedupe struct lists); hash < 2^31 so the packing is
-        // lossless
-        "sel AS (SELECT doc_id, list_distinct(list_transform(" +
-        "generate_series(1, len(gs) - wd + 1), q -> " +
-        "(q - 1 + list_max(list_filter(generate_series(0, wd - 1), " +
-        "j -> gs[q + j] = list_aggregate(gs[q:q + wd - 1], 'min')))) * 4294967296 " +
-        "+ list_aggregate(gs[q:q + wd - 1], 'min'))) AS fps FROM wn), " +
-        "u AS (SELECT doc_id, unnest(fps) AS fp FROM sel) " +
-        "SELECT doc_id, CAST(fp // 4294967296 AS BIGINT) AS pos, " +
-        "CAST(fp % 4294967296 AS BIGINT) AS gram_hash " +
-        "FROM u ORDER BY doc_id, pos, gram_hash")),
+      Some(WinnowOracleCtes +
+        " SELECT doc_id, pos, h AS gram_hash FROM u2 " +
+        "ORDER BY doc_id, pos, gram_hash")),
 
     // Winnowing near-dup CANDIDATES — the oracle-checkable counterpart
     // of x_minhash_lsh: docs sharing >= 2 selected fingerprints, stop
@@ -955,20 +967,7 @@ object ExtQueries {
       (s, d) => Dedup.winnowCandidates(Tables.documents(s, d),
           "doc_id", "text", k = 4, w = 5)
         .orderBy("id1", "id2"),
-      Some("WITH t AS (SELECT doc_id, string_split_regex(text, ' +') AS ws FROM documents), " +
-        "f AS (SELECT doc_id, ws FROM t WHERE len(ws) >= 4), " +
-        "th AS (SELECT doc_id, list_transform(ws, tk -> list_reduce(" +
-        "list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, length(tk)), " +
-        "i -> CAST(ord(tk[i]) AS BIGINT))), (a, c) -> (a * 31 + c) % 2147483647)) AS hs FROM f), " +
-        "gh AS (SELECT doc_id, list_transform(generate_series(1, len(hs) - 3), " +
-        "p -> list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-        "list_transform(generate_series(0, 3), j -> hs[p + j])), " +
-        "(a, h) -> (a * 131 + h) % 2147483647)) AS gs FROM th), " +
-        "wn AS (SELECT doc_id, gs, least(5, len(gs)) AS wd FROM gh), " +
-        "sel AS (SELECT doc_id, list_distinct(list_transform(" +
-        "generate_series(1, len(gs) - wd + 1), q -> " +
-        "list_aggregate(gs[q:q + wd - 1], 'min'))) AS fps FROM wn), " +
-        "u AS (SELECT DISTINCT doc_id, unnest(fps) AS h FROM sel), " +
+      Some(WinnowOracleCtes + ", " +
         "dfc AS (SELECT h FROM (SELECT h, count(*) AS df FROM u GROUP BY h) WHERE df <= 64), " +
         "g2 AS (SELECT u.doc_id, u.h FROM u JOIN dfc ON u.h = dfc.h), " +
         "pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(count(*) AS BIGINT) AS n_shared " +
@@ -990,20 +989,7 @@ object ExtQueries {
             hist, "doc_id", k = 4, w = 5)
           .orderBy("batch_id", "stored_id")
       },
-      Some("WITH t AS (SELECT doc_id, string_split_regex(text, ' +') AS ws FROM documents), " +
-        "f AS (SELECT doc_id, ws FROM t WHERE len(ws) >= 4), " +
-        "th AS (SELECT doc_id, list_transform(ws, tk -> list_reduce(" +
-        "list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, length(tk)), " +
-        "i -> CAST(ord(tk[i]) AS BIGINT))), (a, c) -> (a * 31 + c) % 2147483647)) AS hs FROM f), " +
-        "gh AS (SELECT doc_id, list_transform(generate_series(1, len(hs) - 3), " +
-        "p -> list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-        "list_transform(generate_series(0, 3), j -> hs[p + j])), " +
-        "(a, h) -> (a * 131 + h) % 2147483647)) AS gs FROM th), " +
-        "wn AS (SELECT doc_id, gs, least(5, len(gs)) AS wd FROM gh), " +
-        "sel AS (SELECT doc_id, list_distinct(list_transform(" +
-        "generate_series(1, len(gs) - wd + 1), q -> " +
-        "list_aggregate(gs[q:q + wd - 1], 'min'))) AS fps FROM wn), " +
-        "u AS (SELECT DISTINCT doc_id, unnest(fps) AS h FROM sel), " +
+      Some(WinnowOracleCtes + ", " +
         "hist AS (SELECT * FROM u WHERE doc_id % 5 = 0), " +
         "bat AS (SELECT * FROM u WHERE doc_id % 5 <> 0), " +
         "dfc AS (SELECT h FROM (SELECT h, count(*) AS df FROM hist GROUP BY h) WHERE df <= 64), " +
@@ -1021,32 +1007,16 @@ object ExtQueries {
       (s, d) => Dedup.winnowMatches(Tables.documents(s, d),
           "doc_id", "text", k = 4, w = 5)
         .orderBy("id1", "id2", "pos1", "pos2"),
-      Some("WITH t AS (SELECT doc_id, string_split_regex(text, ' +') AS ws FROM documents), " +
-        "f AS (SELECT doc_id, ws FROM t WHERE len(ws) >= 4), " +
-        "th AS (SELECT doc_id, list_transform(ws, tk -> list_reduce(" +
-        "list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, length(tk)), " +
-        "i -> CAST(ord(tk[i]) AS BIGINT))), (a, c) -> (a * 31 + c) % 2147483647)) AS hs FROM f), " +
-        "gh AS (SELECT doc_id, list_transform(generate_series(1, len(hs) - 3), " +
-        "p -> list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-        "list_transform(generate_series(0, 3), j -> hs[p + j])), " +
-        "(a, h) -> (a * 131 + h) % 2147483647)) AS gs FROM th), " +
-        "wn AS (SELECT doc_id, gs, least(5, len(gs)) AS wd FROM gh), " +
-        "sel AS (SELECT doc_id, list_distinct(list_transform(" +
-        "generate_series(1, len(gs) - wd + 1), q -> " +
-        "(q - 1 + list_max(list_filter(generate_series(0, wd - 1), " +
-        "j -> gs[q + j] = list_aggregate(gs[q:q + wd - 1], 'min')))) * 4294967296 " +
-        "+ list_aggregate(gs[q:q + wd - 1], 'min'))) AS fps FROM wn), " +
-        "u2 AS (SELECT doc_id, CAST(fp // 4294967296 AS BIGINT) AS pos, " +
-        "CAST(fp % 4294967296 AS BIGINT) AS h FROM " +
-        "(SELECT doc_id, unnest(fps) AS fp FROM sel)), " +
-        "u AS (SELECT DISTINCT doc_id, h FROM u2), " +
+      Some(WinnowOracleCtes + ", " +
         "dfc AS (SELECT h FROM (SELECT h, count(*) AS df FROM u GROUP BY h) WHERE df <= 64), " +
         "g2 AS (SELECT u.doc_id, u.h FROM u JOIN dfc ON u.h = dfc.h), " +
+        // the stop-gram cap gates the POSITION join too, like the engine
+        "u2g AS (SELECT u2.* FROM u2 JOIN dfc ON u2.h = dfc.h), " +
         "pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared " +
         "FROM g2 a JOIN g2 b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
         "pq AS (SELECT id1, id2 FROM pr WHERE n_shared >= 2) " +
         "SELECT fa.doc_id AS id1, fb.doc_id AS id2, fa.pos AS pos1, fb.pos AS pos2, " +
-        "fa.h AS gram_hash FROM u2 fa JOIN u2 fb ON fa.h = fb.h AND fa.doc_id < fb.doc_id " +
+        "fa.h AS gram_hash FROM u2g fa JOIN u2g fb ON fa.h = fb.h AND fa.doc_id < fb.doc_id " +
         "JOIN pq ON fa.doc_id = pq.id1 AND fb.doc_id = pq.id2 " +
         "ORDER BY id1, id2, pos1, pos2")),
 

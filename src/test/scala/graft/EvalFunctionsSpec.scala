@@ -1020,7 +1020,11 @@ class EvalFunctionsSpec extends SparkSpec {
 
   test("ext: winnowFingerprints matches a sequential reference, incl. ties and short docs") {
     val M = 2147483647L
-    def tokHash(t: String): Long = t.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % M)
+    // fold over CODE POINTS: the engine's length/substr count code
+    // points and ascii() returns the full code point (probed: U+1F600
+    // → 128512), so a per-Char fold would shear astral-plane tokens
+    def tokHash(t: String): Long =
+      t.codePoints().toArray.foldLeft(0L)((a, cp) => (a * 31 + cp) % M)
     def winnow(text: String, k: Int, w: Int): Set[(Long, Long)] = {
       val ws = text.split(" +")
       if (ws.length < k) return Set.empty
@@ -1040,7 +1044,8 @@ class EvalFunctionsSpec extends SparkSpec {
       1L -> "z1 z2 z3 c d e f g h i j",   // shares the 8-token run c..j
       2L -> "x y x y x y x y",            // all-tie windows → rightmost
       3L -> "p q r s t",                  // 2 grams < w → one window
-      4L -> "u v w")                      // < k tokens → no output
+      4L -> "u v w",                      // < k tokens → no output
+      5L -> "a😀b é c d e f")   // astral + BMP-accent tokens
     val docs = texts.toDF("doc_id", "text")
     val got = graft.ext.TextAnalysis.winnowFingerprints(docs, "doc_id", "text", k = 4, w = 5)
       .select("doc_id", "pos", "gram_hash").as[(Long, Long, Long)].collect()

@@ -245,7 +245,10 @@ class PropertiesSpec extends SparkSpec {
 
   test("property: winnowFingerprints equals the sequential reference on random docs") {
     val M = 2147483647L
-    def tokHash(t: String): Long = t.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % M)
+    // code-point fold — the engine's substr/ascii semantics (see the
+    // EvalFunctionsSpec winnowing reference)
+    def tokHash(t: String): Long =
+      t.codePoints().toArray.foldLeft(0L)((a, cp) => (a * 31 + cp) % M)
     def winnow(ws: Seq[String], k: Int, w: Int): Set[(Long, Long)] = {
       if (ws.length < k) return Set.empty
       val th = ws.map(tokHash)
