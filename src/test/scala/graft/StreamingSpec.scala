@@ -309,6 +309,34 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming winnowing: ingest fingerprints match the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    // the whole chain is stateless-narrow (Generate barriers included),
+    // so fingerprint selection at ingest is the batch operator verbatim
+    val out = graft.ext.TextAnalysis.winnowFingerprints(df, "doc_id", "text", k = 4, w = 5)
+    val query = out.writeStream.format("memory").queryName("winnow_out")
+      .outputMode("append").start()
+    try {
+      val texts = Seq(
+        20L -> (0 until 15).map(i => s"w$i").mkString(" "),
+        21L -> "x y x y x y x y", // all-tie windows
+        22L -> "a b c")           // < k tokens → nothing
+      input.addData(texts.take(1))
+      query.processAllAvailable()
+      input.addData(texts.drop(1))
+      query.processAllAvailable()
+      val got = spark.table("winnow_out")
+        .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2, r._3))
+      val batch = graft.ext.TextAnalysis.winnowFingerprints(
+          texts.toDF("doc_id", "text"), "doc_id", "text", k = 4, w = 5)
+        .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2, r._3))
+      assert(got.toSeq == batch.toSeq && got.nonEmpty)
+      assert(!got.exists(_._1 == 22L))
+    } finally query.stop()
+  }
+
   test("streaming decontamination: ingest flags match the batch operator row-for-row") {
     implicit val sqlCtx = spark.sqlContext
     val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
