@@ -1020,6 +1020,57 @@ object ExtQueries {
         "JOIN pq ON fa.doc_id = pq.id1 AND fb.doc_id = pq.id2 " +
         "ORDER BY id1, id2, pos1, pos2")),
 
+    // The END-TO-END fuzzy-dedup corpus build, every stage
+    // oracle-checked in ONE query: winnow candidates → exact 3-gram
+    // Jaccard verification on candidates only → transitive clusters →
+    // quality-canonical selection → drop non-canonical members. The
+    // MinHash funnel can never be hash-checked end to end (xxhash
+    // seeding); the portable winnow lane makes the WHOLE near-dup
+    // lifecycle one oracle row. Verification bites at sf0.1 (282
+    // candidates → 250 verified pairs) and clustering merges pairs:
+    // 23/23/239 docs drop at sf0.001/0.01/0.1.
+    Q("x_winnow_dedup_corpus",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val cand = Dedup.winnowCandidates(docs, "doc_id", "text", k = 4, w = 5)
+        val verified = Dedup.jaccardVerify(
+            cand.select("id1", "id2"), docs, "doc_id", "text", shingleLen = 3)
+          .filter(col("jaccard") >= 0.5)
+        val clusters = Dedup.duplicateClusters(verified.select("id1", "id2"))
+        val canon = Dedup.canonicalPerCluster(clusters, "id", "cluster",
+          docs, "doc_id", "n_chars")
+        val dropped = clusters
+          .join(canon.select(col("cluster"), col("canonical_id")), "cluster")
+          .filter(col("id") =!= col("canonical_id"))
+          .select(col("id").as("doc_id"))
+        docs.join(dropped, Seq("doc_id"), "left_anti")
+          .select("doc_id").orderBy("doc_id")
+      },
+      // WITH RECURSIVE for the closure leg; the shared prefix is WITH-led
+      Some(WinnowOracleCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + ", " +
+        "dfc AS (SELECT h FROM (SELECT h, count(*) AS df FROM u GROUP BY h) WHERE df <= 64), " +
+        "g2 AS (SELECT u.doc_id, u.h FROM u JOIN dfc ON u.h = dfc.h), " +
+        "pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared " +
+        "FROM g2 a JOIN g2 b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "pq AS (SELECT id1, id2 FROM pr WHERE n_shared >= 2), " +
+        "sh AS (SELECT doc_id, list_distinct(list_transform(" +
+        "generate_series(1, len(ws) - 2), p -> array_to_string(ws[p:p + 2], ' '))) AS s3 " +
+        "FROM t WHERE len(ws) >= 3), " +
+        "vp AS (SELECT id1, id2 FROM pq JOIN sh a ON pq.id1 = a.doc_id " +
+        "JOIN sh b ON pq.id2 = b.doc_id " +
+        "WHERE CAST(len(list_intersect(a.s3, b.s3)) AS DOUBLE) / " +
+        "len(list_distinct(list_concat(a.s3, b.s3))) >= 0.5), " +
+        "e AS (SELECT id1 AS a, id2 AS b FROM vp UNION SELECT id2, id1 FROM vp), " +
+        "r AS (SELECT a AS id, a AS lab FROM e " +
+        "UNION SELECT e.a, r.lab FROM e JOIN r ON r.id = e.b), " +
+        "cl AS (SELECT id, min(lab) AS cluster FROM r GROUP BY id), " +
+        "cq AS (SELECT cl.cluster, cl.id, dd.n_chars FROM cl " +
+        "LEFT JOIN documents dd ON cl.id = dd.doc_id), " +
+        "rk AS (SELECT cluster, id, row_number() OVER " +
+        "(PARTITION BY cluster ORDER BY n_chars DESC NULLS LAST, id) AS rn FROM cq) " +
+        "SELECT doc_id FROM documents " +
+        "WHERE doc_id NOT IN (SELECT id FROM rk WHERE rn > 1) ORDER BY doc_id")),
+
     // Gopher intra-doc repetition: duplicate 3-gram fraction per doc —
     // a zero-shuffle narrow projection (array_distinct on hashed grams;
     // oracle counts string grams, the usual collision-free identity).
