@@ -410,6 +410,39 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Aligned shared-SPAN report — [[winnowMatches]] reduced to ranges:
+    * matched fingerprints on the same alignment diagonal (pos1 − pos2)
+    * merge into one span when consecutive selections are at most `w`
+    * apart, which is exactly the winnowing density guarantee inside a
+    * shared run — so one contiguous copied region = one output row,
+    * with its token range in BOTH documents. The per-pair gaps-and-
+    * islands runs under a window partitioned by (pair, diagonal) —
+    * bounded by a single pair's matches, never corpus-sized.
+    *
+    * Output: (id1, id2, start1, end1, start2, end2, n_fingerprints) —
+    * token ranges end-exclusive (`end = last selected gram + k`),
+    * `start/end2 = start/end1 − diagonal`.
+    */
+  def winnowSpans(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 4, w: Int = 5,
+                  maxDocFreq: Long = 64L, minShared: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = winnowMatches(df, idCol, textCol, k, w, maxDocFreq, minShared)
+      .withColumn("_diag", col("pos1") - col("pos2"))
+    val byDiag = Window.partitionBy(col("id1"), col("id2"), col("_diag"))
+      .orderBy(col("pos1"))
+    val isl = m
+      .withColumn("_ni",
+        when(col("pos1") - lag(col("pos1"), 1).over(byDiag) > w, 1).otherwise(0))
+      .withColumn("_isl", sum(col("_ni")).over(byDiag))
+    isl.groupBy(col("id1"), col("id2"), col("_diag"), col("_isl"))
+      .agg(min(col("pos1")).as("start1"), (max(col("pos1")) + k).as("end1"),
+        count(lit(1)).as("n_fingerprints"))
+      .select(col("id1"), col("id2"), col("start1"), col("end1"),
+        (col("start1") - col("_diag")).as("start2"),
+        (col("end1") - col("_diag")).as("end2"), col("n_fingerprints"))
+  }
+
   /** SimHash: 64-bit signature where bit i is the sign of the weighted sum
     * of token-hash bit i. Narrow per-row computation; near-dups differ in
     * few bits → candidate join on 4 16-bit bands (any equal band =

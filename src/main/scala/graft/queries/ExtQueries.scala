@@ -1020,6 +1020,36 @@ object ExtQueries {
         "JOIN pq ON fa.doc_id = pq.id1 AND fb.doc_id = pq.id2 " +
         "ORDER BY id1, id2, pos1, pos2")),
 
+    // Matched fingerprints merged into ALIGNED SPAN ranges per pair:
+    // same-diagonal selections within the winnowing density bound (w)
+    // collapse to one row with the copied region's token range in both
+    // documents. The islands window partitions by (pair, diagonal).
+    Q("x_winnow_spans",
+      (s, d) => Dedup.winnowSpans(Tables.documents(s, d),
+          "doc_id", "text", k = 4, w = 5)
+        .orderBy("id1", "id2", "start1", "start2"),
+      Some(WinnowOracleCtes + ", " +
+        "dfc AS (SELECT h FROM (SELECT h, count(*) AS df FROM u GROUP BY h) WHERE df <= 64), " +
+        "g2 AS (SELECT u.doc_id, u.h FROM u JOIN dfc ON u.h = dfc.h), " +
+        "u2g AS (SELECT u2.* FROM u2 JOIN dfc ON u2.h = dfc.h), " +
+        "pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared " +
+        "FROM g2 a JOIN g2 b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "pq AS (SELECT id1, id2 FROM pr WHERE n_shared >= 2), " +
+        "mm AS (SELECT fa.doc_id AS id1, fb.doc_id AS id2, fa.pos AS pos1, " +
+        "fa.pos - fb.pos AS diag FROM u2g fa " +
+        "JOIN u2g fb ON fa.h = fb.h AND fa.doc_id < fb.doc_id " +
+        "JOIN pq ON fa.doc_id = pq.id1 AND fb.doc_id = pq.id2), " +
+        "fl AS (SELECT *, CASE WHEN pos1 - lag(pos1) OVER " +
+        "(PARTITION BY id1, id2, diag ORDER BY pos1) > 5 THEN 1 ELSE 0 END AS ni FROM mm), " +
+        "il AS (SELECT *, sum(ni) OVER (PARTITION BY id1, id2, diag ORDER BY pos1 " +
+        "ROWS UNBOUNDED PRECEDING) AS isl FROM fl) " +
+        "SELECT id1, id2, CAST(min(pos1) AS BIGINT) AS start1, " +
+        "CAST(max(pos1) + 4 AS BIGINT) AS end1, " +
+        "CAST(min(pos1) - diag AS BIGINT) AS start2, " +
+        "CAST(max(pos1) + 4 - diag AS BIGINT) AS end2, " +
+        "CAST(count(*) AS BIGINT) AS n_fingerprints " +
+        "FROM il GROUP BY id1, id2, diag, isl ORDER BY id1, id2, start1, start2")),
+
     // The END-TO-END fuzzy-dedup corpus build, every stage
     // oracle-checked in ONE query: winnow candidates → exact 3-gram
     // Jaccard verification on candidates only → transitive clusters →

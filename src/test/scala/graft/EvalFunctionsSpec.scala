@@ -1095,6 +1095,29 @@ class EvalFunctionsSpec extends SparkSpec {
     assert(got.forall(r => r._3 - r._4 == 2L), got.mkString(","))
   }
 
+  test("ext: winnowSpans merges same-diagonal matches; a gap splits spans") {
+    val runA = (0 until 8).map(i => s"r$i").mkString(" ")
+    val runB = (0 until 8).map(i => s"t$i").mkString(" ")
+    // both docs: runA, 8 UNSHARED filler tokens, runB — same offsets, so
+    // both runs sit on diagonal 0 with a >w gap of non-matches between
+    val docs = Seq(
+      (0L, s"$runA x1 x2 x3 x4 x5 x6 x7 x8 $runB"),
+      (1L, s"$runA y1 y2 y3 y4 y5 y6 y7 y8 $runB"),
+      (2L, "totally different words with no overlap in them at all")).toDF("doc_id", "text")
+    val got = graft.ext.Dedup.winnowSpans(docs, "doc_id", "text",
+        k = 4, w = 5, minShared = 1L)
+      .select("id1", "id2", "start1", "end1", "start2", "end2", "n_fingerprints")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2, r._3))
+    assert(got.forall(r => r._1 == 0L && r._2 == 1L))
+    assert(got.length == 2, got.mkString(",")) // one span per shared run
+    // diagonal 0: both documents quote the same token ranges
+    assert(got.forall(r => r._3 == r._5 && r._4 == r._6))
+    // spans stay inside their runs: runA tokens [0,8), runB [16,24)
+    assert(got(0)._3 >= 0L && got(0)._4 <= 8L)
+    assert(got(1)._3 >= 16L && got(1)._4 <= 24L)
+  }
+
   test("ext: winnowCandidatesFromStored — write→reload→probe parity, (k,w) stamp checked") {
     val run = (0 until 12).map(i => s"s$i").mkString(" ")
     val hist = Seq((0L, s"alpha beta $run gamma delta"),
