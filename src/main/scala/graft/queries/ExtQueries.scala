@@ -104,6 +104,20 @@ object ExtQueries {
     "(SELECT doc_id, unnest(fps) AS fp FROM sel)), " +
     "u AS (SELECT DISTINCT doc_id, h FROM u2)"
 
+  /** The stop-gram pair gate shared by the winnow oracles (same
+    * staleness rationale as [[WinnowOracleCtes]]): document frequency
+    * cap (64) over `u`, gated per-doc hashes, pair counts, and the
+    * minShared (2) qualifying-pair set. Appended directly after
+    * [[WinnowOracleCtes]]; oracles that don't read `pq` just leave it
+    * unused.
+    */
+  private val WinnowPairGateCtes: String =
+    ", dfc AS (SELECT h FROM (SELECT h, count(*) AS df FROM u GROUP BY h) WHERE df <= 64), " +
+    "g2 AS (SELECT u.doc_id, u.h FROM u JOIN dfc ON u.h = dfc.h), " +
+    "pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(count(*) AS BIGINT) AS n_shared " +
+    "FROM g2 a JOIN g2 b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+    "pq AS (SELECT id1, id2 FROM pr WHERE n_shared >= 2)"
+
   private def bpeOracleCtes(numMerges: Int): String =
     "WITH RECURSIVE " +
     "tok AS (SELECT t FROM (SELECT unnest(string_split_regex(text, ' +')) AS t " +
@@ -967,12 +981,8 @@ object ExtQueries {
       (s, d) => Dedup.winnowCandidates(Tables.documents(s, d),
           "doc_id", "text", k = 4, w = 5)
         .orderBy("id1", "id2"),
-      Some(WinnowOracleCtes + ", " +
-        "dfc AS (SELECT h FROM (SELECT h, count(*) AS df FROM u GROUP BY h) WHERE df <= 64), " +
-        "g2 AS (SELECT u.doc_id, u.h FROM u JOIN dfc ON u.h = dfc.h), " +
-        "pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(count(*) AS BIGINT) AS n_shared " +
-        "FROM g2 a JOIN g2 b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
-        "SELECT id1, id2, n_shared FROM pr WHERE n_shared >= 2 ORDER BY id1, id2")),
+      Some(WinnowOracleCtes + WinnowPairGateCtes +
+        " SELECT id1, id2, n_shared FROM pr WHERE n_shared >= 2 ORDER BY id1, id2")),
 
     // The stored-index half of the winnowing lifecycle: every 5th doc is
     // the fingerprint HISTORY, the rest probe it as the new batch —
@@ -1007,14 +1017,9 @@ object ExtQueries {
       (s, d) => Dedup.winnowMatches(Tables.documents(s, d),
           "doc_id", "text", k = 4, w = 5)
         .orderBy("id1", "id2", "pos1", "pos2"),
-      Some(WinnowOracleCtes + ", " +
-        "dfc AS (SELECT h FROM (SELECT h, count(*) AS df FROM u GROUP BY h) WHERE df <= 64), " +
-        "g2 AS (SELECT u.doc_id, u.h FROM u JOIN dfc ON u.h = dfc.h), " +
+      Some(WinnowOracleCtes + WinnowPairGateCtes + ", " +
         // the stop-gram cap gates the POSITION join too, like the engine
-        "u2g AS (SELECT u2.* FROM u2 JOIN dfc ON u2.h = dfc.h), " +
-        "pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared " +
-        "FROM g2 a JOIN g2 b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
-        "pq AS (SELECT id1, id2 FROM pr WHERE n_shared >= 2) " +
+        "u2g AS (SELECT u2.* FROM u2 JOIN dfc ON u2.h = dfc.h) " +
         "SELECT fa.doc_id AS id1, fb.doc_id AS id2, fa.pos AS pos1, fb.pos AS pos2, " +
         "fa.h AS gram_hash FROM u2g fa JOIN u2g fb ON fa.h = fb.h AND fa.doc_id < fb.doc_id " +
         "JOIN pq ON fa.doc_id = pq.id1 AND fb.doc_id = pq.id2 " +
@@ -1028,13 +1033,8 @@ object ExtQueries {
       (s, d) => Dedup.winnowSpans(Tables.documents(s, d),
           "doc_id", "text", k = 4, w = 5)
         .orderBy("id1", "id2", "start1", "start2"),
-      Some(WinnowOracleCtes + ", " +
-        "dfc AS (SELECT h FROM (SELECT h, count(*) AS df FROM u GROUP BY h) WHERE df <= 64), " +
-        "g2 AS (SELECT u.doc_id, u.h FROM u JOIN dfc ON u.h = dfc.h), " +
+      Some(WinnowOracleCtes + WinnowPairGateCtes + ", " +
         "u2g AS (SELECT u2.* FROM u2 JOIN dfc ON u2.h = dfc.h), " +
-        "pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared " +
-        "FROM g2 a JOIN g2 b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
-        "pq AS (SELECT id1, id2 FROM pr WHERE n_shared >= 2), " +
         "mm AS (SELECT fa.doc_id AS id1, fb.doc_id AS id2, fa.pos AS pos1, " +
         "fa.pos - fb.pos AS diag FROM u2g fa " +
         "JOIN u2g fb ON fa.h = fb.h AND fa.doc_id < fb.doc_id " +
@@ -1077,12 +1077,8 @@ object ExtQueries {
           .select("doc_id").orderBy("doc_id")
       },
       // WITH RECURSIVE for the closure leg; the shared prefix is WITH-led
-      Some(WinnowOracleCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + ", " +
-        "dfc AS (SELECT h FROM (SELECT h, count(*) AS df FROM u GROUP BY h) WHERE df <= 64), " +
-        "g2 AS (SELECT u.doc_id, u.h FROM u JOIN dfc ON u.h = dfc.h), " +
-        "pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared " +
-        "FROM g2 a JOIN g2 b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
-        "pq AS (SELECT id1, id2 FROM pr WHERE n_shared >= 2), " +
+      Some(WinnowOracleCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        WinnowPairGateCtes + ", " +
         "sh AS (SELECT doc_id, list_distinct(list_transform(" +
         "generate_series(1, len(ws) - 2), p -> array_to_string(ws[p:p + 2], ' '))) AS s3 " +
         "FROM t WHERE len(ws) >= 3), " +
