@@ -275,6 +275,68 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: winnowSpans equals a sequential matches→diagonal-islands reference") {
+    val M = 2147483647L
+    def tokHash(t: String): Long =
+      t.codePoints().toArray.foldLeft(0L)((a, cp) => (a * 31 + cp) % M)
+    def fps(ws: Seq[String], k: Int, w: Int): Set[(Long, Long)] = {
+      if (ws.length < k) return Set.empty
+      val th = ws.map(tokHash)
+      val gh = (0 to ws.length - k).map(p =>
+        (0 until k).foldLeft(0L)((a, j) => (a * 131 + th(p + j)) % M))
+      val wd = math.min(w, gh.length)
+      (0 to gh.length - wd).map { q =>
+        val sl = gh.slice(q, q + wd)
+        ((q + sl.lastIndexOf(sl.min)).toLong, sl.min)
+      }.toSet
+    }
+    def refSpans(docs: Seq[(Long, String)], k: Int, w: Int,
+                 minShared: Long): Set[(Long, Long, Long, Long, Long, Long, Long)] = {
+      val byDoc = docs.map { case (id, t) => id -> fps(t.split(" +").toSeq, k, w) }.toMap
+      val pairs = for {
+        (i1, f1) <- byDoc.toSeq; (i2, f2) <- byDoc.toSeq if i1 < i2
+        shared = f1.map(_._2).intersect(f2.map(_._2))
+        if shared.size >= minShared
+      } yield (i1, i2, shared)
+      pairs.flatMap { case (i1, i2, shared) =>
+        val matches = for {
+          (p1, h1) <- byDoc(i1).toSeq if shared(h1)
+          (p2, h2) <- byDoc(i2).toSeq if h2 == h1
+        } yield (p1, p2)
+        matches.groupBy { case (p1, p2) => p1 - p2 }.toSeq.flatMap { case (diag, ms) =>
+          val ps = ms.map(_._1).distinct.sorted
+          // islands with gap tolerance w
+          val splits = ps.zip(0L +: ps).map { case (cur, prev) => cur - prev > w }
+          val islands = ps.zip(splits.scanLeft(0) { (acc, s) => if (s) acc + 1 else acc }.tail)
+            .groupBy(_._2).values.map(_.map(_._1))
+          islands.map { island =>
+            (i1, i2, island.min, island.max + k, island.min - diag,
+              island.max + k - diag, island.size.toLong)
+          }
+        }
+      }.toSet
+    }
+    val gen = for {
+      runLen <- Gen.choose(8, 14)
+      gapLen <- Gen.choose(6, 10)
+      flip <- Gen.oneOf(true, false)
+    } yield (runLen, gapLen, flip)
+    cases(gen, 4).foreach { case (runLen, gapLen, flip) =>
+      val run = (0 until runLen).map(i => s"r$i").mkString(" ")
+      val run2 = (0 until runLen).map(i => s"s$i").mkString(" ")
+      val fill1 = (0 until gapLen).map(i => s"x$i").mkString(" ")
+      val fill2 = (0 until gapLen).map(i => s"y$i").mkString(" ")
+      val docs = Seq(
+        0L -> s"$run $fill1 $run2",
+        1L -> (if (flip) s"$run $fill2 $run2" else s"$fill2 $run $run2"))
+      val got = graft.ext.Dedup.winnowSpans(docs.toDF("doc_id", "text"),
+          "doc_id", "text", k = 4, w = 5, minShared = 1L)
+        .select("id1", "id2", "start1", "end1", "start2", "end2", "n_fingerprints")
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+      assert(got == refSpans(docs, 4, 5, 1L), s"case ($runLen, $gapLen, $flip)")
+    }
+  }
+
   test("property: bpeEncode subwords always concatenate back to the original words") {
     val word = Gen.choose(1, 8).flatMap(len =>
       Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d")).map(_.mkString))
