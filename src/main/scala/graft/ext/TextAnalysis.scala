@@ -1115,23 +1115,56 @@ object TextAnalysis {
     * stays the right choice where the hash itself need not be
     * re-derived, as in [[fingerprint]]).
     *
-    * One narrow per-document chain — no shuffle, no state. The
-    * token-hash and gram-hash arrays each materialize BELOW a
-    * single-element-explode Generate (the [[ngramCounts]] /
-    * bandedSignatureRows barrier pattern): without the barriers,
-    * CollapseProject re-inlines `_th` into every gram lambda and `_gh`
-    * into every window lambda, turning the chain O(n²·w·chars) per
-    * document — measured as a hang at 500 docs; with them each array is
-    * computed once per row and every downstream reference is an O(1)
-    * data read. Documents shorter than k tokens have no k-gram and emit
-    * nothing; documents with fewer than w grams are winnowed as one
-    * window.
+    * One narrow per-document chain — no shuffle, no state: the whole
+    * hash-select runs as ONE codegen'd kernel call per row
+    * ([[graft.functions.WinnowSelect]], the CosineSim precedent), which
+    * replaced the interpreted higher-order-function chain this operator
+    * shipped with (kept below as [[winnowFingerprintsHof]], the parity
+    * reference) at ~6× the throughput. Documents shorter than k tokens
+    * have no k-gram and emit nothing; documents with fewer than w grams
+    * are winnowed as one window.
     *
     * Output: (idCol, pos, gram_hash) — distinct selected fingerprints,
     * `pos` the 0-based token offset of the selected k-gram.
     */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
                          k: Int = 4, w: Int = 5): DataFrame = {
+    require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got $k / $w")
+    val fps = graft.functions.GraftFunctions.winnow_select(col("_ws"), k, w)
+    df.select(col(idCol), tokens(col(textCol)).as("_ws"))
+      .filter(size(col("_ws")) >= k)
+      .select(col(idCol), fps.as("_fps"))
+      // explode_OUTER, not explode: InferFiltersFromGenerate would
+      // synthesize `size(_fps) > 0` from a plain explode and evaluate
+      // the kernel a second time per row in that filter. Equivalent:
+      // ≥ k tokens ⇒ ≥ 1 gram ⇒ ≥ 1 window ⇒ _fps is never empty.
+      .select(col(idCol), explode_outer(col("_fps")).as("_fp"))
+      .select(col(idCol), col("_fp.pos").as("pos"),
+        // build-time (k, w) stamped as field metadata (survives the
+        // parquet round-trip) so a stored fingerprint index probed at
+        // different parameters fails loudly — the ngramPairs contract
+        col("_fp.gram_hash").as("gram_hash",
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("winnow_k", k.toLong).putLong("winnow_w", w.toLong)
+            .build()))
+  }
+
+  /** The original higher-order-function formulation of
+    * [[winnowFingerprints]] — retained as the independent parity
+    * reference for the codegen kernel (EvalFunctionsSpec pins bitwise
+    * agreement) and as the worked example of the HOF pitfalls it hits.
+    *
+    * The token-hash and gram-hash arrays each materialize BELOW a
+    * single-element-explode Generate (the [[ngramCounts]] /
+    * bandedSignatureRows barrier pattern): without the barriers,
+    * CollapseProject re-inlines `_th` into every gram lambda and `_gh`
+    * into every window lambda, turning the chain O(n²·w·chars) per
+    * document — measured as a hang at 500 docs; with them each array is
+    * computed once per row and every downstream reference is an O(1)
+    * data read.
+    */
+  private[graft] def winnowFingerprintsHof(df: DataFrame, idCol: String, textCol: String,
+                                           k: Int = 4, w: Int = 5): DataFrame = {
     require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got $k / $w")
     val M = 2147483647L // 2^31 - 1: keeps every intermediate < 2^39
     def tokHash(t: Column): Column =

@@ -135,6 +135,13 @@ object GraftFunctions {
   def sorted_long_contains(c: Column, sorted: Array[Long]): Column =
     toColumn(SortedLongContains(toExpression(c), sorted))
 
+  /** Codegen'd winnowing fingerprint selection over a token array:
+    * distinct `(pos, gram_hash)` structs, rightmost-tie window minima
+    * (see [[WinnowSelect]] for the hash contract).
+    */
+  def winnow_select(tokens: Column, k: Int, w: Int): Column =
+    toColumn(WinnowSelect(toExpression(tokens), k, w))
+
   /** Make graft's expressions callable from `spark.sql(...)`. */
   def registerAll(spark: SparkSession): Unit = {
     registerFunction(spark, "fft_magnitude", exprs => FftMagnitude(exprs.head))

@@ -1059,6 +1059,32 @@ class EvalFunctionsSpec extends SparkSpec {
     assert(got(0L).map(_._2).intersect(got(1L).map(_._2)).nonEmpty)
   }
 
+  test("ext: winnowFingerprints codegen kernel is bitwise-identical to the HOF reference") {
+    // the kernel (graft.functions.WinnowSelect) replaced the interpreted
+    // HOF chain; the HOF form stays as the independent parity reference.
+    // Edge cases: ties, short docs, one-window docs, sub-k docs, empty
+    // tokens from leading/multiple spaces, astral + BMP-accent code
+    // points — plus the real corpus at sf0.001.
+    val edge = Seq(
+      0L -> "a b c d e f g h i j",
+      1L -> "x y x y x y x y",
+      2L -> "p q r s t",
+      3L -> "u v w",
+      4L -> "  lead space   run q r s t u",
+      5L -> "a😀b é c d e f",
+      6L -> "").toDF("doc_id", "text")
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    for ((df, tag) <- Seq((edge, "edge"), (corpus, "corpus")); (k, w) <- Seq((4, 5), (1, 1), (3, 9))) {
+      def rows(out: org.apache.spark.sql.DataFrame) =
+        out.select("doc_id", "pos", "gram_hash").as[(Long, Long, Long)]
+          .collect().sortBy(r => (r._1, r._2, r._3)).toSeq
+      val fast = rows(graft.ext.TextAnalysis.winnowFingerprints(df, "doc_id", "text", k, w))
+      val hof = rows(graft.ext.TextAnalysis.winnowFingerprintsHof(df, "doc_id", "text", k, w))
+      assert(fast == hof, s"$tag k=$k w=$w")
+    }
+  }
+
   test("ext: winnowCandidates — shared-run pairs found, stop fingerprints gated") {
     val run = (0 until 12).map(i => s"s$i").mkString(" ") // ≥ w+k−1 ⇒ guaranteed shared fingerprint
     val docs = Seq(
