@@ -285,8 +285,11 @@ object Dedup {
   def winnowCandidates(df: DataFrame, idCol: String, textCol: String,
                        k: Int = 4, w: Int = 5,
                        maxDocFreq: Long = 64L, minShared: Long = 2L): DataFrame = {
-    require(maxDocFreq >= 2 && minShared >= 1,
-      s"need maxDocFreq >= 2 and minShared >= 1, got $maxDocFreq / $minShared")
+    // >= 1 like winnowCandidatesFromStored: at maxDocFreq = 1 only
+    // fingerprints unique in the corpus survive — so no pair can ever
+    // share one and the batch result is legitimately empty, not an error
+    require(maxDocFreq >= 1 && minShared >= 1,
+      s"need maxDocFreq >= 1 and minShared >= 1, got $maxDocFreq / $minShared")
     val idHash = graft.ext.TextAnalysis.winnowFingerprints(df, idCol, textCol, k, w)
       .select(col(idCol).as("_id"), col("gram_hash")).distinct()
       // both self-join sides and the stop-gram count read this frame —
@@ -341,8 +344,10 @@ object Dedup {
   def winnowMatches(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 4, w: Int = 5,
                     maxDocFreq: Long = 64L, minShared: Long = 2L): DataFrame = {
-    require(maxDocFreq >= 2 && minShared >= 1,
-      s"need maxDocFreq >= 2 and minShared >= 1, got $maxDocFreq / $minShared")
+    // same >= 1 bound as winnowCandidates(FromStored): an all-unique
+    // fingerprint corpus yields an empty match set by definition
+    require(maxDocFreq >= 1 && minShared >= 1,
+      s"need maxDocFreq >= 1 and minShared >= 1, got $maxDocFreq / $minShared")
     // the fingerprint frame feeds the pair gate AND both join sides —
     // localCheckpoint materializes the ~2/(w+1)-density selection once
     // instead of re-fingerprinting the corpus per plan reference

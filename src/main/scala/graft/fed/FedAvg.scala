@@ -45,18 +45,33 @@ object FedAvg {
     * `init` = (dim, w) — the shared initial weights; `grads` = (client,
     * dim, g). Each round is a broadcast equi-join (the global weight
     * vector is KBs — the same weights-only transport as [[run]]) plus a
-    * per-dim mean; the chain stays one lazy plan, no driver collect.
+    * per-dim mean; no driver collect. The lazy chain re-embeds the
+    * `grads` subtree every round, so plan analysis/codegen cost grows
+    * with rounds — every `checkpointEvery` rounds the (KB-sized) global
+    * is `localCheckpoint`ed and the previous checkpoint's blocks are
+    * released (the bpeLearnBatched rotation), keeping the plan depth
+    * bounded at any round count. The LAST checkpoint stays persisted:
+    * the returned frame reads it — blocks live until the session drops
+    * the frame, the winnowMatches lifetime contract.
     */
   def protocolRounds(init: DataFrame, grads: DataFrame,
-                     rounds: Int, lr: Double): DataFrame = {
+                     rounds: Int, lr: Double, checkpointEvery: Int = 8): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     import org.apache.spark.sql.functions._
     var global = init
-    (1 to rounds).foreach { _ =>
+    var lastCp: Option[DataFrame] = None
+    (1 to rounds).foreach { r =>
       val local = grads.join(broadcast(global), "dim")
         .select(col("client"), col("dim"),
           (col("w") - lit(lr) * col("g")).as("lw"))
       global = local.groupBy("dim").agg(avg(col("lw")).as("w"))
+      if (r % checkpointEvery == 0 && r < rounds) {
+        val next = global.localCheckpoint()
+        lastCp.flatMap(graft.ext.Dedup.checkpointRdd).foreach(_.unpersist(false))
+        lastCp = Some(next)
+        global = next
+      }
     }
     global
   }

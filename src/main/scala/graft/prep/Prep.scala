@@ -362,6 +362,13 @@ object Prep {
   def groupTopK(df: DataFrame, groupCol: String, idCol: String,
                 score: Column, k: Int, salts: Int = 32): DataFrame = {
     require(k > 0 && salts > 0, s"need k > 0 and salts > 0, got $k / $salts")
+    // withColumn REPLACES same-named input columns — fail loudly instead
+    // of silently corrupting caller data or the group_rank contract (the
+    // HtmlExtraction.extractWithParser output-collision rule)
+    Seq("_salt", "_r1", "group_rank").foreach { c =>
+      require(!df.columns.contains(c),
+        s"groupTopK writes working column '$c'; the input already has it — rename it first")
+    }
     val w1 = Window.partitionBy(col(groupCol), col("_salt"))
       .orderBy(score.desc, col(idCol).asc)
     val w2 = Window.partitionBy(col(groupCol))

@@ -57,22 +57,6 @@ object ExtQueries {
       (cached, km)
     })
 
-  /** DuckDB restatement of the deterministic BPE-12 learner, shared by
-    * the `x_bpe_merges` and `x_bpe_subwords` oracles. The corpus
-    * vocabulary is tiny (31 word types at every sf), so the ENTIRE
-    * learner state — every word's symbol array plus its frequency —
-    * rides in ONE list-of-structs value per recursive-CTE row; each
-    * iteration restates one sequential merge: adjacent-pair counts via
-    * list lambdas (pair key = l||chr(30)||r, which sorts identically to
-    * (l, r) because chr(30) is below every token byte), winner = first
-    * element of the (−count, key) sort — count desc, then l asc, r asc,
-    * the learner's exact tie-break — and the same greedy left-to-right
-    * fold as `applyMergeFold` via `list_reduce`. Stops at `numMerges`
-    * merges or when no pair remains, like the learner. This is
-    * oracle-side restatement only — the Spark learner stays fully
-    * distributed; the oracle exploits the small vocabulary the way
-    * every oracle exploits small sf.
-    */
   /** Shared winnowing oracle prefix at the registry parameters
     * (k = 4, w = 5): restates `TextAnalysis.winnowFingerprints`'
     * portable arithmetic — char-code token polynomials, 4-gram hash
@@ -118,6 +102,22 @@ object ExtQueries {
     "FROM g2 a JOIN g2 b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
     "pq AS (SELECT id1, id2 FROM pr WHERE n_shared >= 2)"
 
+  /** DuckDB restatement of the deterministic BPE-12 learner, shared by
+    * the `x_bpe_merges` and `x_bpe_subwords` oracles. The corpus
+    * vocabulary is tiny (31 word types at every sf), so the ENTIRE
+    * learner state — every word's symbol array plus its frequency —
+    * rides in ONE list-of-structs value per recursive-CTE row; each
+    * iteration restates one sequential merge: adjacent-pair counts via
+    * list lambdas (pair key = l||chr(30)||r, which sorts identically to
+    * (l, r) because chr(30) is below every token byte), winner = first
+    * element of the (−count, key) sort — count desc, then l asc, r asc,
+    * the learner's exact tie-break — and the same greedy left-to-right
+    * fold as `applyMergeFold` via `list_reduce`. Stops at `numMerges`
+    * merges or when no pair remains, like the learner. This is
+    * oracle-side restatement only — the Spark learner stays fully
+    * distributed; the oracle exploits the small vocabulary the way
+    * every oracle exploits small sf.
+    */
   private def bpeOracleCtes(numMerges: Int): String =
     "WITH RECURSIVE " +
     "tok AS (SELECT t FROM (SELECT unnest(string_split_regex(text, ' +')) AS t " +

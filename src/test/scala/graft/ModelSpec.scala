@@ -57,6 +57,23 @@ class ModelSpec extends SparkSpec {
     assert(res.global.weights.length == new DenseAutoencoder(Seq(16, 4, 16)).numWeights)
   }
 
+  test("M10: protocolRounds checkpoint rotation preserves the closed form at high round counts") {
+    import spark.implicits._
+    // linear update ⇒ closed form w0 − lr·R·mean_k g_k; run R well past
+    // checkpointEvery so several rotations (checkpoint + prior-release)
+    // actually execute inside the loop
+    val init = Seq((0, 1.0), (1, -2.0)).toDF("dim", "w")
+    val grads = Seq((0, 0, 0.5), (0, 1, 1.5), (1, 0, -0.5), (1, 1, 0.5)).toDF("client", "dim", "g")
+    val rounds = 20
+    val lr = 0.1
+    val got = FedAvg.protocolRounds(init, grads, rounds, lr, checkpointEvery = 4)
+      .orderBy("dim").as[(Int, Double)].collect()
+    val expect = Seq(0 -> (1.0 - lr * rounds * 0.0), 1 -> (-2.0 - lr * rounds * 1.0))
+    got.zip(expect).foreach { case ((d, w), (ed, ew)) =>
+      assert(d == ed && math.abs(w - ew) < 1e-9, s"dim $d: got $w expect $ew")
+    }
+  }
+
   test("M9: layerSizes matches the reference's geometric interpolation") {
     // int(hidden * (outer/hidden)^((i+1)/depth)) — autoencoder.py:37-38.
     // Exact values at power boundaries are FP-representation dependent

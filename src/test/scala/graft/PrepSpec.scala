@@ -236,5 +236,14 @@ class PrepSpec extends SparkSpec {
     val many = Prep.groupTopK(df, "g", "id", col("score"), k = 12, salts = 7)
       .select("g", "id", "group_rank").as[(String, Long, Int)].collect().toSet
     assert(one == many)
+    // working-column collisions fail loudly instead of silently
+    // replacing caller data (withColumn overwrites same-named columns)
+    for (c <- Seq("_salt", "_r1", "group_rank")) {
+      val bad = df.withColumn(c, lit(1))
+      val e = intercept[IllegalArgumentException] {
+        Prep.groupTopK(bad, "g", "id", col("score"), k = 12)
+      }
+      assert(e.getMessage.contains(c))
+    }
   }
 }
