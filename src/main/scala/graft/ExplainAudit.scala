@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Window => LWindow}
 
 /** Sweep every registry query (and the builder plans behind memoized
@@ -15,6 +16,33 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan
 object ExplainAudit {
 
   private def maxRowsOne(p: LogicalPlan): Boolean = p.maxRows.exists(_ <= 1L)
+
+  /** Top-level conjuncts of a join condition (And-split only — an
+    * equality buried inside an OR or a NOT is not a hash key).
+    */
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => conjuncts(a) ++ conjuncts(b)
+    case other => Seq(other)
+  }
+
+  /** Structural equi-key check — what Spark's ExtractEquiJoinKeys
+    * requires before it can plan a hash/sort-merge join: at least one
+    * top-level `=`/`<=>` conjunct whose sides each reference exactly one
+    * (opposite) join side. The earlier `" = "` SUBSTRING test passed any
+    * condition whose string happened to contain an equality — e.g.
+    * `(a = b) OR c > d`, which Spark can only nested-loop.
+    */
+  private[graft] def joinHasEquiKey(j: Join): Boolean =
+    j.condition.exists(c => conjuncts(c).exists {
+      case EqualTo(l, r) => sidesOppose(l, r, j)
+      case EqualNullSafe(l, r) => sidesOppose(l, r, j)
+      case _ => false
+    })
+
+  private def sidesOppose(l: Expression, r: Expression, j: Join): Boolean =
+    l.references.nonEmpty && r.references.nonEmpty &&
+      ((l.references.subsetOf(j.left.outputSet) && r.references.subsetOf(j.right.outputSet)) ||
+        (l.references.subsetOf(j.right.outputSet) && r.references.subsetOf(j.left.outputSet)))
 
   private def ledgerWindow(w: LWindow): Boolean =
     // the offsets ledger: a cumsum ordered by the bucket id over an
@@ -59,11 +87,7 @@ object ExplainAudit {
             !w.child.maxRows.exists(_ <= 100000L) => w
         }
         val badJoins = lp.collect {
-          // `<=>` (null-safe equality) is an equi key too: Spark hash-
-          // partitions on it exactly like `=`
-          case j: Join if j.condition.forall(c =>
-              (!c.toString.contains(" = ") && !c.toString.contains(" <=> ")) ||
-                j.joinType.sql == "CROSS") &&
+          case j: Join if (!joinHasEquiKey(j) || j.joinType.sql == "CROSS") &&
             !maxRowsOne(j.left) && !maxRowsOne(j.right) => j
         }
         val notes =
