@@ -448,6 +448,34 @@ object Dedup {
         (col("end1") - col("_diag")).as("end2"), col("n_fingerprints"))
   }
 
+  /** NEAR-dup span scrub — [[winnowSpans]] applied as a scrub, closing
+    * the fuzzy lifecycle the way [[scrubDuplicatedSpans]] closes the
+    * exact one: every aligned shared-span range is removed from the
+    * HIGHER-id document of its pair (keep-first-occurrence, the
+    * [[chunkDedup]] survivor policy — near-dup content is a copy worth
+    * training once, not boilerplate worth training zero times; contrast
+    * the exact scrub's drop-every-occurrence rule). A document that is
+    * `id1` in all its pairs keeps its text whole; a chain A<B<C scrubs
+    * B's A-shared spans and C's B-shared spans.
+    *
+    * Scale shape: the span frame is pair-bounded (per-pair islands, see
+    * [[winnowSpans]]), its explode is bounded by total covered tokens,
+    * and the reassembly join is id-keyed — the [[scrubDuplicatedSpans]]
+    * shape end to end, nothing corpus-quadratic. Output: (idCol,
+    * n_tokens, n_dropped, clean_text) for EVERY input document.
+    */
+  def winnowScrub(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 4, w: Int = 5,
+                  maxDocFreq: Long = 64L, minShared: Long = 2L): DataFrame = {
+    val spans = winnowSpans(df, idCol, textCol, k, w, maxDocFreq, minShared)
+    val covered = spans
+      .select(col("id2").as(idCol),
+        explode(sequence(col("start2"), col("end2") - 1)).as("_tl"))
+      .select(col(idCol), col("_tl").cast("int").as("_t"))
+      .distinct()
+    scrubWith(df, idCol, textCol, covered)
+  }
+
   /** SimHash: 64-bit signature where bit i is the sign of the weighted sum
     * of token-hash bit i. Narrow per-row computation; near-dups differ in
     * few bits → candidate join on 4 16-bit bands (any equal band =

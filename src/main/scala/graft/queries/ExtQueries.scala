@@ -1097,6 +1097,40 @@ object ExtQueries {
         "SELECT doc_id FROM documents " +
         "WHERE doc_id NOT IN (SELECT id FROM rk WHERE rn > 1) ORDER BY doc_id")),
 
+    // The winnow spans applied as a SCRUB: each aligned shared-span
+    // range is removed from the higher-id document of its pair
+    // (keep-first-occurrence), survivors rejoined in order — the fuzzy
+    // counterpart of x_dup_span_scrub, oracle-checked through fingerprint
+    // → pair gate → diagonal islands → span ranges → reconstruction.
+    Q("x_winnow_scrub",
+      (s, d) => Dedup.winnowScrub(Tables.documents(s, d), "doc_id", "text",
+          k = 4, w = 5)
+        .orderBy("doc_id"),
+      Some(WinnowOracleCtes + WinnowPairGateCtes + ", " +
+        "u2g AS (SELECT u2.* FROM u2 JOIN dfc ON u2.h = dfc.h), " +
+        "mm AS (SELECT fa.doc_id AS id1, fb.doc_id AS id2, fa.pos AS pos1, " +
+        "fa.pos - fb.pos AS diag FROM u2g fa " +
+        "JOIN u2g fb ON fa.h = fb.h AND fa.doc_id < fb.doc_id " +
+        "JOIN pq ON fa.doc_id = pq.id1 AND fb.doc_id = pq.id2), " +
+        "fl AS (SELECT *, CASE WHEN pos1 - lag(pos1) OVER " +
+        "(PARTITION BY id1, id2, diag ORDER BY pos1) > 5 THEN 1 ELSE 0 END AS ni FROM mm), " +
+        "il AS (SELECT *, sum(ni) OVER (PARTITION BY id1, id2, diag ORDER BY pos1 " +
+        "ROWS UNBOUNDED PRECEDING) AS isl FROM fl), " +
+        "sp AS (SELECT id2, min(pos1) - diag AS s2, max(pos1) + 4 - diag AS e2 " +
+        "FROM il GROUP BY id1, id2, diag, isl), " +
+        "cov AS (SELECT DISTINCT doc_id, tp FROM " +
+        "(SELECT id2 AS doc_id, unnest(generate_series(s2, e2 - 1)) AS tp FROM sp)), " +
+        "tok AS (SELECT doc_id, unnest(ws) AS wd, " +
+        "unnest(generate_series(0, len(ws) - 1)) AS p FROM t), " +
+        "kept AS (SELECT tok.doc_id, tok.p, tok.wd FROM tok LEFT JOIN cov " +
+        "ON tok.doc_id = cov.doc_id AND tok.p = cov.tp WHERE cov.tp IS NULL), " +
+        "r AS (SELECT doc_id, count(*) AS nk, string_agg(wd, ' ' ORDER BY p) AS txt " +
+        "FROM kept GROUP BY doc_id) " +
+        "SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens, " +
+        "CAST(len(t.ws) - coalesce(r.nk, 0) AS BIGINT) AS n_dropped, " +
+        "coalesce(r.txt, '') AS clean_text " +
+        "FROM t LEFT JOIN r USING (doc_id) ORDER BY t.doc_id")),
+
     // Gopher intra-doc repetition: duplicate 3-gram fraction per doc —
     // a zero-shuffle narrow projection (array_distinct on hashed grams;
     // oracle counts string grams, the usual collision-free identity).

@@ -1144,6 +1144,38 @@ class EvalFunctionsSpec extends SparkSpec {
     assert(got(1)._3 >= 16L && got(1)._4 <= 24L)
   }
 
+  test("ext: winnowScrub drops shared spans from the higher-id copy only") {
+    val runA = (0 until 8).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"$runA x1 x2 x3"),
+      (1L, s"y1 y2 $runA y3"),
+      (2L, "totally different words with no overlap in them at all")).toDF("doc_id", "text")
+    val got = graft.ext.Dedup.winnowScrub(docs, "doc_id", "text",
+        k = 4, w = 5, minShared = 1L)
+      .select("doc_id", "n_tokens", "n_dropped", "clean_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got.length == 3) // every document reported
+    // keep-first: doc 0 (the lower id of the pair) is untouched
+    assert(got(0) == ((0L, 11L, 0L, s"$runA x1 x2 x3")))
+    // doc 1's scrub must equal a manual reconstruction from the spans'
+    // id2-side ranges (winnowing guarantees >= 1 shared fingerprint for
+    // an 8-token run, but coverage of the run may be PARTIAL)
+    val cov = graft.ext.Dedup.winnowSpans(docs, "doc_id", "text",
+        k = 4, w = 5, minShared = 1L)
+      .filter(col("id2") === 1L).select("start2", "end2")
+      .as[(Long, Long)].collect()
+      .flatMap { case (s, e) => s until e }.toSet
+    assert(cov.nonEmpty && cov.size >= 4) // at least one k-wide span hit
+    val toks1 = s"y1 y2 $runA y3".split(" ")
+    val manual = toks1.indices.filterNot(i => cov(i.toLong)).map(toks1).mkString(" ")
+    val (_, n1, d1, t1) = got(1)
+    assert(n1 == 11L && d1 == cov.size.toLong && t1 == manual)
+    // only run tokens may be dropped; doc 1's own filler survives
+    assert(t1.startsWith("y1 y2") && t1.endsWith("y3"))
+    // the unrelated doc is reported intact
+    assert(got(2)._3 == 0L && got(2)._4.startsWith("totally different"))
+  }
+
   test("ext: winnowCandidatesFromStored — write→reload→probe parity, (k,w) stamp checked") {
     val run = (0 until 12).map(i => s"s$i").mkString(" ")
     val hist = Seq((0L, s"alpha beta $run gamma delta"),
