@@ -20,7 +20,11 @@ object ModelIO {
     val (spec, weights, losses) = spark.read.parquet(path)
       .select("spec", "weights", "loss_history")
       .as[(String, Seq[Double], Seq[Double])].head()
-    val model: WindowModel = spec.split(":") match {
+    TrainedAutoencoder(modelFromSpec(spec, seed), weights.toArray, losses)
+  }
+
+  private def modelFromSpec(spec: String, seed: Long): WindowModel =
+    spec.split(":") match {
       case Array("dense", sizes) =>
         new DenseAutoencoder(sizes.split(",").map(_.toInt).toSeq, seed)
       case Array("lstm", p) =>
@@ -28,7 +32,72 @@ object ModelIO {
         new LstmAutoencoder(t0, h, seed)
       case other => throw new IllegalArgumentException(s"unknown model spec: ${other.mkString(":")}")
     }
-    TrainedAutoencoder(model, weights.toArray, losses)
+
+  /** Weights-only JSON export — the migration bridge for reference
+    * users: the reference persists Keras `.h5` (TF-specific binary,
+    * `src/training/trainer.py:90-102`) and dumps its results as plain
+    * JSON files (`src/training/trainer.py:204-211`). The `.h5` WIRE
+    * format is a deliberate non-goal; this one-object JSON file
+    * (`{"spec": …, "weights": […], "loss_history": […]}`) carries the
+    * same information in a layout `json.load` reads directly, so a
+    * reference-side script can rebuild its Keras layers from the flat
+    * weight vector (the spec names the layer sizes). Doubles are
+    * written with `Double.toString`, which round-trips bitwise.
+    */
+  def saveWeightsJson(t: TrainedAutoencoder, path: String): Unit = {
+    require(t.weights.forall(java.lang.Double.isFinite) &&
+        t.lossHistory.forall(java.lang.Double.isFinite),
+      "JSON has no NaN/Infinity literal — refusing to write non-finite values")
+    val json = s"""{"spec":"${t.model.spec}",""" +
+      s""""weights":[${t.weights.mkString(",")}],""" +
+      s""""loss_history":[${t.lossHistory.mkString(",")}]}"""
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(p, json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Load [[saveWeightsJson]]'s layout (a one-object JSON file is one
+    * JSON-lines record, so the engine's own reader parses it).
+    */
+  def loadWeightsJson(spark: SparkSession, path: String,
+                      seed: Long = 42L): TrainedAutoencoder = {
+    import spark.implicits._
+    val (spec, weights, losses) = spark.read.json(path)
+      .select("spec", "weights", "loss_history")
+      .as[(String, Seq[Double], Seq[Double])].head()
+    TrainedAutoencoder(modelFromSpec(spec, seed), weights.toArray, losses)
+  }
+
+  /** The reference's `*_predictions.json` layout
+    * (`{"Prediction": [[…]]}`, `src/training/trainer.py:204-211`):
+    * per-window reconstructions as one 2D list, windows in id order.
+    * The reference is single-node and writes its whole prediction
+    * array into one file — this export keeps that contract, so it is a
+    * DRIVER-side dump with a hard row cap that fails loudly before
+    * collecting corpus-scale data (the streaming size-guard rule); at
+    * scale, score to parquet instead.
+    */
+  def savePredictionsJson(t: TrainedAutoencoder, windows: org.apache.spark.sql.DataFrame,
+                          path: String, valuesCol: String = "values",
+                          idCol: String = "window_id", maxRows: Int = 100000): Unit = {
+    val spark = windows.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val bw = spark.sparkContext.broadcast(t.weights)
+    val m = t.model
+    val rows = windows
+      .select(col(idCol).cast("long"), col(valuesCol).cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .map { case (id, vs) => (id, m.reconstruct(vs.toArray, bw.value).toSeq) }
+      .orderBy(col("_1")).limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"predictions export is a single-file driver dump; got > $maxRows windows — " +
+        "raise maxRows deliberately or score to parquet instead")
+    val json = rows.iterator.map(_._2.mkString("[", ",", "]"))
+      .mkString("""{"Prediction":[""", ",", "]}")
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(p, json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 }
 

@@ -125,6 +125,43 @@ class ModelSpec extends SparkSpec {
     assert(lback.model.numWeights == lm.numWeights)
   }
 
+  test("S11: weights-only JSON export round-trips and writes the reference predictions layout") {
+    import spark.implicits._
+    val m = new DenseAutoencoder(Seq(6, 2, 6))
+    val t = TrainedAutoencoder(m, m.initWeights(), Seq(0.5, 0.25))
+    val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
+    ModelIO.saveWeightsJson(t, s"$dir/model.json")
+    val back = ModelIO.loadWeightsJson(spark, s"$dir/model.json")
+    // Double.toString round-trips bitwise, so equality is exact
+    assert(back.model.spec == "dense:6,2,6")
+    assert(back.weights.toSeq == t.weights.toSeq)
+    assert(back.lossHistory == Seq(0.5, 0.25))
+    // the file is ONE json object a reference-side json.load would read
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/model.json")), "UTF-8")
+    assert(raw.startsWith("""{"spec":"dense:6,2,6","weights":[""") && !raw.contains("\n"))
+
+    // predictions: {"Prediction": [[...]]} in window-id order
+    val windows = Seq((1L, Seq.fill(6)(0.25)), (0L, Seq.fill(6)(0.75)))
+      .toDF("window_id", "values")
+    ModelIO.savePredictionsJson(t, windows, s"$dir/model_predictions.json")
+    val pred = spark.read.json(s"$dir/model_predictions.json")
+      .select("Prediction").as[Seq[Seq[Double]]].head()
+    assert(pred.length == 2)
+    assert(pred.head == t.model.reconstruct(Array.fill(6)(0.75), t.weights).toSeq)
+    assert(pred(1) == t.model.reconstruct(Array.fill(6)(0.25), t.weights).toSeq)
+    // the row cap fails loudly instead of collecting corpus-scale data
+    val e = intercept[IllegalArgumentException] {
+      ModelIO.savePredictionsJson(t, windows, s"$dir/over.json", maxRows = 1)
+    }
+    assert(e.getMessage.contains("driver dump"))
+    // JSON has no NaN literal — non-finite weights are refused
+    intercept[IllegalArgumentException] {
+      ModelIO.saveWeightsJson(
+        TrainedAutoencoder(m, Array.fill(m.numWeights)(Double.NaN), Seq(1.0)), s"$dir/nan.json")
+    }
+  }
+
   test("M1: LSTM BPTT gradient matches finite differences") {
     val m = new LstmAutoencoder(timesteps = 5, hidden = 3, seed = 11L)
     val w = m.initWeights()
