@@ -48,7 +48,9 @@ object QueryRun {
       (1 to reps).foreach { rep =>
         val t0 = System.nanoTime()
         val df = q.fn(spark, sfDir)
-        val n = df.count()
+        // drain the query's OWN physical plan (see Bench: Dataset.count()
+        // re-optimizes and can delete count-invariant subtrees wholesale)
+        val n = df.queryExecution.toRdd.count()
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"[queryrun] ${q.name}%-28s rep=$rep rows=$n%-8d ${sec}%.2fs")
         if (rep == reps && flags("-show")) df.show(20, truncate = false)
