@@ -195,14 +195,23 @@ object Dedup {
   /** Per-row array of hashed `n`-token shingles — the narrow (no explode,
     * no shuffle) twin of [[shingleHashRows]], bitwise-identical hashes.
     * Documents shorter than `n` tokens yield an empty array.
+    *
+    * The token-hash array is LET-BOUND as the lambda variable of a
+    * single-element `transform`: HOF lambdas evaluate interpreted, so if
+    * `th` were an inline expression every `element_at(th, …)` would
+    * re-split and re-hash the whole document — O(tokens²·chars) per row
+    * (the winnowFingerprintsHof CollapseProject lesson, which a Column-
+    * level function can't solve with projection staging). A lambda
+    * variable is evaluated once and read O(1) thereafter.
     */
-  def shingleHashArray(text: Column, n: Int): Column = {
-    val th = transform(split(text, " +"), t => xxhash64(t))
-    when(size(th) >= n,
-        transform(sequence(lit(0), size(th) - n),
-          pos => xxhash64((1 to n).map(j => element_at(th, pos + j)): _*)))
-      .otherwise(array().cast("array<bigint>"))
-  }
+  def shingleHashArray(text: Column, n: Int): Column =
+    element_at(
+      transform(array(transform(split(text, " +"), t => xxhash64(t))), th =>
+        when(size(th) >= n,
+            transform(sequence(lit(0), size(th) - n),
+              pos => xxhash64((1 to n).map(j => element_at(th, pos + j)): _*)))
+          .otherwise(array().cast("array<bigint>"))),
+      lit(1))
 
   /** Per-ROW form of the exploded-aggregate minhash signature: identical
     * values to [[minhashCandidates]]'s internal signature (same token

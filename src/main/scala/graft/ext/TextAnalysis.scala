@@ -225,18 +225,22 @@ object TextAnalysis {
     * documents shorter than n tokens report (0, 0, 0.0)).
     */
   def dupNgramStats(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val th = transform(tokens(col(textCol)), t => xxhash64(t))
-    val grams = when(size(th) >= n,
-        transform(sequence(lit(0), size(th) - n),
-          pos => xxhash64((1 to n).map(j => element_at(th, pos + j)): _*)))
-      .otherwise(array().cast("array<bigint>"))
-    df.select(col(idCol),
-        size(grams).cast("long").as("n_ngrams"),
-        size(array_distinct(grams)).cast("long").as("n_distinct"))
+    // the gram array is built through Dedup.shingleHashArray's let-bound
+    // form: HOF lambdas run interpreted, so an INLINE token-hash array
+    // would be re-tokenized per element_at — O(tokens²·chars) per doc
+    // (measured ~10 ms/doc at sf0.1; the winnowFingerprintsHof lesson)
+    df.select(col(idCol), Dedup.shingleHashArray(col(textCol), n).as("_grams"))
+      // projection barrier: keep CollapseProject from inlining _grams
+      // into both size() consumers below (winnowFingerprintsHof:1168)
+      .select(col(idCol), col("_grams"), explode(array(lit(0))).as("_b1"))
+      .select(col(idCol),
+        size(col("_grams")).cast("long").as("n_ngrams"),
+        size(array_distinct(col("_grams"))).cast("long").as("n_distinct"))
       .withColumn("dup_frac",
         when(col("n_ngrams") > 0,
           round(lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams"), 6))
           .otherwise(lit(0.0)))
+      .drop("_b1")
   }
 
   /** Per-document language-model quality score: the mean natural-log
