@@ -45,6 +45,10 @@ object Bench {
       val ok = times.filter(_ >= 0).sorted
       // median of successful reps; any failed rep marks the query failed
       val t = if (times.exists(_ < 0) || ok.isEmpty) -1.0 else ok(ok.size / 2)
+      // release dead localCheckpoint blocks before the next query's reps:
+      // ContextCleaner frees them only after a driver GC, and accumulated
+      // blocks bleed into later queries' timings (position noise)
+      System.gc()
       q.name -> t
     }
     val failed = results.collect { case (n, t) if t < 0 => "\"" + n + "\"" }

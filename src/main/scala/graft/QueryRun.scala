@@ -3,9 +3,12 @@ import org.apache.spark.sql.SparkSession
 
 /** Dev tool: run named registry queries against an sf dir, print row count
   * + wall time (+ plan with -explain). `runMain graft.QueryRun <sfDir>
-  * [-explain] [-show] [-reps N] q1 q2 ...`; with no names, runs the whole
-  * registry. `-reps N` runs each query N times (per-rep lines), separating
-  * cold JVM/codegen cost from warm query cost.
+  * [-explain] [-show] [-reps N] [-nogc] q1 q2 ...`; with no names, runs the
+  * whole registry. `-reps N` runs each query N times (per-rep lines),
+  * separating cold JVM/codegen cost from warm query cost; a driver GC runs
+  * between reps so dead localCheckpoint blocks don't contaminate later
+  * reps (`-nogc` disables it to observe the accumulation; `rdds=` prints
+  * the live persistent-RDD count either way).
   */
 object QueryRun {
   def main(args: Array[String]): Unit = {
@@ -52,7 +55,12 @@ object QueryRun {
         // re-optimizes and can delete count-invariant subtrees wholesale)
         val n = df.queryExecution.toRdd.count()
         val sec = (System.nanoTime() - t0) / 1e9
-        println(f"[queryrun] ${q.name}%-28s rep=$rep rows=$n%-8d ${sec}%.2fs")
+        val nrdd = spark.sparkContext.getPersistentRDDs.size
+        println(f"[queryrun] ${q.name}%-28s rep=$rep rows=$n%-8d ${sec}%.2fs rdds=$nrdd")
+        // drop dead localCheckpoint blocks between reps (ContextCleaner
+        // frees them only after a driver GC — default periodicGC is
+        // 30 min); -nogc keeps them to OBSERVE the accumulation
+        if (!flags("-nogc")) { System.gc(); Thread.sleep(200) }
         if (rep == reps && flags("-show")) df.show(20, truncate = false)
         if (rep == reps && flags("-explain")) df.explain("formatted")
       }

@@ -23,6 +23,14 @@ object GraftSession {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.parquet.filterPushdown", "true")
     .config("spark.ui.enabled", "false")
+    // Iterative operators (winnow/BPE/cluster lanes) localCheckpoint
+    // intermediate frames; the blocks are freed by ContextCleaner only
+    // after a DRIVER GC collects the dead RDD reference. Spark's default
+    // periodic-GC interval is 30 min — measured at 10× sf0.1, a session
+    // re-running the winnow lane accumulated dead blocks fast enough to
+    // thrash the storage pool (warm 6 s → 200 s by rep 3). 5 min bounds
+    // the leak window for long-lived pipeline sessions.
+    .config("spark.cleaner.periodicGC.interval", "5min")
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
     val s = configure(
