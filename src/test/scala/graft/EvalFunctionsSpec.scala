@@ -403,7 +403,7 @@ class EvalFunctionsSpec extends SparkSpec {
       .toDF("doc_id", "text")
     def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Seq[String])] =
       df.as[(Long, Seq[String])].collect().toSeq
-        .sortBy { case (id, subs) => (id, subs.mkString(" ")) }
+        .sortBy { case (id, subs) => (id, subs.mkString("\u0000")) }
     val chainDup = rows(graft.ext.TextAnalysis.bpeEncode(dup, "doc_id", "text", merges))
     val scalDup = rows(graft.ext.TextAnalysis.bpeEncodeScalable(dup, "doc_id", "text", merges))
     assert(chainDup == Seq((1L, Seq("ab")), (1L, Seq("c", "d")),
