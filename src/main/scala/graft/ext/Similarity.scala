@@ -410,6 +410,48 @@ object Similarity {
       .select(col("_qid").as(idCol), col("neighbor_id"), col("cos"), col("rank"))
   }
 
+  /** [[knnJoin]] with the plane count scaled to the DATA, which is the
+    * piece the fixed-plane form leaves to the caller and the piece that
+    * decides whether the join survives a scale-up: bucket COUNT is
+    * `2^planes` (fixed), so at a fixed `planes` a ×10 corpus puts ×10
+    * rows in every bucket and the within-bucket pair fan-out grows
+    * ×100 — measured ×45 wall at ×10 data (sf0.1 → sf1, planes = 6).
+    * Holding EXPECTED bucket size at `targetBucket` instead prices one
+    * extra plane per corpus doubling: `planes = max(minPlanes,
+    * ceil(log2(n / targetBucket)))`, one cheap count() to learn `n`.
+    *
+    * Recall trades the other way (smaller buckets miss more true
+    * neighbors — the [[knnJoin]] scaladoc's union-of-banks remedy
+    * applies); the point of the rule is that the DEFAULT follows the
+    * data instead of silently degrading to all-pairs-per-bucket.
+    * With the defaults, every corpus up to `64 · 2^6 = 4096` rows
+    * resolves to `minPlanes` = 6 — so results (and any oracle derived
+    * for planes = 6) are IDENTICAL to `knnJoin(…, planes = 6, …)`
+    * below that size, and the plane count starts growing exactly when
+    * the data does.
+    */
+  def knnJoinAuto(df: DataFrame, idCol: String, vecCol: String, dIn: Int,
+                  k: Int, targetBucket: Long = 64L, minPlanes: Int = 6): DataFrame =
+    knnJoin(df, idCol, vecCol, dIn,
+      autoPlanes(df.count(), targetBucket, minPlanes), k)
+
+  /** The [[knnJoinAuto]] plane rule — pure so the boundary arithmetic
+    * is unit-testable: smallest `planes >= minPlanes` with
+    * `n / 2^planes <= targetBucket`.
+    */
+  private[graft] def autoPlanes(n: Long, targetBucket: Long, minPlanes: Int): Int = {
+    require(targetBucket >= 1 && minPlanes >= 1,
+      s"need targetBucket >= 1 and minPlanes >= 1, got $targetBucket / $minPlanes")
+    var planes = minPlanes
+    // integer arithmetic, not floating log2: exact at powers of two.
+    // n <= targetBucket * 2^planes  <=>  ceil(n / targetBucket) <= 2^planes
+    // (the product form would overflow Long at large planes; a plain
+    // truncating n >> planes admits up to targetBucket - 1 extra rows)
+    val needed = (n + targetBucket - 1) / targetBucket
+    while (planes < 62 && needed > (1L << planes)) planes += 1
+    planes
+  }
+
   /** Portable sign-bit bucketing shared by [[semanticDedup]] and
     * [[knnJoin]]: project with the [[jlMatrix]] ±1 bank, take the sign
     * bit per plane, pack to one long. Output: (idCol, _v, bucket).

@@ -567,18 +567,31 @@ object TextAnalysis {
   }
 
   /** Apply a learned [[bpeLearn]] merge table to text — the ENCODE half
-    * of the tokenizer lifecycle: each whitespace word explodes to
-    * characters and every merge applies in rank order as the same
-    * greedy left-to-right fold the learner used, so
-    * encode(learn-corpus) reproduces the learner's final symbol states
-    * exactly. A narrow per-row expression chain (one fold per merge) —
-    * no shuffle, no state; the merge table is plan-constant like the
-    * [[graft.ext.Similarity]] JL matrix.
+    * of the tokenizer lifecycle: each whitespace word splits to code
+    * points and every merge applies in rank order as the same greedy
+    * left-to-right fold the learner used, so encode(learn-corpus)
+    * reproduces the learner's final symbol states exactly. One native
+    * codegen'd expression ([[graft.functions.BpeEncodeExpr]], the
+    * WinnowSelect precedent) — no shuffle, no state; the merge table is
+    * plan-constant like the [[graft.ext.Similarity]] JL matrix. The
+    * original interpreted expression-CHAIN form (one `aggregate` lambda
+    * per merge, measured 33 s warm at sf0.1 for 12 merges once the
+    * bench drained real output) survives as [[bpeEncodeHof]] for parity
+    * pinning.
     *
     * Output: (idCol, subwords: array<string>).
     */
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
-                merges: Seq[(String, String)]): DataFrame = {
+                merges: Seq[(String, String)]): DataFrame =
+    df.select(col(idCol),
+      graft.functions.GraftFunctions.bpe_encode(col(textCol), merges).as("subwords"))
+
+  /** The interpreted HOF-chain twin of [[bpeEncode]] — kept ONLY as the
+    * independent re-derivation the kernel is pinned bitwise against
+    * (the winnowFingerprintsHof rule); nothing in the library calls it.
+    */
+  private[graft] def bpeEncodeHof(df: DataFrame, idCol: String, textCol: String,
+                                  merges: Seq[(String, String)]): DataFrame = {
     def chars(w: Column): Column =
       transform(sequence(lit(0), length(w) - 1), i => w.substr(i + lit(1), lit(1)))
     def enc(w: Column): Column =

@@ -142,6 +142,13 @@ object GraftFunctions {
   def winnow_select(tokens: Column, k: Int, w: Int): Column =
     toColumn(WinnowSelect(toExpression(tokens), k, w))
 
+  /** Codegen'd BPE encode of a text column against a PLAN-CONSTANT
+    * merge table (see [[BpeEncodeExpr]] for the fold contract and when
+    * to prefer the distinct-word scalable encoder instead).
+    */
+  def bpe_encode(text: Column, merges: Seq[(String, String)]): Column =
+    toColumn(BpeEncodeExpr(toExpression(text), merges))
+
   /** Make graft's expressions callable from `spark.sql(...)`. */
   def registerAll(spark: SparkSession): Unit = {
     registerFunction(spark, "fft_magnitude", exprs => FftMagnitude(exprs.head))

@@ -276,6 +276,45 @@ object ExtQueries {
       table
     })
 
+  /** The kNN self-join oracle at planes = 6 — shared verbatim by
+    * `x_knn_join` (fixed planes) and `x_knn_join_auto` (data-scaled
+    * planes): with [[Similarity.knnJoinAuto]]'s defaults every corpus
+    * up to 4096 vectors resolves to planes = 6, and the largest
+    * driver-checked embeddings table (sf0.1) is 2000 — so the auto
+    * form is oracle-green at every checked sf and diverges from the
+    * fixed form only past the size where the fixed form's per-bucket
+    * fan-out has already gone quadratic (measured ×45 wall at ×10
+    * data; the auto form re-measured ×13 — see DESIGN.md).
+    */
+  private val knnJoinOracleSql: String =
+    "WITH x AS (SELECT vec_id, len(embedding) AS dim, " +
+      "CAST(unnest(embedding) AS DOUBLE) AS v, " +
+      "generate_subscripts(embedding, 1) - 1 AS j FROM embeddings), " +
+      "io AS (SELECT unnest(generate_series(0, 5)) AS i), " +
+      "p AS (SELECT vec_id, i, sum(v * CASE WHEN " +
+      "((i * dim + j) * 2654435761) % 4294967296 < 2147483648 " +
+      "THEN 1 ELSE -1 END) / sqrt(6.0) AS y FROM x CROSS JOIN io GROUP BY vec_id, i), " +
+      "bk AS (SELECT vec_id, CAST(sum(CASE WHEN y >= 0 " +
+      "THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS bucket " +
+      "FROM p GROUP BY vec_id), " +
+      "pr AS (SELECT a.vec_id AS qid, b.vec_id AS nid " +
+      "FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id), " +
+      "dd AS (SELECT qid, nid, unnest(e1.embedding) AS xx, " +
+      "unnest(e2.embedding) AS yy FROM pr " +
+      "JOIN embeddings e1 ON e1.vec_id = pr.qid " +
+      "JOIN embeddings e2 ON e2.vec_id = pr.nid), " +
+      "sm AS (SELECT qid, nid, " +
+      "sum(CAST(xx AS DOUBLE) * CAST(yy AS DOUBLE)) AS dt, " +
+      "sum(CAST(xx AS DOUBLE) * CAST(xx AS DOUBLE)) AS nx, " +
+      "sum(CAST(yy AS DOUBLE) * CAST(yy AS DOUBLE)) AS ny " +
+      "FROM dd GROUP BY qid, nid), " +
+      "r AS (SELECT qid AS vec_id, nid AS neighbor_id, " +
+      "dt / (sqrt(nx) * sqrt(ny)) AS c, row_number() OVER " +
+      "(PARTITION BY qid ORDER BY dt / (sqrt(nx) * sqrt(ny)) DESC, nid) AS rk " +
+      "FROM sm) " +
+      "SELECT vec_id, neighbor_id, round(c, 6) AS cos, CAST(rk AS BIGINT) AS rank " +
+      "FROM r WHERE rk <= 3 ORDER BY vec_id, rank"
+
   /** The UNMATERIALIZED plans behind the memoized queries, for the plan
     * audit (ExplainAuditSpec): a memo returns a checkpoint/persisted
     * frame whose audited plan is just a cache scan — a scale
@@ -1998,33 +2037,20 @@ object ExtQueries {
         .select(col("vec_id"), col("neighbor_id"),
           round(col("cos"), 6).as("cos"), col("rank"))
         .orderBy("vec_id", "rank"),
-      Some("WITH x AS (SELECT vec_id, len(embedding) AS dim, " +
-        "CAST(unnest(embedding) AS DOUBLE) AS v, " +
-        "generate_subscripts(embedding, 1) - 1 AS j FROM embeddings), " +
-        "io AS (SELECT unnest(generate_series(0, 5)) AS i), " +
-        "p AS (SELECT vec_id, i, sum(v * CASE WHEN " +
-        "((i * dim + j) * 2654435761) % 4294967296 < 2147483648 " +
-        "THEN 1 ELSE -1 END) / sqrt(6.0) AS y FROM x CROSS JOIN io GROUP BY vec_id, i), " +
-        "bk AS (SELECT vec_id, CAST(sum(CASE WHEN y >= 0 " +
-        "THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS bucket " +
-        "FROM p GROUP BY vec_id), " +
-        "pr AS (SELECT a.vec_id AS qid, b.vec_id AS nid " +
-        "FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id), " +
-        "dd AS (SELECT qid, nid, unnest(e1.embedding) AS xx, " +
-        "unnest(e2.embedding) AS yy FROM pr " +
-        "JOIN embeddings e1 ON e1.vec_id = pr.qid " +
-        "JOIN embeddings e2 ON e2.vec_id = pr.nid), " +
-        "sm AS (SELECT qid, nid, " +
-        "sum(CAST(xx AS DOUBLE) * CAST(yy AS DOUBLE)) AS dt, " +
-        "sum(CAST(xx AS DOUBLE) * CAST(xx AS DOUBLE)) AS nx, " +
-        "sum(CAST(yy AS DOUBLE) * CAST(yy AS DOUBLE)) AS ny " +
-        "FROM dd GROUP BY qid, nid), " +
-        "r AS (SELECT qid AS vec_id, nid AS neighbor_id, " +
-        "dt / (sqrt(nx) * sqrt(ny)) AS c, row_number() OVER " +
-        "(PARTITION BY qid ORDER BY dt / (sqrt(nx) * sqrt(ny)) DESC, nid) AS rk " +
-        "FROM sm) " +
-        "SELECT vec_id, neighbor_id, round(c, 6) AS cos, CAST(rk AS BIGINT) AS rank " +
-        "FROM r WHERE rk <= 3 ORDER BY vec_id, rank")),
+      Some(knnJoinOracleSql)),
+
+    // The production form of the same join: planes follow the corpus
+    // size (one count()), holding expected bucket size at 64 — the
+    // knob the fixed-planes anchor above leaves to the caller. Shares
+    // the planes = 6 oracle because the rule RESOLVES to 6 at every
+    // driver-checked sf (see knnJoinOracleSql).
+    Q("x_knn_join_auto",
+      (s, d) => Similarity.knnJoinAuto(Tables.embeddings(s, d), "vec_id", "embedding",
+          dIn = queryVec(s, d).length, k = 3)
+        .select(col("vec_id"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos"), col("rank"))
+        .orderBy("vec_id", "rank"),
+      Some(knnJoinOracleSql)),
 
     Q("x_random_projection",
       (s, d) => {

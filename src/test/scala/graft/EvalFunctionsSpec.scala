@@ -393,6 +393,29 @@ class EvalFunctionsSpec extends SparkSpec {
     assert(scalC == chainC, s"scalable got $scalC, chain got $chainC")
   }
 
+  test("ext: bpeEncode kernel — bitwise parity with the interpreted HOF " +
+      "chain, incl. null text, space runs, and a learned corpus table") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val learned = graft.ext.TextAnalysis.bpeLearnBatched(docs, "text", 12)
+      .orderBy("merge_rank").select("left", "right")
+      .as[(String, String)].collect().toSeq
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").as[(Long, Option[Seq[String]])].collect().toSeq
+    val kernelDocs = rows(graft.ext.TextAnalysis.bpeEncode(docs, "doc_id", "text", learned))
+    val hofDocs = rows(graft.ext.TextAnalysis.bpeEncodeHof(docs, "doc_id", "text", learned))
+    assert(kernelDocs == hofDocs, "kernel diverged from HOF chain on documents")
+    // null text → null array (both); space runs and edge spaces collapse;
+    // empty text → empty array
+    val edge = Seq((1L, null), (2L, "  low   lower "), (3L, ""), (4L, " "))
+      .asInstanceOf[Seq[(Long, String)]].toDF("doc_id", "text")
+    val kernelE = rows(graft.ext.TextAnalysis.bpeEncode(edge, "doc_id", "text", learned))
+    val hofE = rows(graft.ext.TextAnalysis.bpeEncodeHof(edge, "doc_id", "text", learned))
+    assert(kernelE == hofE, s"edge-case divergence:\n$kernelE\n$hofE")
+    assert(kernelE.head._2.isEmpty, "null text must encode to null")
+    assert(kernelE(2)._2.contains(Seq.empty), "empty text must encode to []")
+    assert(kernelE(3)._2.contains(Seq.empty), "all-space text must encode to []")
+  }
+
   test("ext: bpeEncodeScalable — duplicate ids encode per row; non-BMP " +
       "chars split by code point like the expression chain") {
     val merges = Seq(("a", "b"))

@@ -324,4 +324,26 @@ class SimilaritySpec extends SparkSpec {
         s"neighbors of $q diverge from per-bucket brute force")
     }
   }
+
+  test("knnJoinAuto: plane rule boundaries, and bitwise parity with the " +
+      "fixed form while the rule resolves to minPlanes") {
+    // integer boundary arithmetic: planes is the smallest >= minPlanes
+    // with n / 2^planes <= targetBucket
+    assert(Similarity.autoPlanes(500L, 64L, 6) == 6)
+    assert(Similarity.autoPlanes(2000L, 64L, 6) == 6)
+    assert(Similarity.autoPlanes(4096L, 64L, 6) == 6, "boundary: 4096 = 64 * 2^6")
+    assert(Similarity.autoPlanes(4097L, 64L, 6) == 7, "one past the boundary")
+    assert(Similarity.autoPlanes(20000L, 64L, 6) == 9)
+    assert(Similarity.autoPlanes(0L, 64L, 6) == 6, "empty input keeps minPlanes")
+    // every driver-checked embeddings table sits below the boundary, so
+    // the auto form must equal the fixed form bitwise (the shared-oracle
+    // contract of x_knn_join_auto)
+    val auto = Similarity.knnJoinAuto(fixture, "vec_id", "embedding",
+        dIn = dim, k = 2, minPlanes = 4)
+      .as[(Long, Long, Double, Long)].collect().toSeq.sorted
+    val fixed = Similarity.knnJoin(fixture, "vec_id", "embedding",
+        dIn = dim, planes = 4, k = 2)
+      .as[(Long, Long, Double, Long)].collect().toSeq.sorted
+    assert(auto == fixed, "auto diverged from fixed below the boundary")
+  }
 }
