@@ -13,22 +13,31 @@ import org.apache.spark.sql.functions._
   * What scales and how (the corpus tables the dedup/winnow/text/window
   * lanes read):
   *
-  *  - `documents` ×N: replica r remaps `doc_id += r·1e6` and applies a
-  *    per-replica alphabet rotation (`translate` by r positions, case
-  *    preserved). Rotation is length-preserving, so token counts, text
+  *  - `documents` ×N (N ≤ 312): replica r remaps `doc_id += r·stride`
+  *    and applies a per-replica affine letter permutation (`translate`,
+  *    case preserved — see [[affineAlphabet]]). The permutation is
+  *    length-preserving and bijective on k-grams, so token counts, text
   *    statistics, and the WITHIN-replica duplicate/near-duplicate
   *    structure are replicated exactly — while cross-replica k-gram
-  *    equality is destroyed (every letter differs), so candidate pairs
-  *    grow ×N, not ×N² as naive copies would (10 verbatim copies give
-  *    each doc 9 cross-replica twins → 45 extra pairs per original
-  *    pair-group, a workload the real corpus doesn't have).
-  *  - `events` ×N: `event_id`/`user_id` += r·1e6, ts/value/props kept —
-  *    per-user session and funnel shapes replicate, user cardinality ×N.
-  *  - `embeddings` ×N: `vec_id` += r·1e6 and replica r left-rotates the
-  *    vector by r coordinates. Rotation is norm-preserving and
-  *    within-replica cosine-invariant (same permutation both sides), so
-  *    each replica keeps the original cluster geometry; cross-replica
-  *    similarity collapses to noise instead of N exact twins per vector.
+  *    equality is destroyed (distinct maps agree on ≤ 2 letters), so
+  *    candidate pairs grow ×N, not ×N² as naive copies would (10
+  *    verbatim copies give each doc 9 cross-replica twins → 45 extra
+  *    pairs per original pair-group, a workload the real corpus
+  *    doesn't have).
+  *  - `events` ×N: `event_id`/`user_id` += r·stride, ts/value/props
+  *    kept — per-user session and funnel shapes replicate, user
+  *    cardinality ×N.
+  *  - `embeddings` ×N (N ≤ 2·dim): `vec_id` += r·stride and replica r
+  *    rotates coordinates (mod dim) with a half-turn negation — see
+  *    [[scaleEmbeddings]]. Norm-preserving and within-replica
+  *    cosine-invariant, so each replica keeps the original cluster
+  *    geometry; cross-replica similarity collapses to noise instead of
+  *    N exact twins per vector.
+  *
+  *  Scale in ONE pass: the per-replica transforms compose additively, so
+  *  chaining two passes hands equal-composition replica pairs identical
+  *  texts/vectors (ids stay sound via [[strideFor]], the data workload
+  *  does not).
   *  - TPC-H tables pass through unchanged: the corpus lanes are what the
   *    10× proof targets; FK-consistent TPC-H scaling is the driver's job
   *    (real sf1 generation), not worth re-deriving here.
@@ -38,19 +47,59 @@ object ScaleGen {
   private val Lower = "abcdefghijklmnopqrstuvwxyz"
   private val Upper = Lower.toUpperCase
 
-  /** Alphabet rotated r positions, lower+upper halves rotated together. */
-  private def rotatedAlphabet(r: Int): String = {
-    val k = ((r % 26) + 26) % 26
-    (Lower.drop(k) + Lower.take(k)) + (Upper.drop(k) + Upper.take(k))
+  /** Units of Z₂₆ (gcd(a,26)=1) — the valid multipliers of an affine
+    * letter cipher x → a·x+b (mod 26).
+    */
+  private val Units = Vector(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+
+  /** Max factor for which every replica gets a DISTINCT text transform. */
+  val MaxDocFactor: Int = Units.length * 26 // 312
+
+  /** Replica r's letter permutation as a translate() replacement string:
+    * affine map x → a·x+b (mod 26) with a = Units[r/26 mod 12], b = r mod 26,
+    * applied to both cases. r=0 is the identity. Why affine and not plain
+    * rotation: rotation wraps at 26, so factor > 26 would hand replicas r
+    * and r+26 IDENTICAL texts — N·(N−1)/2 cross-replica exact-duplicate
+    * pairs the real corpus doesn't have. The 312 affine maps are pairwise
+    * distinct, and two distinct maps agree on at most 2 letters (equal a:
+    * none; different a: (a₁−a₂)x ≡ b₂−b₁ has gcd(a₁−a₂,26)=2 solutions at
+    * most), so cross-replica k-gram equality stays destroyed.
+    */
+  private[graft] def affineAlphabet(r: Int): String = {
+    require(r >= 0 && r < MaxDocFactor, s"replica $r outside [0, $MaxDocFactor)")
+    val a = Units(r / 26)
+    val b = r % 26
+    val lo = (0 until 26).map(i => Lower((a * i + b) % 26)).mkString
+    lo + lo.toUpperCase
   }
 
   private val IdStride = 1000000L
 
-  /** documents ×factor with per-replica letter rotation (see object doc). */
+  /** Replica id stride: at least [[IdStride]], and past the input's own
+    * max id — a FIXED stride collides when ScaleGen output is scaled
+    * AGAIN (sf1 doc_ids already span r·1e6; re-adding r·1e6 mapped
+    * 500 k rows onto 95 k distinct ids). Rounded to a power of 10 so
+    * replica membership stays readable off the id.
+    */
+  private def strideFor(df: DataFrame, idCols: String*): Long = {
+    val maxId = idCols
+      .map(c => df.agg(max(col(c).cast("long"))).head().getLong(0)).max
+    var s = IdStride
+    while (s <= maxId) s *= 10L
+    s
+  }
+
+  /** documents ×factor with per-replica affine letter permutation (see
+    * [[affineAlphabet]]). Single-pass only: chaining two ScaleGen passes
+    * composes the affine maps, and distinct (r₁,r₂) pairs with equal
+    * composed maps would be cross-replica exact duplicates — scale in ONE
+    * pass (factor ≤ 312), never by re-scaling ScaleGen output.
+    */
   def scaleDocuments(docs: DataFrame, factor: Int): DataFrame = {
-    val rots = array((0 until factor).map(r => lit(rotatedAlphabet(r))): _*)
+    require(factor <= MaxDocFactor, s"factor $factor > $MaxDocFactor distinct text transforms")
+    val rots = array((0 until factor).map(r => lit(affineAlphabet(r))): _*)
     replicate(docs, factor)
-      .withColumn("doc_id", col("doc_id") + col("_rep") * IdStride)
+      .withColumn("doc_id", col("doc_id") + col("_rep") * strideFor(docs, "doc_id"))
       // translate's matching/replace args need not be foldable: the
       // per-replica alphabet is picked per row from a 10-element literal
       // array (StringTranslate rebuilds its dict only when the value
@@ -65,23 +114,38 @@ object ScaleGen {
   }
 
   /** events ×factor: id remap only — time structure is the workload. */
-  def scaleEvents(events: DataFrame, factor: Int): DataFrame =
+  def scaleEvents(events: DataFrame, factor: Int): DataFrame = {
+    val stride = strideFor(events, "event_id", "user_id")
     replicate(events, factor)
-      .withColumn("event_id", col("event_id") + col("_rep") * IdStride)
-      .withColumn("user_id", col("user_id") + col("_rep") * IdStride)
+      .withColumn("event_id", col("event_id") + col("_rep") * stride)
+      .withColumn("user_id", col("user_id") + col("_rep") * stride)
       .drop("_rep")
+  }
 
-  /** embeddings ×factor with per-replica coordinate rotation. */
-  def scaleEmbeddings(emb: DataFrame, factor: Int): DataFrame =
+  /** embeddings ×factor: replica r left-rotates coordinates by r mod d and
+    * negates the vector when ⌊r/d⌋ is odd — 2·d distinct transforms (d=64
+    * in the testdata), each norm-preserving and within-replica
+    * cosine-invariant (the same permutation and global sign hit both sides
+    * of any within-replica pair). Plain rotation alone wraps at d:
+    * factor > d would hand replicas r and r+d exact vector twins. The old
+    * code also sliced with a NEGATIVE length once _rep ≥ d. Single-pass
+    * only, like [[scaleDocuments]].
+    */
+  def scaleEmbeddings(emb: DataFrame, factor: Int): DataFrame = {
+    val d = emb.select(size(col("embedding"))).head().getInt(0)
+    require(factor <= 2 * d, s"factor $factor > ${2 * d} distinct vector transforms (dim $d)")
+    val k = (col("_rep") % d).cast("int")
+    val rotated = when(k === 0, col("embedding")).otherwise(
+      concat(
+        slice(col("embedding"), k + lit(1), size(col("embedding")) - k),
+        slice(col("embedding"), lit(1), k)))
     replicate(emb, factor)
-      .withColumn("vec_id", col("vec_id") + col("_rep") * IdStride)
+      .withColumn("vec_id", col("vec_id") + col("_rep") * strideFor(emb, "vec_id"))
       .withColumn("embedding",
-        when(col("_rep") === 0, col("embedding")).otherwise(
-          concat(
-            slice(col("embedding"), col("_rep").cast("int") + 1,
-              size(col("embedding")) - col("_rep").cast("int")),
-            slice(col("embedding"), lit(1), col("_rep").cast("int")))))
+        when((col("_rep") / d).cast("long") % 2 === 1,
+          transform(rotated, x => -x)).otherwise(rotated))
       .drop("_rep")
+  }
 
   /** Cross join with a broadcast replica spine — N× rows, one narrow
     * stage, no shuffle; replica id in `_rep` for the per-table remaps.
@@ -99,15 +163,24 @@ object ScaleGen {
     val spark = graft.core.GraftSession.local()
     val t0 = System.nanoTime()
 
-    def write(name: String, df: DataFrame): Unit = {
+    // idCol uniqueness is asserted on the WRITTEN data: the chained-pass id
+    // collision this would have caught (500k rows → 95k distinct doc_ids)
+    // produced plausible-looking lane timings and surfaced only on manual
+    // inspection.
+    def write(name: String, df: DataFrame, idCol: Option[String] = None): Unit = {
       df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
-      val n = spark.read.parquet(s"$dst/$name.parquet").count()
+      val out = spark.read.parquet(s"$dst/$name.parquet")
+      val n = out.count()
+      idCol.foreach { c =>
+        val distinct = out.select(c).distinct().count()
+        require(distinct == n, s"$name.$c not unique after scaling: $distinct distinct of $n rows")
+      }
       println(f"[scalegen] $name%-12s rows=$n%-9d -> $dst/$name.parquet")
     }
 
-    write("documents", scaleDocuments(core.Tables.documents(spark, src), factor))
-    write("events", scaleEvents(core.Tables.load(spark, src, "events"), factor))
-    write("embeddings", scaleEmbeddings(core.Tables.embeddings(spark, src), factor))
+    write("documents", scaleDocuments(core.Tables.documents(spark, src), factor), Some("doc_id"))
+    write("events", scaleEvents(core.Tables.load(spark, src, "events"), factor), Some("event_id"))
+    write("embeddings", scaleEmbeddings(core.Tables.embeddings(spark, src), factor), Some("vec_id"))
     Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
       .foreach(t => write(t, core.Tables.load(spark, src, t)))
 
