@@ -8,10 +8,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - AQE on: runtime coalescing of shuffle partitions, skew-join splitting.
   *  - `shuffle.partitions` defaults to the local core count; on a real
   *    cluster this is overridden to ~2-3x total cores (AQE coalesces down).
-  *  - Parquet nanos timestamps (the `events` table) are read as Long
-  *    nanos-since-epoch (`nanosAsLong`) — Spark's TimestampType is
-  *    micros-precision; keeping the raw long avoids silent truncation and
-  *    lets callers choose their precision explicitly (see [[Tables.events]]).
+  *  - The `events` table's `ts` encoding varies by producer: ns-precision
+  *    parquet loads as Long nanos (`nanosAsLong`), µs-precision loads as
+  *    TIMESTAMP / TIMESTAMP_NTZ. [[Tables.events]] detects the loaded type
+  *    and derives canonical `ts_sec`/`ts_micro` Longs from either.
   */
 object GraftSession {
 
@@ -62,16 +62,34 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** `events` with `ts` as raw nanos Long plus derived second-precision
-    * columns. `ts_sec` (epoch seconds, exact in both Spark and any ns-native
-    * engine) is the join/compare-safe representation.
+  /** `events` with derived `ts_micro` (epoch micros, Long) and `ts_sec`
+    * (epoch seconds, Long) columns — the join/compare-safe representations
+    * every downstream operator consumes instead of raw `ts`.
+    *
+    * The physical `ts` encoding is NOT assumed: parquet files written as
+    * `timestamp[ns]` load as Long nanos under `nanosAsLong=true`, while
+    * `timestamp[us]` files load as TIMESTAMP / TIMESTAMP_NTZ. Both must
+    * yield identical `ts_sec`/`ts_micro` (pinned by SchemaSpec).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    // Integer DIV, not `/`: epoch-nanos (~1.7e18) exceeds double's 53-bit
-    // mantissa, so float division would silently lose microseconds.
-    load(s, d, "events")
-      .withColumn("ts_sec", expr("ts DIV 1000000000L"))
-      .withColumn("ts_micro", expr("ts DIV 1000L"))
+    import org.apache.spark.sql.types._
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // Legacy ns-as-long. Integer DIV, not `/`: epoch-nanos (~1.7e18)
+        // exceeds double's 53-bit mantissa, so float division would
+        // silently lose microseconds.
+        raw.withColumn("ts_micro", expr("ts DIV 1000L"))
+          .withColumn("ts_sec", expr("ts DIV 1000000000L"))
+      case TimestampType | TimestampNTZType =>
+        // NTZ casts to TimestampType verbatim under the UTC session zone
+        // (set in configure()); unix_micros then reads exact epoch micros.
+        raw.withColumn("ts_micro", unix_micros(col("ts").cast(TimestampType)))
+          .withColumn("ts_sec", expr("ts_micro DIV 1000000L"))
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.ts has unsupported type $other (expected Long nanos or a timestamp)")
+    }
   }
 }

@@ -393,9 +393,31 @@ object Similarity {
     *
     * Output: (idCol, neighbor_id, cos, rank: long), rank 1..k per id by
     * cosine desc (neighbor id breaks exact ties deterministically).
+    *
+    * This planes-free form IS the default: it applies the
+    * [[knnJoinAuto]] data-scaled plane rule, so the reachable API
+    * cannot silently degrade to all-pairs-per-bucket at scale
+    * (measured ×45 wall at ×10 data for a pinned plane count).
     */
   def knnJoin(df: DataFrame, idCol: String, vecCol: String, dIn: Int,
-              planes: Int, k: Int): DataFrame = {
+              k: Int): DataFrame =
+    knnJoinAuto(df, idCol, vecCol, dIn, k)
+
+  /** [[knnJoin]] with a CALLER-PINNED plane count. Bucket count is then
+    * fixed at `2^planes` regardless of corpus size, so within-bucket
+    * pair fan-out grows quadratically with data — use only when the
+    * plane count must be reproducible against a stored oracle
+    * (`x_knn_join`); otherwise the planes-free overload scales it.
+    */
+  @deprecated("pinned planes degrade quadratically with data; use the " +
+    "planes-free knnJoin (data-scaled) unless oracle continuity requires " +
+    "a fixed plane count", "round 10")
+  def knnJoin(df: DataFrame, idCol: String, vecCol: String, dIn: Int,
+              planes: Int, k: Int): DataFrame =
+    knnJoinImpl(df, idCol, vecCol, dIn, planes, k)
+
+  private def knnJoinImpl(df: DataFrame, idCol: String, vecCol: String,
+                          dIn: Int, planes: Int, k: Int): DataFrame = {
     require(k > 0, s"need k > 0, got $k")
     val bucketed = signBuckets(df, idCol, vecCol, dIn, planes)
     val a = bucketed.select(col(idCol).as("_qid"), col("bucket"), col("_v").as("_v1"))
@@ -432,7 +454,7 @@ object Similarity {
     */
   def knnJoinAuto(df: DataFrame, idCol: String, vecCol: String, dIn: Int,
                   k: Int, targetBucket: Long = 64L, minPlanes: Int = 6): DataFrame =
-    knnJoin(df, idCol, vecCol, dIn,
+    knnJoinImpl(df, idCol, vecCol, dIn,
       autoPlanes(df.count(), targetBucket, minPlanes), k)
 
   /** The [[knnJoinAuto]] plane rule — pure so the boundary arithmetic

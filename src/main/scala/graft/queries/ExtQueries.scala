@@ -2032,8 +2032,8 @@ object ExtQueries {
     // unrounded cosines in both engines (distinct-neighbor cosines
     // differ far above fp noise; exact ties break on neighbor id).
     Q("x_knn_join",
-      (s, d) => Similarity.knnJoin(Tables.embeddings(s, d), "vec_id", "embedding",
-          dIn = queryVec(s, d).length, planes = 6, k = 3)
+      (s, d) => (Similarity.knnJoin(Tables.embeddings(s, d), "vec_id", "embedding",
+          dIn = queryVec(s, d).length, planes = 6, k = 3): @scala.annotation.nowarn("cat=deprecation"))
         .select(col("vec_id"), col("neighbor_id"),
           round(col("cos"), 6).as("cos"), col("rank"))
         .orderBy("vec_id", "rank"),

@@ -297,8 +297,8 @@ class SimilaritySpec extends SparkSpec {
 
   test("knnJoin: per-bucket brute-force agreement, self excluded, k bounded") {
     val k = 2
-    val got = Similarity.knnJoin(fixture, "vec_id", "embedding",
-        dIn = dim, planes = 4, k = k)
+    val got = (Similarity.knnJoin(fixture, "vec_id", "embedding",
+        dIn = dim, planes = 4, k = k): @scala.annotation.nowarn("cat=deprecation"))
       .as[(Long, Long, Double, Long)].collect().toSeq
     assert(got.nonEmpty)
     assert(got.forall { case (q, n, _, r) => q != n && r >= 1 && r <= k })
@@ -341,9 +341,18 @@ class SimilaritySpec extends SparkSpec {
     val auto = Similarity.knnJoinAuto(fixture, "vec_id", "embedding",
         dIn = dim, k = 2, minPlanes = 4)
       .as[(Long, Long, Double, Long)].collect().toSeq.sorted
-    val fixed = Similarity.knnJoin(fixture, "vec_id", "embedding",
-        dIn = dim, planes = 4, k = 2)
+    val fixed = (Similarity.knnJoin(fixture, "vec_id", "embedding",
+        dIn = dim, planes = 4, k = 2): @scala.annotation.nowarn("cat=deprecation"))
       .as[(Long, Long, Double, Long)].collect().toSeq.sorted
     assert(auto == fixed, "auto diverged from fixed below the boundary")
+    // the planes-free overload IS the auto rule — the reachable default
+    // can't silently pin a plane count (round-9 verdict item)
+    val viaDefault = Similarity.knnJoin(fixture, "vec_id", "embedding",
+        dIn = dim, k = 2)
+      .as[(Long, Long, Double, Long)].collect().toSeq.sorted
+    val viaAuto = Similarity.knnJoinAuto(fixture, "vec_id", "embedding",
+        dIn = dim, k = 2)
+      .as[(Long, Long, Double, Long)].collect().toSeq.sorted
+    assert(viaDefault == viaAuto, "planes-free knnJoin diverged from knnJoinAuto")
   }
 }

@@ -569,18 +569,32 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  /** Deterministic events-shaped fixture: 40 users × 20–60 events over ~30
+    * days, reference event-type mix. Replaces the former read of the
+    * driver-owned `/root/testdata` so suite greenness never depends on data
+    * this repo doesn't control (the round-9 re-encoding incident).
+    */
+  private def syntheticEvents(): Seq[(Long, String, String)] = {
+    val rng = new scala.util.Random(42)
+    val types = Vector("view", "view", "view", "click", "click", "purchase", "other")
+    val t0 = 1700000000000L // ms; sub-second jitter included
+    (for {
+      u <- 1 to 40
+      _ <- 1 to (20 + rng.nextInt(41))
+    } yield {
+      val ms = t0 + rng.nextInt(30 * 86400) * 1000L + rng.nextInt(1000)
+      (ms, u.toString, types(rng.nextInt(types.length)))
+    }).sortBy(t => (t._1, t._2, t._3))
+  }
+
   test("streaming funnel: reach counts match the batch conversion funnel " +
-      "on the events table, across micro-batches") {
+      "on an events-shaped stream, across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val steps = Seq("view", "click", "purchase")
     val horizonMs = 86400000L // 1 day, the registry query's horizon
-    // the registry's funnel input (x_conversion_funnel), as an in-order
-    // stream; ms precision on BOTH sides so the arithmetic is identical
-    val rows = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
-      .select((col("ts_micro") / lit(1000L)).cast("long").as("ms"),
-        col("user_id").cast("string").as("user"), col("event_type"))
-      .orderBy("ms")
-      .as[(Long, String, String)].collect()
+    // the registry's funnel input shape (x_conversion_funnel), as an
+    // in-order stream; ms precision on BOTH sides so arithmetic is identical
+    val rows = syntheticEvents()
       .map { case (ms, u, t) => (new java.sql.Timestamp(ms), u, t) }
     val input = MemoryStream[(java.sql.Timestamp, String, String)]
     val out = StreamingOps.funnelProgress(
@@ -613,15 +627,11 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming retention: first-activity cells match the batch cohort " +
-      "matrix on the events table, across micro-batches") {
+      "matrix on an events-shaped stream, across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val bucketMs = 86400000L // 1 day, the batch query's bucket
-    val rows = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
-      .select((col("ts_micro") / lit(1000L)).cast("long").as("ms"),
-        col("user_id").cast("string").as("user"))
-      .orderBy("ms")
-      .as[(Long, String)].collect()
-      .map { case (ms, u) => (new java.sql.Timestamp(ms), u) }
+    val rows = syntheticEvents()
+      .map { case (ms, u, _) => (new java.sql.Timestamp(ms), u) }
     val input = MemoryStream[(java.sql.Timestamp, String)]
     val out = StreamingOps.retentionAtIngest(
       input.toDF().toDF("ts", "user"), "user", "ts", bucketMs,
