@@ -33,12 +33,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try SparkEntry.entry(spark).queryExecution.toRdd.count() catch { case _: Throwable => }
-    val results = SparkEntry.registry.map { q =>
+    def timed(name: String, run: () => Unit): (String, Double) = {
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { q.fn(spark, sfDir).queryExecution.toRdd.count(); (System.nanoTime() - t0) / 1e9 }
+        try { run(); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1.0
         }
       }
@@ -49,8 +49,21 @@ object Bench {
       // ContextCleaner frees them only after a driver GC, and accumulated
       // blocks bleed into later queries' timings (position noise)
       System.gc()
-      q.name -> t
+      name -> t
     }
+    val batchResults = SparkEntry.registry.map { q =>
+      timed(q.name, () => { q.fn(spark, sfDir).queryExecution.toRdd.count(); () })
+    }
+    // streaming ingest surface: full micro-batch runs over seeded synthetic
+    // streams (see StreamBench) — wall seconds per complete ingest, so
+    // state-store/watermark regressions are bench-visible like batch plans.
+    // SPARK_GRAFT_BENCH_STREAMING=0 skips (e.g. for sf-scaling studies).
+    val streamResults =
+      if (sys.env.get("SPARK_GRAFT_BENCH_STREAMING").contains("0")) Nil
+      else graft.streaming.StreamBench.cases(spark).map {
+        case (name, run) => timed(name, run)
+      }
+    val results = batchResults ++ streamResults
     val failed = results.collect { case (n, t) if t < 0 => "\"" + n + "\"" }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1,0 +1,166 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Micro-batch throughput cases for the [[StreamingOps]] ingest surface,
+  * registered in [[graft.Bench]] alongside the batch registry so streaming
+  * regressions show up in `BENCH_r{N}.json` the same way batch ones do
+  * (until round 10 these paths were test-pinned only).
+  *
+  * Each case drives a deterministic synthetic event stream through a real
+  * `writeStream` query in a fixed number of micro-batches (`MemoryStream`
+  * + `processAllAvailable`, noop sink) and reports wall seconds — the
+  * measured quantity is the whole micro-batch machinery (state store,
+  * watermark advance, per-batch planning), not just the operator kernel.
+  * Inputs are seeded, so reps and rounds compare like with like.
+  */
+object StreamBench {
+
+  /** One batch's worth of rows per feed call; cases feed `batches` times. */
+  private val batches = 6
+
+  private def drain[T](spark: SparkSession, input: MemoryStream[T],
+                       out: DataFrame, chunks: Seq[Seq[T]]): Unit = {
+    val query: StreamingQuery = out.writeStream.format("noop")
+      .outputMode("append").start()
+    try {
+      chunks.foreach { c => input.addData(c); query.processAllAvailable() }
+    } finally query.stop()
+  }
+
+  /** keyed (ts, key, value, type) events: `n` rows over `n` seconds of
+    * event time, 200 keys, reference event-type mix — in order, so
+    * watermarks advance every batch and windowed aggregates emit.
+    */
+  private def events(n: Int, seed: Long): Seq[(Timestamp, String, Double, String)] = {
+    val rng = new scala.util.Random(seed)
+    val types = Vector("view", "view", "view", "click", "click", "purchase", "other")
+    val t0 = 1700000000000L
+    (0 until n).map { i =>
+      (new Timestamp(t0 + i * 1000L + rng.nextInt(1000)),
+        s"k${rng.nextInt(200)}", rng.nextDouble() * 10,
+        types(rng.nextInt(types.length)))
+    }
+  }
+
+  /** (ts, doc_id, source, text) documents: ~25-word texts from a 180-word
+    * vocabulary; ~1 in 6 duplicates an earlier text so dedup lanes do
+    * real suppression work.
+    */
+  private def docs(n: Int, seed: Long): Seq[(Timestamp, Long, String, String)] = {
+    val rng = new scala.util.Random(seed)
+    val vocab = (0 until 180).map(i => s"w$i")
+    val t0 = 1700000000000L
+    val texts = new scala.collection.mutable.ArrayBuffer[String]
+    (0 until n).map { i =>
+      val text =
+        if (texts.nonEmpty && rng.nextInt(6) == 0) texts(rng.nextInt(texts.length))
+        else {
+          val t = (0 until 20 + rng.nextInt(10))
+            .map(_ => vocab(rng.nextInt(vocab.size))).mkString(" ")
+          texts += t; t
+        }
+      (new Timestamp(t0 + i * 200L), i.toLong, s"s${rng.nextInt(8)}", text)
+    }
+  }
+
+  private def chunked[T](rows: Seq[T]): Seq[Seq[T]] = {
+    val per = math.max(1, rows.length / batches)
+    rows.grouped(per).toSeq
+  }
+
+  /** The registered cases: (bench row name, one full ingest run).
+    *
+    * Sets `spark.sql.shuffle.partitions` to 8 for the streaming session
+    * slice: state-store count follows shuffle partitions, and a stateful
+    * ingest job over a few hundred keys provisions state partitions to
+    * key cardinality, not batch-scan CPU count — at 32 the per-batch
+    * state-store commit IO dominates and the bench measures filesystem
+    * churn instead of the operators. (Streaming cases run after the
+    * batch registry in [[graft.Bench]], so the override can't leak into
+    * batch plans.)
+    */
+  def cases(spark: SparkSession): Seq[(String, () => Unit)] = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    def eventStream(n: Int, seed: Long)(
+        build: DataFrame => DataFrame): () => Unit = () => {
+      val input = MemoryStream[(Timestamp, String, Double, String)]
+      val out = build(input.toDF().toDF("ts", "key", "value", "event_type"))
+      drain(spark, input, out, chunked(events(n, seed)))
+    }
+    def docStream(n: Int, seed: Long)(
+        build: DataFrame => DataFrame): () => Unit = () => {
+      val input = MemoryStream[(Timestamp, Long, String, String)]
+      val out = build(input.toDF().toDF("ts", "doc_id", "source", "text"))
+      drain(spark, input, out, chunked(docs(n, seed)))
+    }
+
+    // static sides for the stream-vs-stored lanes, built once per call —
+    // deliberately inside the timed run: rebuilding the broadcast/literal
+    // is part of what an ingest job pays at (re)start
+    def storedCorpus = docs(2000, seed = 7)
+      .toDF("ts", "doc_id", "source", "text")
+
+    Seq(
+      "stream_period_means" -> eventStream(16000, 1)(
+        StreamingOps.periodMeans(_, "ts", "value", "1 minute", "2 minutes")),
+      "stream_threshold_flags" -> eventStream(16000, 2)(
+        StreamingOps.thresholdFlags(_, "ts", "value", "1 minute", "2 minutes",
+          threshold = 5.0)),
+      "stream_session_windows" -> eventStream(16000, 3)(
+        StreamingOps.sessionWindows(_, "ts", "value", "30 seconds",
+          "2 minutes", keyCols = Seq("key"))),
+      "stream_sessionize" -> eventStream(16000, 4)(
+        StreamingOps.sessionEpisodes(_, "key", "ts", gapMs = 30000L,
+          watermark = "2 minutes").toDF()),
+      "stream_funnel" -> eventStream(16000, 5)(
+        StreamingOps.funnelProgress(_, "key", "ts", "event_type",
+          Seq("view", "click", "purchase"), watermark = "2 minutes",
+          horizonMs = Some(3600000L)).toDF()),
+      "stream_retention" -> eventStream(16000, 6)(
+        StreamingOps.retentionAtIngest(_, "key", "ts", bucketMs = 60000L,
+          watermark = "2 minutes").toDF()),
+      "stream_asof" -> eventStream(16000, 8)(df =>
+        StreamingOps.asofLatest(
+          df.withColumn("is_right", col("event_type") === "other"),
+          "key", "ts", "is_right", "value", watermark = "2 minutes").toDF()),
+      "stream_count_windows" -> (() => {
+        val input = MemoryStream[StreamingOps.KeyedValue]
+        val rng = new scala.util.Random(9)
+        val rows = (0 until 16000).map(i =>
+          StreamingOps.KeyedValue(s"k${rng.nextInt(200)}", i.toLong, rng.nextDouble()))
+        val out = StreamingOps.countWindows(input.toDS(), size = 30, step = 10).toDF()
+        drain(spark, input, out, chunked(rows))
+      }),
+      "stream_source_report" -> docStream(3000, 10)(
+        StreamingOps.sourceReportStream(_, "ts", "source", "text",
+          "1 minute", "2 minutes")),
+      "stream_dedup_exact" -> docStream(4000, 11)(
+        StreamingOps.dedupExact(_, "ts", "text", "2 minutes")),
+      "stream_incremental_dedup" -> docStream(4000, 12)(df => {
+        val seen = storedCorpus
+          .select(xxhash64(col("text")).as("content_hash")).distinct()
+        val bloom = graft.ext.Dedup.seenBloom(seen, "content_hash",
+          expectedItems = 4096)
+        StreamingOps.incrementalDedupAtIngest(df, "text", seen, bloom)
+      }),
+      "stream_decontaminate" -> docStream(4000, 13)(df =>
+        StreamingOps.contaminatedAtIngest(df, "text",
+          storedCorpus.limit(60), "text", n = 5)),
+      "stream_scrub" -> docStream(2500, 14)(df =>
+        StreamingOps.scrubAtIngest(df, "doc_id", "text",
+          graft.ext.Dedup.dupGramTable(storedCorpus, "doc_id", "text", k = 5),
+          k = 5)),
+      "stream_minhash_pairs" -> docStream(800, 15)(
+        StreamingOps.minhashCandidatePairs(_, "ts", "doc_id", "text",
+          watermark = "2 minutes").toDF()))
+  }
+}

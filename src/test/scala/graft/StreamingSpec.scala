@@ -695,4 +695,18 @@ class StreamingSpec extends SparkSpec {
         s"got $got")
     } finally query.stop()
   }
+
+  test("StreamBench: all cases construct; the stateless ingest case runs") {
+    // cases() tunes shuffle partitions for state stores — restore the
+    // spec session's setting so later suites see their configured value
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val cases = graft.streaming.StreamBench.cases(spark)
+      assert(cases.size == 14, s"expected 14 bench cases, got ${cases.size}")
+      assert(cases.map(_._1).distinct.size == cases.size, "duplicate names")
+      // run one full ingest end-to-end (cheapest case) so a broken
+      // MemoryStream/noop-sink wiring fails here, not in the driver bench
+      cases.toMap.apply("stream_decontaminate")()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
 }
