@@ -161,6 +161,38 @@ object StreamBench {
           k = 5)),
       "stream_minhash_pairs" -> docStream(800, 15)(
         StreamingOps.minhashCandidatePairs(_, "ts", "doc_id", "text",
-          watermark = "2 minutes").toDF()))
+          watermark = "2 minutes").toDF()),
+      // RocksDB twins of two stateful rows: at 100 TB-ingest state
+      // (billions of dedup hashes, funnel/retention keys) the default
+      // in-heap HDFS-backed store stops fitting executors — RocksDB
+      // spills state to local disk with bounded memory. Benching one
+      // agg-shaped and one flatMapGroupsWithState-shaped op keeps the
+      // provider's overhead visible round-over-round (provider parity
+      // itself is pinned in StreamingSpec).
+      "stream_dedup_exact_rocksdb" -> (() => rocksDb(spark) {
+        docStream(4000, 11)(
+          StreamingOps.dedupExact(_, "ts", "text", "2 minutes"))()
+      }),
+      "stream_retention_rocksdb" -> (() => rocksDb(spark) {
+        eventStream(16000, 6)(
+          StreamingOps.retentionAtIngest(_, "key", "ts", bucketMs = 60000L,
+            watermark = "2 minutes").toDF())()
+      }))
+  }
+
+  /** Run `body` with the RocksDB state-store provider; restore after.
+    * The provider conf is read at query START, so setting it around the
+    * thunk (which builds and starts its own query) is sufficient.
+    */
+  private[graft] def rocksDb[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 }

@@ -738,13 +738,42 @@ class StreamingSpec extends SparkSpec {
       s"restart diverged: ${restarted.size} vs ${straight.size} rows")
   }
 
+  test("RocksDB state store: funnel output identical to the default " +
+      "provider — state semantics are provider-independent") {
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    val rows = syntheticEvents()
+      .map { case (ms, u, t) => (new java.sql.Timestamp(ms), u, t) }
+    def run(name: String): Seq[(String, Int, String, Long)] = {
+      val input = MemoryStream[(java.sql.Timestamp, String, String)]
+      val out = StreamingOps.funnelProgress(
+        input.toDF().toDF("ts", "user", "event_type"),
+        "user", "ts", "event_type", steps, watermark = "40 days",
+        horizonMs = Some(86400000L))
+      val query = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        rows.grouped(400).foreach { c =>
+          input.addData(c); query.processAllAvailable()
+        }
+        spark.table(name).collect()
+          .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+            r.getTimestamp(3).getTime)).toSeq.sorted
+      } finally query.stop()
+    }
+    val rocks = graft.streaming.StreamBench.rocksDb(spark)(run("funnel_rocks"))
+    val default = run("funnel_default")
+    assert(rocks.nonEmpty, "vacuous: no funnel progress emitted")
+    assert(rocks == default, "RocksDB provider diverged from default")
+  }
+
   test("StreamBench: all cases construct; the stateless ingest case runs") {
     // cases() tunes shuffle partitions for state stores — restore the
     // spec session's setting so later suites see their configured value
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       val cases = graft.streaming.StreamBench.cases(spark)
-      assert(cases.size == 14, s"expected 14 bench cases, got ${cases.size}")
+      assert(cases.size == 16, s"expected 16 bench cases, got ${cases.size}")
       assert(cases.map(_._1).distinct.size == cases.size, "duplicate names")
       // run one full ingest end-to-end (cheapest case) so a broken
       // MemoryStream/noop-sink wiring fails here, not in the driver bench
