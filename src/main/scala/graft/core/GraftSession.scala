@@ -77,11 +77,24 @@ object Tables {
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType =>
-        // Legacy ns-as-long. Integer DIV, not `/`: epoch-nanos (~1.7e18)
-        // exceeds double's 53-bit mantissa, so float division would
-        // silently lose microseconds.
-        raw.withColumn("ts_micro", expr("ts DIV 1000L"))
-          .withColumn("ts_sec", expr("ts DIV 1000000000L"))
+        // Raw epoch Long (the ns case is what `nanosAsLong` produces;
+        // ms/µs/s longs would be a future driver re-encoding). The unit
+        // is inferred per row by magnitude — a codegen'd CASE, no driver
+        // action — with windows that are unambiguous for any timestamp
+        // between 1973 and 5138 CE: ns ≥ 1e17 (1973+), µs in [1e14,1e17)
+        // (1973–5138), ms in [1e11,1e14), s in [1e8,1e11). Integer DIV,
+        // not `/`: epoch-nanos (~1.7e18) exceeds double's 53-bit
+        // mantissa, so float division would silently lose microseconds.
+        raw.withColumn("ts_micro", expr(
+            """CASE WHEN ts >= 100000000000000000L THEN ts DIV 1000L
+              |     WHEN ts >= 100000000000000L THEN ts
+              |     WHEN ts >= 100000000000L THEN ts * 1000L
+              |     WHEN ts >= 100000000L THEN ts * 1000000L
+              |     ELSE raise_error(concat('events.ts Long value ',
+              |       CAST(ts AS STRING),
+              |       ' is below the epoch-seconds window; unit unknown'))
+              |END""".stripMargin))
+          .withColumn("ts_sec", expr("ts_micro DIV 1000000L"))
       case TimestampType | TimestampNTZType =>
         // NTZ casts to TimestampType verbatim under the UTC session zone
         // (set in configure()); unix_micros then reads exact epoch micros.

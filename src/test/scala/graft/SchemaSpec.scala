@@ -55,6 +55,31 @@ class SchemaSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("events loader: raw Long µs/ms/s encodings unit-infer by magnitude") {
+    // µs longs pass through exactly
+    assert(derived(writeFixture(_.withColumn("ts", col("us")))) === expected)
+    // ms longs lose the sub-ms residue (floor), gain it back as *1000
+    val msExpected = micros.zipWithIndex.map { case (us, i) =>
+      (i.toLong, us / 1000000L, us / 1000L * 1000L)
+    }
+    assert(derived(writeFixture(
+      _.withColumn("ts", expr("us DIV 1000")))) === msExpected)
+    // s longs floor to the second
+    val sExpected = micros.zipWithIndex.map { case (us, i) =>
+      (i.toLong, us / 1000000L, us / 1000000L * 1000000L)
+    }
+    assert(derived(writeFixture(
+      _.withColumn("ts", expr("us DIV 1000000")))) === sExpected)
+  }
+
+  test("events loader: Long below the epoch window fails loudly, not wrongly") {
+    val dir = writeFixture(_.withColumn("ts", lit(12345L)))
+    val e = intercept[Exception](derived(dir))
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("unit unknown")), s"got $e")
+  }
+
   test("events loader: timestamp[us] NTZ encoding yields exact ts_sec/ts_micro") {
     val dir = writeFixture(
       _.withColumn("ts", timestamp_micros(col("us")).cast(TimestampNTZType)))
