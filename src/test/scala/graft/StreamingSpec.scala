@@ -767,6 +767,45 @@ class StreamingSpec extends SparkSpec {
     assert(rocks == default, "RocksDB provider diverged from default")
   }
 
+  test("file-source ingest: parquet directory streamed file-by-file " +
+      "through dedupExact equals the batch first-per-hash result") {
+    import java.nio.file.Files
+    val srcDir = Files.createTempDirectory("graft-src").toString
+    val outDir = Files.createTempDirectory("graft-fout").toString
+    val cp = Files.createTempDirectory("graft-fcp").toString
+    // three "arriving" files with cross-file duplicate texts; in-order
+    // event times so the watermark advances as files land
+    val t0 = 1700000000000L
+    val all = (0 until 300).map { i =>
+      val text = s"doc body ${i % 110}" // 110 distinct texts, rest dups
+      (new java.sql.Timestamp(t0 + i * 1000L), i.toLong, text)
+    }
+    all.grouped(100).zipWithIndex.foreach { case (part, i) =>
+      val staging = Files.createTempDirectory("graft-stage").toString
+      part.toSeq.toDF("ts", "doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(staging)
+      val f = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir, f"file_$i%03d.parquet")
+      Files.move(f.toPath, dst.toPath)
+      dst.setLastModified(t0 + i * 60000L) // oldest-first pickup order
+    }
+    val schema = "ts timestamp, doc_id long, text string"
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1") // one file per micro-batch
+      .parquet(srcDir)
+    val query = StreamingOps.dedupExact(stream, "ts", "text", "2 minutes")
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", cp).outputMode("append").start()
+    try query.processAllAvailable() finally query.stop()
+    val streamed = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    // batch reference: first doc_id per distinct text
+    val batch = all.groupBy(_._3).map(_._2.map(_._2).min).toSeq.sorted
+    assert(streamed.size == 110 && streamed == batch,
+      s"streamed ${streamed.size} docs, batch ${batch.size}")
+  }
+
   test("StreamBench: all cases construct; the stateless ingest case runs") {
     // cases() tunes shuffle partitions for state stores — restore the
     // spec session's setting so later suites see their configured value
