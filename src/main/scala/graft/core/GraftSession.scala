@@ -95,9 +95,18 @@ object Tables {
               |       ' is below the epoch-seconds window; unit unknown'))
               |END""".stripMargin))
           .withColumn("ts_sec", expr("ts_micro DIV 1000000L"))
-      case TimestampType | TimestampNTZType =>
-        // NTZ casts to TimestampType verbatim under the UTC session zone
-        // (set in configure()); unix_micros then reads exact epoch micros.
+      case TimestampType =>
+        // an instant — unix_micros is zone-independent
+        raw.withColumn("ts_micro", unix_micros(col("ts")))
+          .withColumn("ts_sec", expr("ts_micro DIV 1000000L"))
+      case TimestampNTZType =>
+        // naive wall-clock micros: the cast to TimestampType interprets
+        // them in the SESSION zone, so this is only exact under UTC
+        // (GraftSession.configure sets it). Fail loudly rather than
+        // shift every epoch by a zone offset in a misconfigured session.
+        require(s.conf.get("spark.sql.session.timeZone") == "UTC",
+          "events.ts is TIMESTAMP_NTZ; loading it requires " +
+            "spark.sql.session.timeZone=UTC (use GraftSession.configure)")
         raw.withColumn("ts_micro", unix_micros(col("ts").cast(TimestampType)))
           .withColumn("ts_sec", expr("ts_micro DIV 1000000L"))
       case other =>

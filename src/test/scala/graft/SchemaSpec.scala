@@ -106,6 +106,17 @@ class SchemaSpec extends SparkSpec {
     assert(row.getLong(1) >= 0L && row.getLong(2) < 1000000L)
   }
 
+  test("events loader: NTZ under a non-UTC session fails loudly, not shifted") {
+    val dir = writeFixture(
+      _.withColumn("ts", timestamp_micros(col("us")).cast(TimestampNTZType)))
+    val saved = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val e = intercept[IllegalArgumentException](Tables.events(spark, dir))
+      assert(e.getMessage.contains("timeZone"))
+    } finally spark.conf.set("spark.sql.session.timeZone", saved)
+  }
+
   test("events loader: unsupported ts dtype fails loudly") {
     val dir = writeFixture(_.withColumn("ts", col("us").cast(StringType)))
     val e = intercept[IllegalArgumentException](derived(dir))
