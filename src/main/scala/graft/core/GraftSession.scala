@@ -49,6 +49,13 @@ object GraftSession {
   * into the scan (verify with `.explain`: `PushedFilters`, `ReadSchema`).
   */
 object Tables {
+  /** Long-`ts` unit per events path: negative = divisor (ns), positive =
+    * multiplier to micros. Memoized so the one-column inference scan runs
+    * once per path per JVM; rewriting the same path with a different
+    * encoding mid-session would need a new path (tests use fresh dirs).
+    */
+  private val tsUnitMemo = scala.collection.concurrent.TrieMap.empty[String, Long]
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
@@ -79,21 +86,43 @@ object Tables {
       case LongType =>
         // Raw epoch Long (the ns case is what `nanosAsLong` produces;
         // ms/µs/s longs would be a future driver re-encoding). The unit
-        // is inferred per row by magnitude — a codegen'd CASE, no driver
-        // action — with windows that are unambiguous for any timestamp
-        // between 1973 and 5138 CE: ns ≥ 1e17 (1973+), µs in [1e14,1e17)
-        // (1973–5138), ms in [1e11,1e14), s in [1e8,1e11). Integer DIV,
-        // not `/`: epoch-nanos (~1.7e18) exceeds double's 53-bit
-        // mantissa, so float division would silently lose microseconds.
-        raw.withColumn("ts_micro", expr(
-            """CASE WHEN ts >= 100000000000000000L THEN ts DIV 1000L
-              |     WHEN ts >= 100000000000000L THEN ts
-              |     WHEN ts >= 100000000000L THEN ts * 1000L
-              |     WHEN ts >= 100000000L THEN ts * 1000000L
-              |     ELSE raise_error(concat('events.ts Long value ',
-              |       CAST(ts AS STRING),
-              |       ' is below the epoch-seconds window; unit unknown'))
-              |END""".stripMargin))
+        // is inferred ONCE per table path from the column min/max —
+        // magnitude windows that are unambiguous for any timestamp
+        // between 1973 and 5138 CE: ns ≥ 1e17 (1973+), µs in [1e14,1e17),
+        // ms in [1e11,1e14), s in [1e8,1e11). Column-level (not per-row,
+        // the r10 advice): a mixed-unit column or one below the
+        // epoch-seconds window now fails loudly instead of being
+        // silently normalized row-by-row, and a genuine ns column with
+        // pre-1973 rows trips the mixed-window check instead of
+        // producing far-future micros. Integer DIV, not `/`: epoch-nanos
+        // (~1.7e18) exceeds double's 53-bit mantissa, so float division
+        // would silently lose microseconds. The inference scan reads the
+        // single ts column once per (session, path) — memoized below —
+        // which at 100 TB is a one-off narrow columnar scan, not a
+        // per-query cost; a production deployment pins the unit in the
+        // table contract instead.
+        val unit = tsUnitMemo.getOrElseUpdate(s"$d/events.parquet", {
+          val mm = raw.agg(min(col("ts")), max(col("ts"))).head()
+          if (mm.isNullAt(0)) 1L // empty table: unit irrelevant, treat as µs
+          else {
+            def window(v: Long): Long =
+              if (v >= 100000000000000000L) -1000L // ns: DIV 1000
+              else if (v >= 100000000000000L) 1L // µs
+              else if (v >= 100000000000L) 1000L // ms
+              else if (v >= 100000000L) 1000000L // s
+              else 0L
+            val (lo, hi) = (window(mm.getLong(0)), window(mm.getLong(1)))
+            require(lo != 0L, s"events.ts min ${mm.getLong(0)} is below " +
+              "the epoch-seconds window; unit unknown")
+            require(lo == hi, s"events.ts spans two magnitude windows " +
+              s"(min ${mm.getLong(0)}, max ${mm.getLong(1)}) — mixed-unit " +
+              "or pre-1973 data; refusing to normalize silently")
+            lo
+          }
+        })
+        val tsMicro =
+          if (unit < 0) expr(s"ts DIV ${-unit}L") else expr(s"ts * ${unit}L")
+        raw.withColumn("ts_micro", tsMicro)
           .withColumn("ts_sec", expr("ts_micro DIV 1000000L"))
       case TimestampType =>
         // an instant — unix_micros is zone-independent

@@ -76,19 +76,19 @@ object StreamBench {
 
   /** The registered cases: (bench row name, one full ingest run).
     *
-    * Sets `spark.sql.shuffle.partitions` to 8 for the streaming session
-    * slice: state-store count follows shuffle partitions, and a stateful
-    * ingest job over a few hundred keys provisions state partitions to
-    * key cardinality, not batch-scan CPU count — at 32 the per-batch
-    * state-store commit IO dominates and the bench measures filesystem
-    * churn instead of the operators. (Streaming cases run after the
-    * batch registry in [[graft.Bench]], so the override can't leak into
-    * batch plans.)
+    * Each case's run thunk applies `spark.sql.shuffle.partitions = 8`
+    * with save/restore (the [[rocksDb]] pattern): state-store count
+    * follows shuffle partitions, and a stateful ingest job over a few
+    * hundred keys provisions state partitions to key cardinality, not
+    * batch-scan CPU count — at 32 the per-batch state-store commit IO
+    * dominates and the bench measures filesystem churn instead of the
+    * operators. The override lives INSIDE the thunk (r10 advice), so
+    * merely enumerating `cases()` has no session side effects and batch
+    * queries interleaved with streaming ones run at their own setting.
     */
   def cases(spark: SparkSession): Seq[(String, () => Unit)] = {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
 
     def eventStream(n: Int, seed: Long)(
         build: DataFrame => DataFrame): () => Unit = () => {
@@ -109,7 +109,7 @@ object StreamBench {
     def storedCorpus = docs(2000, seed = 7)
       .toDF("ts", "doc_id", "source", "text")
 
-    Seq(
+    val raw: Seq[(String, () => Unit)] = Seq(
       "stream_period_means" -> eventStream(16000, 1)(
         StreamingOps.periodMeans(_, "ts", "value", "1 minute", "2 minutes")),
       "stream_threshold_flags" -> eventStream(16000, 2)(
@@ -178,6 +178,23 @@ object StreamBench {
           StreamingOps.retentionAtIngest(_, "key", "ts", bucketMs = 60000L,
             watermark = "2 minutes").toDF())()
       }))
+    raw.map { case (name, run) =>
+      name -> (() => withStreamShuffle(spark)(run()))
+    }
+  }
+
+  /** Run `body` with the streaming shuffle-partition override; restore
+    * after, so the setting never leaks past a single case's run.
+    */
+  private def withStreamShuffle[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "8")
+    try body
+    finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** Run `body` with the RocksDB state-store provider; restore after.

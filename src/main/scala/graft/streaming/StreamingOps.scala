@@ -173,11 +173,24 @@ object StreamingOps {
     */
   def contaminatedAtIngest(stream: DataFrame, textCol: String,
                            benchmark: DataFrame, benchTextCol: String,
-                           n: Int): DataFrame = {
-    val benchGrams: Array[Long] = benchmark
+                           n: Int, maxBenchGrams: Int = 1 << 22): DataFrame = {
+    require(maxBenchGrams > 0 && maxBenchGrams < Int.MaxValue,
+      s"need 0 < maxBenchGrams < Int.MaxValue, got $maxBenchGrams")
+    // Same capped-probe guard as scrubAtIngest: limit() bounds what the
+    // driver materializes to maxBenchGrams+1 rows, so a "benchmark" that
+    // is accidentally corpus-sized fails loudly BEFORE the collect it
+    // polices can OOM the driver. Past the cap, run micro-batches through
+    // the batch Dedup.decontaminate join instead.
+    val probed: Array[Long] = benchmark
       .select(explode(graft.ext.Dedup.shingleHashArray(col(benchTextCol), n)).as("_sh"))
-      .distinct().orderBy("_sh")
+      .distinct().limit(maxBenchGrams + 1)
       .collect().map(_.getLong(0))
+    require(probed.length <= maxBenchGrams,
+      s"benchmark has more than maxBenchGrams=$maxBenchGrams distinct " +
+        "gram hashes — too large to embed as a plan constant; run " +
+        "micro-batches through Dedup.decontaminate, or raise " +
+        "maxBenchGrams explicitly")
+    val benchGrams: Array[Long] = probed.sorted
     stream.withColumn("contaminated",
       arrays_overlap(graft.ext.Dedup.shingleHashArray(col(textCol), n),
         lit(benchGrams)))

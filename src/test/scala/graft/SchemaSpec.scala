@@ -80,6 +80,17 @@ class SchemaSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("unit unknown")), s"got $e")
   }
 
+  test("events loader: mixed-unit Long column fails loudly, not normalized row-by-row") {
+    // one epoch-ns row + one epoch-s row: column min/max land in two
+    // magnitude windows, which is either a mixed-unit column or ns data
+    // with pre-1973 instants — both must refuse, not silently normalize
+    val dir = writeFixture(_.withColumn("ts",
+      when(col("event_id") === 0L, col("us") * lit(1000L))
+        .otherwise(expr("us DIV 1000000"))))
+    val e = intercept[IllegalArgumentException](Tables.events(spark, dir))
+    assert(e.getMessage.contains("magnitude windows"), s"got $e")
+  }
+
   test("events loader: timestamp[us] NTZ encoding yields exact ts_sec/ts_micro") {
     val dir = writeFixture(
       _.withColumn("ts", timestamp_micros(col("us")).cast(TimestampNTZType)))

@@ -367,6 +367,27 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming decontamination: an oversized benchmark fails fast, before the driver collect") {
+    implicit val sqlCtx = spark.sqlContext
+    // 3 docs x 2 distinct 2-grams each = 6 distinct gram hashes > cap of 4;
+    // the limit(cap+1) probe bounds the collect so the require fires
+    // without ever materializing a corpus-sized "benchmark" on the driver
+    val bigBench = Seq(
+      (1L, "a b c"), (2L, "d e f"), (3L, "g h i")).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val ex = intercept[IllegalArgumentException] {
+      StreamingOps.contaminatedAtIngest(
+        input.toDF().toDF("doc_id", "text"), "text", bigBench, "text",
+        n = 2, maxBenchGrams = 4)
+    }
+    assert(ex.getMessage.contains("maxBenchGrams"))
+    // same benchmark under a sufficient cap still builds
+    val ok = StreamingOps.contaminatedAtIngest(
+      input.toDF().toDF("doc_id", "text"), "text", bigBench, "text",
+      n = 2, maxBenchGrams = 6)
+    assert(ok.columns.contains("contaminated"))
+  }
+
   test("streaming span scrub: ingest output matches scrubFromStored row-for-row") {
     implicit val sqlCtx = spark.sqlContext
     // history corpus: docs 10/11 share "a b c d" -> duplicated 3-grams
@@ -706,7 +727,15 @@ class StreamingSpec extends SparkSpec {
     val chunks = rows.grouped(math.max(1, rows.length / 4)).toSeq
 
     // file sink + explicit checkpoint: the fault-tolerant pair — this is
-    // the restart path a production ingest job actually exercises
+    // the restart path a production ingest job actually exercises.
+    // Caveat (r10 advice): the SOURCE here is MemoryStream, which Spark
+    // documents as non-replayable/non-fault-tolerant; restart works only
+    // because the same in-process instance retains its added batches, an
+    // implementation detail that a Spark upgrade could change. The
+    // fully-supported source-side restart contract is pinned separately
+    // by the file-source ingest test below (parquet directory source),
+    // so if this test ever breaks on upgrade, the coverage to keep is
+    // the sink/state/checkpoint half it uniquely exercises.
     def run(interrupted: Boolean): Seq[(String, Int, String, Long)] = {
       val cp = Files.createTempDirectory("graft-cp").toString
       val outDir = Files.createTempDirectory("graft-out").toString
@@ -806,17 +835,18 @@ class StreamingSpec extends SparkSpec {
       s"streamed ${streamed.size} docs, batch ${batch.size}")
   }
 
-  test("StreamBench: all cases construct; the stateless ingest case runs") {
-    // cases() tunes shuffle partitions for state stores — restore the
-    // spec session's setting so later suites see their configured value
+  test("StreamBench: all cases construct; the stateless ingest case runs; " +
+      "enumeration and runs leave session conf untouched") {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      val cases = graft.streaming.StreamBench.cases(spark)
-      assert(cases.size == 16, s"expected 16 bench cases, got ${cases.size}")
-      assert(cases.map(_._1).distinct.size == cases.size, "duplicate names")
-      // run one full ingest end-to-end (cheapest case) so a broken
-      // MemoryStream/noop-sink wiring fails here, not in the driver bench
-      cases.toMap.apply("stream_decontaminate")()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    val cases = graft.streaming.StreamBench.cases(spark)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == saved,
+      "enumerating cases() must not mutate session conf")
+    assert(cases.size == 16, s"expected 16 bench cases, got ${cases.size}")
+    assert(cases.map(_._1).distinct.size == cases.size, "duplicate names")
+    // run one full ingest end-to-end (cheapest case) so a broken
+    // MemoryStream/noop-sink wiring fails here, not in the driver bench
+    cases.toMap.apply("stream_decontaminate")()
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == saved,
+      "a case run must save/restore its shuffle-partition override")
   }
 }

@@ -42,10 +42,11 @@ def load(path):
         else:
             tail = obj.get("tail", "") or ""
             pairs = re.findall(r'"([A-Za-z0-9_]+)":(-?[0-9][0-9.eE+-]*)', tail)
-            qs = {k: float(v) for k, v in pairs
-                  if not k.startswith(("n", "rc", "cpus", "reps"))}
+            # exact meta key names, not prefixes: a prefix filter would
+            # silently drop real queries (e.g. an ngram_* registry row)
+            meta_keys = {"n", "rc", "cpus", "reps", "value", "sf"}
+            qs = {k: float(v) for k, v in pairs if k not in meta_keys}
             failed = [k for k, v in qs.items() if v < 0]
-            qs = {k: v for k, v in qs.items() if k not in ("value",)}
         meta = f"wrapper sf={obj.get('sf')} (tail may be truncated)"
     qs = {k: float(v) for k, v in qs.items()}
     failed = sorted(set(failed) | {k for k, v in qs.items() if v < 0})
