@@ -55,10 +55,14 @@ object ExplainAudit {
   /** Plans whose flagged pattern is documented as intentional:
     * `x_cosine_near_dup` is the EXACT all-pairs verification anchor — its
     * non-equi self-join over a bounded id slice is the point of the query
-    * (candidate generation at scale is `x_cosine_near_dup_lsh`) — and
-    * `memo:cluster_pairs` is the same shape feeding `x_dedup_clusters`.
+    * (candidate generation at scale is `x_cosine_near_dup_lsh`) —
+    * `memo:cluster_pairs` is the same shape feeding `x_dedup_clusters`,
+    * and `x_cosine_lsh_recall` is the r11 recall AUDIT row whose truth
+    * side must be the exact all-pairs set by definition (it measures the
+    * LSH pipeline against it; production near-dup runs use the LSH rows).
     */
-  val exempt: Set[String] = Set("x_cosine_near_dup", "memo:cluster_pairs")
+  val exempt: Set[String] = Set(
+    "x_cosine_near_dup", "memo:cluster_pairs", "x_cosine_lsh_recall")
 
   /** Sweep the optimized plan of every registry query AND of the
     * unmaterialized builder plans behind the memoized queries (a memo
