@@ -51,7 +51,13 @@ object Bench {
       System.gc()
       name -> t
     }
-    val batchResults = SparkEntry.registry.map { q =>
+    // xs_stream_* rows are the CORRECTNESS-gate harness for the streaming
+    // surface (finite file-source replay into a memory sink, built for
+    // the DuckDB compare). Benching them would re-measure the same
+    // operators the dedicated stream_* cases below already price under
+    // controlled micro-batch runs — through a driver-memory sink the
+    // production path never uses — so they are excluded here.
+    val batchResults = SparkEntry.registry.filterNot(_.name.startsWith("xs_")).map { q =>
       timed(q.name, () => { q.fn(spark, sfDir).queryExecution.toRdd.count(); () })
     }
     // streaming ingest surface: full micro-batch runs over seeded synthetic

@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ExtQueries, IoModelQueries, Q, RelationalQueries, WindowQueries}
+import graft.queries.{ExtQueries, IoModelQueries, Q, RelationalQueries,
+  StreamParityQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +16,8 @@ import graft.queries.{ExtQueries, IoModelQueries, Q, RelationalQueries, WindowQu
 object SparkEntry {
 
   val registry: Seq[Q] =
-    RelationalQueries.all ++ WindowQueries.all ++ ExtQueries.all ++ IoModelQueries.all
+    RelationalQueries.all ++ WindowQueries.all ++ ExtQueries.all ++
+      IoModelQueries.all ++ StreamParityQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

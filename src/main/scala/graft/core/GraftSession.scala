@@ -78,10 +78,49 @@ object Tables {
     * `timestamp[us]` files load as TIMESTAMP / TIMESTAMP_NTZ. Both must
     * yield identical `ts_sec`/`ts_micro` (pinned by SchemaSpec).
     */
-  def events(s: SparkSession, d: String): DataFrame = {
+  def events(s: SparkSession, d: String): DataFrame =
+    withTsColumns(s, d, load(s, d, "events"))
+
+  /** Streaming twin of [[events]]: the same parquet read as a finite
+    * file-source stream, with the same derived `ts_sec`/`ts_micro`
+    * columns plus `ts_event` (TimestampType, = timestamp_micros(ts_micro))
+    * for watermarks. Encoding adaptation is shared with the batch loader
+    * — the Long-unit inference runs on a BATCH scan of the same path
+    * (memoized), since a streaming frame cannot be aggregated at plan
+    * time.
+    */
+  def eventsStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val path = s"$d/events.parquet"
+    val schema = s.read.parquet(path).schema
+    withTsColumns(s, d, s.readStream.schema(schema).parquet(streamableDir(path)))
+      .withColumn("ts_event", timestamp_micros(col("ts_micro")))
+  }
+
+  private val stagedDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Spark's file source streams DIRECTORIES; the driver ships each table
+    * as a single parquet FILE. Stage such a file into a temp directory
+    * (hardlink — zero copy — with a copy fallback across filesystems),
+    * memoized per path; a path that already is a directory passes
+    * through. This is the ingest drop-folder shape a streaming job reads
+    * in production.
+    */
+  private[graft] def streamableDir(path: String): String = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.isDirectory(p)) path
+    else stagedDirs.getOrElseUpdate(path, {
+      val dir = java.nio.file.Files.createTempDirectory("graft-stream-src")
+      val target = dir.resolve(p.getFileName)
+      try java.nio.file.Files.createLink(target, p)
+      catch { case _: Exception => java.nio.file.Files.copy(p, target) }
+      dir.toString
+    })
+  }
+
+  private def withTsColumns(s: SparkSession, d: String, raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType =>
         // Raw epoch Long (the ns case is what `nanosAsLong` produces;
@@ -102,7 +141,9 @@ object Tables {
         // per-query cost; a production deployment pins the unit in the
         // table contract instead.
         val unit = tsUnitMemo.getOrElseUpdate(s"$d/events.parquet", {
-          val mm = raw.agg(min(col("ts")), max(col("ts"))).head()
+          // batch scan of the same path, so the streaming loader shares
+          // the inference (a streaming frame cannot be aggregated here)
+          val mm = load(s, d, "events").agg(min(col("ts")), max(col("ts"))).head()
           if (mm.isNullAt(0)) 1L // empty table: unit irrelevant, treat as µs
           else {
             def window(v: Long): Long =
