@@ -835,6 +835,33 @@ class StreamingSpec extends SparkSpec {
       s"streamed ${streamed.size} docs, batch ${batch.size}")
   }
 
+  test("stream-parity registry rows: the harness runs end-to-end and a " +
+      "stateless row matches its batch restatement (full set is driver-gated)") {
+    // the xs_stream_* rows live under the DuckDB gate (178/178 in
+    // Verify); this pins the drained-memory-sink harness itself in CI so
+    // sbt test alone catches a broken file-source/stage/sink wiring
+    val fns = graft.SparkEntry.queries
+    val d = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$d/documents.parquet").exists())
+    val streamed = fns("xs_stream_decontaminate")(spark, d)
+      .as[(Long, Boolean)].collect().toSeq
+    val batch = graft.ext.Dedup.decontaminate(
+        spark.read.parquet(s"$d/documents.parquet"),
+        spark.read.parquet(s"$d/documents.parquet").filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", n = 4)
+      .orderBy("doc_id").select("doc_id", "contaminated")
+      .as[(Long, Boolean)].collect().toSeq
+    // the batch operator excludes the benchmark slice from the corpus;
+    // the ingest stream sees every arriving doc — compare on the overlap
+    // and pin that benchmark docs flag themselves
+    val streamedMap = streamed.toMap
+    assert(batch.nonEmpty && batch.forall { case (id, c) => streamedMap(id) == c },
+      "ingest flags diverge from batch decontaminate on the shared slice")
+    val benchSelf = streamed.filter(_._1 % 20 == 0)
+    assert(benchSelf.nonEmpty && benchSelf.forall(_._2),
+      "benchmark docs arriving at ingest must flag themselves")
+  }
+
   test("StreamBench: all cases construct; the stateless ingest case runs; " +
       "enumeration and runs leave session conf untouched") {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
