@@ -2467,20 +2467,26 @@ object ExtQueries {
       None),
 
     // Cosine-LSH RECALL AUDIT (r10 verdict item 1): the exact truth set
-    // at cos > 0.5 (all-pairs over the full corpus — the documented
-    // bounded audit anchor, ExplainAudit-exempt like x_cosine_near_dup)
-    // left-joined against the banded-LSH pipeline's pairs, so every
-    // strong near-dup carries a `recovered` flag the oracle pins TRUE.
-    // 0.5 is the high-confidence cut where the 8-bit banding's collision
-    // probability is effectively 1 for this corpus's populated range
-    // (the 0.4-threshold band below it is the documented recall trade);
-    // non-vacuous at the verify sf (the corpus has a >0.5 pair), and a
-    // future miss turns the row red instead of hiding in a rows-only
-    // check.
+    // at cos > 0.5, left-joined against the banded-LSH pipeline's pairs,
+    // so every strong near-dup carries a `recovered` flag the oracle
+    // pins TRUE. 0.5 is the high-confidence cut where the 8-bit
+    // banding's collision probability is effectively 1 for this corpus's
+    // populated range (the 0.4-threshold band below it is the documented
+    // recall trade); non-vacuous at the verify sf (the corpus has a >0.5
+    // pair, inside the slice), and a future miss turns the row red
+    // instead of hiding in a rows-only check.
+    //
+    // The truth side is the exact all-pairs anchor, BOUNDED to the
+    // vec_id < 500 slice (the whole corpus at the verify sf, a fixed
+    // audit sample beyond it — the full-corpus form measured ×46 wall at
+    // ×10 data in the r11 scale study, pure truth-side quadratics; the
+    // LSH side under audit still runs over the FULL corpus). Exempt in
+    // ExplainAudit like x_cosine_near_dup, same rationale.
     Q("x_cosine_lsh_recall",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val truth = Similarity.cosineNearDuplicates(emb, "vec_id", "embedding", 0.5)
+        val truth = Similarity.cosineNearDuplicates(
+          emb.filter(col("vec_id") < 500), "vec_id", "embedding", 0.5)
         val found = Similarity.cosineNearDupLsh(emb, "vec_id", "embedding",
             dim = queryVec(s, d).length, minCos = 0.4, bitsPerBand = 8)
           .select(col("id1"), col("id2"), lit(true).as("_hit"))
@@ -2490,7 +2496,8 @@ object ExtQueries {
           .orderBy("id1", "id2")
       },
       Some("WITH d AS (SELECT a.vec_id AS id1, b.vec_id AS id2, unnest(a.embedding) AS x, " +
-        "unnest(b.embedding) AS y FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id), " +
+        "unnest(b.embedding) AS y FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+        "WHERE a.vec_id < 500 AND b.vec_id < 500), " +
         "sm AS (SELECT id1, id2, sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dt, " +
         "sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nx, " +
         "sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS ny FROM d GROUP BY id1, id2) " +
