@@ -347,6 +347,21 @@ object Similarity {
       .select("id1", "id2", "bucket", "cos")
   }
 
+  /** [[semanticDedup]] with the [[autoPlanes]] data-scaled plane rule
+    * (the [[knnJoinAuto]] pattern): bucket count grows with the corpus
+    * so within-bucket pair fan-out stays at ~`targetBucket` rows
+    * regardless of scale — the r11 scale study measured the pinned form
+    * ×25 at ×10 data, this form holds occupancy constant. Still fully
+    * portable: the plane count is a pure integer function of
+    * `count(*)`, so an external engine re-derives it (and every bucket)
+    * from the formula alone.
+    */
+  def semanticDedupAuto(df: DataFrame, idCol: String, vecCol: String, dIn: Int,
+                        minCos: Double, targetBucket: Long = 64L,
+                        minPlanes: Int = 6): DataFrame =
+    semanticDedup(df, idCol, vecCol, dIn,
+      autoPlanes(df.count(), targetBucket, minPlanes), minCos)
+
   /** Blend a lexical score frame (id, raw score — e.g. BM25) with a
     * semantic cosine frame (id, cos ∈ [−1, 1]) into one hybrid
     * relevance: the lexical side min-max normalizes to [0, 1] (a

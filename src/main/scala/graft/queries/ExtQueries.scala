@@ -2171,6 +2171,48 @@ object ExtQueries {
         "SELECT id1, id2, bucket, round(dt / (sqrt(nx) * sqrt(ny)), 6) AS cos " +
         "FROM sm WHERE dt / (sqrt(nx) * sqrt(ny)) >= 0.4 ORDER BY id1, id2")),
 
+    // The data-scaled twin (r11): same portable JL dedup, plane count
+    // from the autoPlanes integer rule (smallest p >= 6 with
+    // ceil(n/64) <= 2^p) — occupancy stays ~64 rows/bucket at any
+    // corpus size, so pair fan-out is linear where the pinned form
+    // measured ×25 at ×10 data. STILL fully oracle-checked: the DuckDB
+    // side derives the plane count from count(*) with the same integer
+    // arithmetic (no floating log2 — exact at power-of-two boundaries),
+    // then re-derives the projection, buckets, pairing, and cosines.
+    Q("x_semantic_dedup_auto",
+      (s, d) => Similarity.semanticDedupAuto(Tables.embeddings(s, d), "vec_id",
+          "embedding", dIn = queryVec(s, d).length, minCos = 0.4)
+        .select(col("id1"), col("id2"), col("bucket"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("id1", "id2"),
+      Some("WITH nn AS (SELECT (count(*) + 63) // 64 AS needed FROM embeddings), " +
+        "pl AS (SELECT min(p) AS planes FROM generate_series(6, 62) t(p), nn " +
+        "WHERE (CAST(1 AS BIGINT) << p) >= nn.needed), " +
+        "x AS (SELECT vec_id, len(embedding) AS dim, " +
+        "CAST(unnest(embedding) AS DOUBLE) AS v, " +
+        "generate_subscripts(embedding, 1) - 1 AS j FROM embeddings), " +
+        "io AS (SELECT unnest(generate_series(0, planes - 1)) AS i FROM pl), " +
+        "p AS (SELECT vec_id, i, sum(v * CASE WHEN " +
+        "((i * dim + j) * 2654435761) % 4294967296 < 2147483648 " +
+        "THEN 1 ELSE -1 END) / sqrt((SELECT planes FROM pl) * 1.0) AS y " +
+        "FROM x CROSS JOIN io GROUP BY vec_id, i), " +
+        "bk AS (SELECT vec_id, CAST(sum(CASE WHEN y >= 0 " +
+        "THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS bucket " +
+        "FROM p GROUP BY vec_id), " +
+        "pr AS (SELECT a.vec_id AS id1, b.vec_id AS id2, a.bucket AS bucket " +
+        "FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id), " +
+        "d AS (SELECT id1, id2, bucket, unnest(e1.embedding) AS xx, " +
+        "unnest(e2.embedding) AS yy FROM pr " +
+        "JOIN embeddings e1 ON e1.vec_id = pr.id1 " +
+        "JOIN embeddings e2 ON e2.vec_id = pr.id2), " +
+        "sm AS (SELECT id1, id2, bucket, " +
+        "sum(CAST(xx AS DOUBLE) * CAST(yy AS DOUBLE)) AS dt, " +
+        "sum(CAST(xx AS DOUBLE) * CAST(xx AS DOUBLE)) AS nx, " +
+        "sum(CAST(yy AS DOUBLE) * CAST(yy AS DOUBLE)) AS ny " +
+        "FROM d GROUP BY id1, id2, bucket) " +
+        "SELECT id1, id2, bucket, round(dt / (sqrt(nx) * sqrt(ny)), 6) AS cos " +
+        "FROM sm WHERE dt / (sqrt(nx) * sqrt(ny)) >= 0.4 ORDER BY id1, id2")),
+
     // Approximate kNN self-join: top-3 neighbors per vector among
     // same-sign-bucket rows. Same portable JL arithmetic as
     // x_semantic_dedup, so the oracle re-derives bucket, pairing,
