@@ -204,7 +204,6 @@ object Trainer {
     val vAdam = new Array[Double](w.length)
     var t = 0
     var lrT = lr
-    val beta1 = 0.9; val beta2 = 0.999; val eps = 1e-8
     val losses = Seq.newBuilder[Double]
 
     (1 to epochs).foreach { epoch =>
@@ -224,32 +223,48 @@ object Trainer {
         })
       bw.destroy()
       val m0 = math.max(cnt, 1L).toDouble
-      // mean gradient + L2; then reference-style clipValue → clipNorm
       var i = 0
-      var sq = 0.0
-      while (i < gradSum.length) {
-        var g = gradSum(i) / m0 + 2 * l2 * w(i)
-        if (g > clipValue) g = clipValue else if (g < -clipValue) g = -clipValue
-        gradSum(i) = g
-        sq += g * g
-        i += 1
-      }
-      val norm = math.sqrt(sq)
-      val scale = if (norm > clipNorm) clipNorm / norm else 1.0
+      while (i < gradSum.length) { gradSum(i) /= m0; i += 1 }
       t += 1
-      i = 0
-      while (i < w.length) {
-        val g = gradSum(i) * scale
-        mAdam(i) = beta1 * mAdam(i) + (1 - beta1) * g
-        vAdam(i) = beta2 * vAdam(i) + (1 - beta2) * g * g
-        val mh = mAdam(i) / (1 - math.pow(beta1, t))
-        val vh = vAdam(i) / (1 - math.pow(beta2, t))
-        w(i) -= lrT * mh / (math.sqrt(vh) + eps)
-        i += 1
-      }
+      applyUpdate(w, mAdam, vAdam, gradSum, t, lrT, l2, clipNorm, clipValue)
       lrT *= lrDecay // reference: lr · (1 − 0.01) per epoch
       losses += lossSum / m0
     }
     TrainedAutoencoder(model, w, losses.result())
+  }
+
+  /** M4 — one Adam update, in place, on already-averaged gradients: the
+    * reference's optimizer config exactly (clipvalue first, then clipnorm
+    * over the clipped vector — `src/models/autoencoder.py:40-41,100-101`),
+    * L2 from the CURRENT weights folded into the gradient, then the
+    * bias-corrected Adam step at time `t`. Public so the optimizer kernel
+    * itself is drivable as a registry row (`m4b_adam_step`) against a
+    * closed-form DuckDB oracle — the same code path `fit` runs every epoch.
+    */
+  def applyUpdate(w: Array[Double], mAdam: Array[Double], vAdam: Array[Double],
+                  gradMean: Array[Double], t: Int, lrT: Double, l2: Double,
+                  clipNorm: Double, clipValue: Double): Unit = {
+    val beta1 = 0.9; val beta2 = 0.999; val eps = 1e-8
+    var i = 0
+    var sq = 0.0
+    while (i < gradMean.length) {
+      var g = gradMean(i) + 2 * l2 * w(i)
+      if (g > clipValue) g = clipValue else if (g < -clipValue) g = -clipValue
+      gradMean(i) = g
+      sq += g * g
+      i += 1
+    }
+    val norm = math.sqrt(sq)
+    val scale = if (norm > clipNorm) clipNorm / norm else 1.0
+    i = 0
+    while (i < w.length) {
+      val g = gradMean(i) * scale
+      mAdam(i) = beta1 * mAdam(i) + (1 - beta1) * g
+      vAdam(i) = beta2 * vAdam(i) + (1 - beta2) * g * g
+      val mh = mAdam(i) / (1 - math.pow(beta1, t))
+      val vh = vAdam(i) / (1 - math.pow(beta2, t))
+      w(i) -= lrT * mh / (math.sqrt(vh) + eps)
+      i += 1
+    }
   }
 }

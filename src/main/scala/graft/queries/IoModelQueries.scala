@@ -8,7 +8,7 @@ import graft.core.Tables
 import graft.eval.Eval
 import graft.fed.{ClientConfig, FedAvg}
 import graft.io.{Sinks, Sources}
-import graft.model.{DenseAutoencoder, Trainer, Tuning}
+import graft.model.{DenseAutoencoder, LstmAutoencoder, Trainer, Tuning}
 import graft.prep.Prep
 import graft.window.Windows
 
@@ -46,6 +46,87 @@ object IoModelQueries {
     ev(s, d).select(col("event_id"), col("value"),
       col("user_id").cast("double").as("u"),
       (col("event_id") % 7).cast("double").as("m"))
+
+  /** Literal weights + generated unrolled oracle for `m1b` — an H=1, T=3
+    * LSTM autoencoder is scalar math, so the ENTIRE seq2seq forward pass
+    * (3 encoder steps → repeat-vector → 3 decoder steps → dense head →
+    * MSE) is SQL-expressible. The CTE chain is generated from the same
+    * constants the flat weight array is built from, in the kernel's
+    * accumulation order (bias + w_in·inₜ + w_h·h_{t-1};
+    * c = f·c_prev + i·g; h = o·tanh(c)), so the two sides differ only by
+    * libm exp/tanh ulps. tanh is stated as (e^{2a}−1)/(e^{2a}+1) with
+    * ±20 saturation guards (driver DuckDB 1.0.0 has no tanh).
+    */
+  private object M1b {
+    // encoder gate rows [w_x, w_h] in f,i,o,g order; then biases
+    val wfx = 0.3; val wfh = -0.2; val wix = 0.25; val wih = 0.15
+    val wox = -0.3; val woh = 0.2; val wgx = 0.5; val wgh = -0.25
+    val bf = 0.1; val bi = -0.05; val bo = 0.05; val bg = 0.0
+    // decoder gate rows [w_z, w_h]; then biases
+    val dfz = 0.2; val dfh = 0.3; val diz = -0.15; val dih = 0.25
+    val doz = 0.35; val doh = -0.1; val dgz = 0.4; val dgh = 0.2
+    val bdf = 0.05; val bdi = 0.1; val bdo = -0.05; val bdg = 0.02
+    val wOut = 0.8; val bOut = 0.01
+
+    /** [[LstmAutoencoder]] flat layout: enc W (4 gates × [w_x, w_h]),
+      * enc biases, dec W, dec biases, output dense, output bias.
+      */
+    val flat: Array[Double] = Array(
+      wfx, wfh, wix, wih, wox, woh, wgx, wgh,
+      bf, bi, bo, bg,
+      dfz, dfh, diz, dih, doz, doh, dgz, dgh,
+      bdf, bdi, bdo, bdg,
+      wOut, bOut)
+
+    private def sig(a: String) = s"1.0/(1.0 + exp(-($a)))"
+    private def th(c: String) =
+      s"CASE WHEN $c > 20 THEN 1.0 WHEN $c < -20 THEN -1.0 " +
+        s"ELSE (exp(2*$c)-1)/(exp(2*$c)+1) END"
+
+    /** Three unrolled steps of one LSTM side as CTEs (`p` = column/CTE
+      * prefix; `in(t)` = the step-input term — x_t for the encoder, the
+      * repeated latent for the decoder). Returns (ctes, last-cte-name).
+      */
+    private def side(p: String, from: String, in: Int => String,
+                     wIn: Map[String, Double], wH: Map[String, Double],
+                     b: Map[String, Double]): (String, String) = {
+      val ctes = (1 to 3).map { t =>
+        def pre(g: String) =
+          s"${b(g)} + ${wIn(g)}*${in(t)}" +
+            (if (t == 1) "" else s" + ${wH(g)}*${p}h${t - 1}")
+        val src = if (t == 1) from else s"${p}s${t - 1}c"
+        val cPrev = if (t == 1) "" else s"${p}f$t*${p}c${t - 1} + "
+        s"${p}s${t}a AS (SELECT *, ${sig(pre("f"))} AS ${p}f$t, " +
+          s"${sig(pre("i"))} AS ${p}i$t, ${sig(pre("o"))} AS ${p}o$t, " +
+          s"${th(s"(${pre("g")})")} AS ${p}g$t FROM $src), " +
+          s"${p}s${t}b AS (SELECT *, $cPrev${p}i$t*${p}g$t AS ${p}c$t FROM ${p}s${t}a), " +
+          s"${p}s${t}c AS (SELECT *, ${p}o$t*${th(s"${p}c$t")} AS ${p}h$t FROM ${p}s${t}b), "
+      }
+      (ctes.mkString, s"${p}s3c")
+    }
+
+    val oracle: String = {
+      val (encC, encLast) = side("e", "wn", t => s"x$t",
+        Map("f" -> wfx, "i" -> wix, "o" -> wox, "g" -> wgx),
+        Map("f" -> wfh, "i" -> wih, "o" -> woh, "g" -> wgh),
+        Map("f" -> bf, "i" -> bi, "o" -> bo, "g" -> bg))
+      val (decC, decLast) = side("d", encLast, _ => "eh3",
+        Map("f" -> dfz, "i" -> diz, "o" -> doz, "g" -> dgz),
+        Map("f" -> dfh, "i" -> dih, "o" -> doh, "g" -> dgh),
+        Map("f" -> bdf, "i" -> bdi, "o" -> bdo, "g" -> bdg))
+      "WITH sv AS (SELECT event_id, (value - (SELECT avg(value) FROM events)) / " +
+        "(SELECT stddev_samp(value) FROM events) AS v FROM events), " +
+        "t AS (SELECT event_id, list(v) OVER w AS l, count(*) OVER w AS cnt FROM sv " +
+        "WINDOW w AS (ORDER BY event_id ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING)), " +
+        "wn AS (SELECT event_id // 3 AS window_id, l[1] AS x1, l[2] AS x2, l[3] AS x3 " +
+        "FROM t WHERE event_id % 3 = 0 AND cnt = 3), " +
+        encC + decC +
+        s"y AS (SELECT *, $bOut + $wOut*dh1 AS y1, $bOut + $wOut*dh2 AS y2, " +
+        s"$bOut + $wOut*dh3 AS y3 FROM $decLast) " +
+        "SELECT window_id, round(((y1-x1)*(y1-x1) + (y2-x2)*(y2-x2) + " +
+        "(y3-x3)*(y3-x3))/3, 6) AS mse FROM y ORDER BY window_id"
+    }
+  }
 
   val all: Seq[Q] = Seq(
 
@@ -308,6 +389,115 @@ object IoModelQueries {
           .orderBy("window_id")
       },
       None),
+
+    // M7 oracle twin — the SAME scoring kernel (TrainedAutoencoder.score →
+    // DenseAutoencoder.forward), but with a 4→2→4 model whose weights are
+    // LITERALS, so DuckDB can restate the whole forward pass (tanh hidden,
+    // linear output, per-window MSE) in closed form. m7_reconstruction_score
+    // exercises the production shape (64→16→64, Xavier init) rows-only;
+    // this row puts the scoring MATH itself under the driver's hash gate.
+    // Term order in the oracle matches forward()'s accumulation order
+    // (bias first, then inputs in index order), so the two sides differ
+    // only by libm tanh ulps — absorbed by round(…, 6). The driver's
+    // DuckDB (1.0.0) has no tanh; the oracle states it as
+    // (e^{2a}−1)/(e^{2a}+1) with ±20 saturation guards (exp(2·20) is
+    // finite, beyond it the ratio is 1.0 to well past double precision —
+    // the guard only exists to dodge exp overflow at |a| > 354).
+    Q("m7b_fixed_reconstruction",
+      (s, d) => {
+        val model = new DenseAutoencoder(Seq(4, 2, 4))
+        // flat layout (initWeights contract): W1 row-major, b1, W2, b2
+        val w = Array[Double](
+          0.1, -0.2, 0.3, 0.05,    // W1 row 0
+          -0.15, 0.25, -0.1, 0.2,  // W1 row 1
+          0.01, -0.02,             // b1
+          0.5, -0.4,               // W2 row 0
+          0.3, 0.6,                // W2 row 1
+          -0.2, 0.1,               // W2 row 2
+          0.25, -0.35,             // W2 row 3
+          0.02, -0.01, 0.03, 0.0)  // b2
+        val t = graft.model.TrainedAutoencoder(model, w, Nil)
+        val std = Prep.standardize(ev(s, d), ev(s, d), Seq("value"))
+        val wins = Windows.slidingWindows(std, "event_id", "value", 4, 4)
+        t.score(wins).select(col("window_id"), round(col("mse"), 6).as("mse"))
+          .orderBy("window_id")
+      },
+      Some("WITH sv AS (SELECT event_id, (value - (SELECT avg(value) FROM events)) / " +
+        "(SELECT stddev_samp(value) FROM events) AS v FROM events), " +
+        "t AS (SELECT event_id, list(v) OVER w AS l, count(*) OVER w AS cnt FROM sv " +
+        "WINDOW w AS (ORDER BY event_id ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)), " +
+        "wn AS (SELECT event_id // 4 AS window_id, l[1] AS x0, l[2] AS x1, l[3] AS x2, l[4] AS x3 " +
+        "FROM t WHERE event_id % 4 = 0 AND cnt = 4), " +
+        "aa AS (SELECT window_id, x0, x1, x2, x3, " +
+        "0.01 + 0.1*x0 + -0.2*x1 + 0.3*x2 + 0.05*x3 AS a0, " +
+        "-0.02 + -0.15*x0 + 0.25*x1 + -0.1*x2 + 0.2*x3 AS a1 FROM wn), " +
+        "h AS (SELECT window_id, x0, x1, x2, x3, " +
+        "CASE WHEN a0 > 20 THEN 1.0 WHEN a0 < -20 THEN -1.0 " +
+        "ELSE (exp(2*a0)-1)/(exp(2*a0)+1) END AS h0, " +
+        "CASE WHEN a1 > 20 THEN 1.0 WHEN a1 < -20 THEN -1.0 " +
+        "ELSE (exp(2*a1)-1)/(exp(2*a1)+1) END AS h1 FROM aa), " +
+        "o AS (SELECT window_id, x0, x1, x2, x3, " +
+        "0.02 + 0.5*h0 + -0.4*h1 AS o0, -0.01 + 0.3*h0 + 0.6*h1 AS o1, " +
+        "0.03 + -0.2*h0 + 0.1*h1 AS o2, 0.0 + 0.25*h0 + -0.35*h1 AS o3 FROM h) " +
+        "SELECT window_id, round(((o0-x0)*(o0-x0) + (o1-x1)*(o1-x1) + (o2-x2)*(o2-x2) + " +
+        "(o3-x3)*(o3-x3)) / 4, 6) AS mse FROM o ORDER BY window_id")),
+
+    // M1 oracle twin — the SAME LSTM kernel (TrainedAutoencoder.score →
+    // LstmAutoencoder.forwardFull: 3 encoder steps → repeat-vector → 3
+    // decoder steps → dense head → per-window MSE) with H=1 and literal
+    // weights, so every gate is scalar and DuckDB restates the whole
+    // unrolled seq2seq forward pass ([[M1b]] generates the CTE chain from
+    // the same constants). m1_lstm_train exercises training rows-only;
+    // this row puts the LSTM forward MATH under the driver's hash gate.
+    Q("m1b_lstm_fixed_reconstruction",
+      (s, d) => {
+        val model = new LstmAutoencoder(timesteps = 3, hidden = 1)
+        require(model.numWeights == M1b.flat.length,
+          s"m1b weight layout drifted: ${model.numWeights} != ${M1b.flat.length}")
+        val t = graft.model.TrainedAutoencoder(model, M1b.flat, Nil)
+        val std = Prep.standardize(ev(s, d), ev(s, d), Seq("value"))
+        val wins = Windows.slidingWindows(std, "event_id", "value", 3, 3)
+        t.score(wins).select(col("window_id"), round(col("mse"), 6).as("mse"))
+          .orderBy("window_id")
+      },
+      Some(M1b.oracle)),
+
+    // M4 oracle twin — one bias-corrected Adam step (t = 1) through the
+    // SAME Trainer.applyUpdate that fit() runs every epoch: L2 from the
+    // current weights folded into the gradient, reference-style clipvalue
+    // THEN clipnorm over the clipped vector, then the Adam update. The
+    // parameter vector is derived from `part` (w = retailprice/1000,
+    // g = ((partkey % 19) − 9)/10 — spans ±0.9, so clipvalue=0.5 actually
+    // clips and the global norm over ≥2000 elements exceeds clipnorm=1).
+    // Weights-as-driver-arrays is the M10/S12 weight-transport convention:
+    // the vector is CAPPED at 4096 elements by construction. DuckDB
+    // restates the step in closed form (at t = 1 the bias-corrected
+    // update collapses to lr·ĝ/(|ĝ|+ε)); summation-order ulps in the
+    // norm are absorbed by round(…, 9).
+    Q("m4b_adam_step",
+      (s, d) => {
+        val rows = Tables.part(s, d).filter(col("p_partkey") < 4096)
+          .select(col("p_partkey").as("i"),
+            (col("p_retailprice") / 1000.0).as("w"),
+            (((col("p_partkey") % 19).cast("double") - 9) / 10.0).as("g"))
+          .orderBy("i").collect()
+        val w = rows.map(_.getDouble(1))
+        val g = rows.map(_.getDouble(2))
+        Trainer.applyUpdate(w, new Array[Double](w.length), new Array[Double](w.length),
+          g, t = 1, lrT = 0.01, l2 = 1e-7, clipNorm = 1.0, clipValue = 0.5)
+        val out = rows.indices.map(k => (rows(k).getLong(0), w(k)))
+        import s.implicits._
+        out.toDF("i", "_w1raw")
+          .select(col("i"), round(col("_w1raw"), 9).as("w1")).orderBy("i")
+      },
+      Some("WITH p AS (SELECT p_partkey AS i, p_retailprice/1000.0 AS w, " +
+        "(CAST(p_partkey % 19 AS DOUBLE) - 9)/10.0 AS g0 FROM part WHERE p_partkey < 4096), " +
+        "r AS (SELECT i, w, g0 + 2*1e-7*w AS gr FROM p), " +
+        "c AS (SELECT i, w, CASE WHEN gr > 0.5 THEN 0.5 WHEN gr < -0.5 THEN -0.5 ELSE gr END AS gc FROM r), " +
+        "n AS (SELECT sqrt(sum(gc*gc)) AS nrm FROM c), " +
+        "s AS (SELECT CASE WHEN nrm > 1.0 THEN 1.0/nrm ELSE 1.0 END AS sc FROM n) " +
+        "SELECT i, round(w - 0.01 * (gc*sc) / (sqrt((gc*sc)*(gc*sc)) + 1e-8), 9) AS w1 " +
+        "FROM c, s ORDER BY i")),
 
     // M9 — seeded random hyperparameter search over lr × outer size ×
     // depth with val-loss objective (reference keras-tuner RandomSearch;
