@@ -128,6 +128,82 @@ object IoModelQueries {
     }
   }
 
+  /** Constants + generated oracle for `m2b_train_epoch` — ONE full
+    * training epoch of the 4→2→4 dense autoencoder under the DuckDB
+    * oracle: per-window forward (tanh hidden, linear out), per-window
+    * backprop (the closed-form 4→2→4 gradient), the mean over all
+    * windows (kernel: gradSum/m0 — summation-order ulps vs DuckDB's sum
+    * are absorbed by the final round), then L2 + clipvalue → clipnorm →
+    * bias-corrected Adam at t=1 exactly as [[Trainer.applyUpdate]]. The
+    * Spark side runs the REAL `Trainer.fitFrom` epoch (treeAggregate
+    * gradients, broadcast weights); only the restatement is closed-form.
+    * Gradient component order follows the flat weight layout (W1
+    * row-major, b1, W2 row-major, b2) so the norm accumulates in the
+    * kernel's index order.
+    */
+  private object M2b {
+    val w1 = Array(Array(0.1, -0.2, 0.3, 0.05), Array(-0.15, 0.25, -0.1, 0.2))
+    val b1 = Array(0.01, -0.02)
+    val w2 = Array(Array(0.5, -0.4), Array(0.3, 0.6), Array(-0.2, 0.1), Array(0.25, -0.35))
+    val b2 = Array(0.02, -0.01, 0.03, 0.0)
+    val flat: Array[Double] = w1.flatten ++ b1 ++ w2.flatten ++ b2
+    val lr = 0.01; val l2 = 1e-7; val clipN = 1.0; val clipV = 0.5
+
+    private def lit(v: Double) = if (v < 0) s"($v)" else v.toString
+    private def th(a: String) =
+      s"CASE WHEN $a > 20 THEN 1.0 WHEN $a < -20 THEN -1.0 " +
+        s"ELSE (exp(2*$a)-1)/(exp(2*$a)+1) END"
+
+    val oracle: String = {
+      // forward: pre-activations in the kernel's accumulation order
+      def aExpr(r: Int) =
+        s"${lit(b1(r))} + " + (0 to 3).map(c => s"${lit(w1(r)(c))}*x$c").mkString(" + ")
+      def oExpr(j: Int) =
+        s"${lit(b2(j))} + " + (0 to 1).map(r => s"${lit(w2(j)(r))}*h$r").mkString(" + ")
+      // backward: delta_j = 2(o_j − x_j)/4; deltaH_r = (Σ_j d_j·W2[j][r])·(1−h_r²)
+      def dhExpr(r: Int) =
+        "(" + (0 to 3).map(j => s"d$j*${lit(w2(j)(r))}").mkString(" + ") + s") * (1 - h$r*h$r)"
+      // mean gradient per flat index (W1 row-major, b1, W2 row-major, b2)
+      val gradExprs: Seq[String] =
+        (for (r <- 0 to 1; c <- 0 to 3) yield s"sum(dh$r*x$c)/count(*)") ++
+          (0 to 1).map(r => s"sum(dh$r)/count(*)") ++
+          (for (j <- 0 to 3; r <- 0 to 1) yield s"sum(d$j*h$r)/count(*)") ++
+          (0 to 3).map(j => s"sum(d$j)/count(*)")
+      val n = flat.length
+      val gm = "gm AS (SELECT " +
+        gradExprs.zipWithIndex.map { case (e, k) => s"$e AS g$k" }.mkString(", ") +
+        " FROM bp), "
+      val lc = "lc AS (SELECT " + (0 until n).map { k =>
+        val gr = s"g$k + 2*${lit(l2)}*${lit(flat(k))}"
+        s"CASE WHEN $gr > ${lit(clipV)} THEN ${lit(clipV)} " +
+          s"WHEN $gr < -${lit(clipV)} THEN -${lit(clipV)} ELSE $gr END AS gc$k"
+      }.mkString(", ") + " FROM gm), "
+      val nn = "nn AS (SELECT *, sqrt(" +
+        (0 until n).map(k => s"gc$k*gc$k").mkString(" + ") + ") AS nrm FROM lc), "
+      val ss = s"ss AS (SELECT *, CASE WHEN nrm > ${lit(clipN)} " +
+        s"THEN ${lit(clipN)}/nrm ELSE 1.0 END AS sc FROM nn) "
+      val branches = (0 until n).map { k =>
+        s"SELECT CAST($k AS BIGINT) AS i, round(${lit(flat(k))} - " +
+          s"${lit(lr)}*(gc$k*sc)/(sqrt((gc$k*sc)*(gc$k*sc))+1e-8), 7) AS w1 FROM ss"
+      }.mkString(" UNION ALL ")
+      "WITH sv AS (SELECT event_id, (value - (SELECT avg(value) FROM events)) / " +
+        "(SELECT stddev_samp(value) FROM events) AS v FROM events), " +
+        "t AS (SELECT event_id, list(v) OVER w AS l, count(*) OVER w AS cnt FROM sv " +
+        "WINDOW w AS (ORDER BY event_id ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)), " +
+        "wn AS (SELECT event_id // 4 AS window_id, l[1] AS x0, l[2] AS x1, l[3] AS x2, l[4] AS x3 " +
+        "FROM t WHERE event_id % 4 = 0 AND cnt = 4), " +
+        s"aa AS (SELECT *, ${aExpr(0)} AS a0, ${aExpr(1)} AS a1 FROM wn), " +
+        s"h AS (SELECT *, ${th("a0")} AS h0, ${th("a1")} AS h1 FROM aa), " +
+        s"o AS (SELECT *, ${oExpr(0)} AS o0, ${oExpr(1)} AS o1, " +
+        s"${oExpr(2)} AS o2, ${oExpr(3)} AS o3 FROM h), " +
+        "b AS (SELECT *, 2*(o0-x0)/4 AS d0, 2*(o1-x1)/4 AS d1, " +
+        "2*(o2-x2)/4 AS d2, 2*(o3-x3)/4 AS d3 FROM o), " +
+        s"bp AS (SELECT *, ${dhExpr(0)} AS dh0, ${dhExpr(1)} AS dh1 FROM b), " +
+        gm + lc + nn + ss +
+        s"SELECT i, w1 FROM ($branches) u ORDER BY i"
+    }
+  }
+
   val all: Seq[Q] = Seq(
 
     // S1 + S6 — delimiter-configurable CSV sink + scan round-trip.
@@ -461,6 +537,30 @@ object IoModelQueries {
           .orderBy("window_id")
       },
       Some(M1b.oracle)),
+
+    // M2/M4/M5 oracle twin — one FULL distributed training epoch under
+    // the driver's hash gate: the real Trainer.fitFrom (treeAggregate
+    // per-window backprop gradients with broadcast weights, then
+    // applyUpdate's L2 → clipvalue → clipnorm → Adam) from the literal
+    // [[M2b]] init, restated end-to-end by the generated closed-form
+    // oracle. m2_autoencoder_train remains the production multi-epoch
+    // rows-only row; this pins the gradient + optimizer math on real data.
+    Q("m2b_train_epoch",
+      (s, d) => {
+        val model = new DenseAutoencoder(Seq(4, 2, 4))
+        require(model.numWeights == M2b.flat.length,
+          s"m2b weight layout drifted: ${model.numWeights} != ${M2b.flat.length}")
+        val std = Prep.standardize(ev(s, d), ev(s, d), Seq("value"))
+        val wins = Windows.slidingWindows(std, "event_id", "value", 4, 4)
+        val trained = Trainer.fitFrom(model, M2b.flat.clone(), wins, "values",
+          epochs = 1, lr = M2b.lr, lrDecay = 0.99, l2 = M2b.l2,
+          clipNorm = M2b.clipN, clipValue = M2b.clipV)
+        import s.implicits._
+        trained.weights.toSeq.zipWithIndex.map { case (v, k) => (k.toLong, v) }
+          .toDF("i", "_raw")
+          .select(col("i"), round(col("_raw"), 7).as("w1")).orderBy("i")
+      },
+      Some(M2b.oracle)),
 
     // M4 oracle twin — one bias-corrected Adam step (t = 1) through the
     // SAME Trainer.applyUpdate that fit() runs every epoch: L2 from the
