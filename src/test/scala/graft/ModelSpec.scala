@@ -43,6 +43,33 @@ class ModelSpec extends SparkSpec {
     assert(anom > normal * 3, s"no separation: normal=$normal anomalous=$anom")
   }
 
+  test("M4: applyUpdate matches a hand-computed clip + t=1 Adam step") {
+    // 3 components: one clipped high (+0.9 → 0.5), one clipped low
+    // (−0.8 → −0.5), one pass-through (0.1). l2 = 0 isolates the clip +
+    // Adam path; norm = sqrt(0.25 + 0.25 + 0.01) ≈ 0.714 < clipNorm = 1
+    // so no norm scaling; at t = 1 the bias-corrected update collapses
+    // to lr·g/(|g| + eps).
+    val w = Array(1.0, 2.0, 3.0)
+    val g = Array(0.9, -0.8, 0.1)
+    Trainer.applyUpdate(w, new Array[Double](3), new Array[Double](3),
+      g, t = 1, lrT = 0.01, l2 = 0.0, clipNorm = 1.0, clipValue = 0.5)
+    val eps = 1e-8
+    val exp = Array(
+      1.0 - 0.01 * 0.5 / (0.5 + eps),
+      2.0 - 0.01 * (-0.5) / (0.5 + eps),
+      3.0 - 0.01 * 0.1 / (0.1 + eps))
+    w.zip(exp).foreach { case (a, e) =>
+      assert(math.abs(a - e) < 1e-12, s"$a != $e") }
+    // and with a dominating norm: every update scales by clipNorm/norm
+    val w2 = Array(0.0, 0.0)
+    val g2 = Array(3.0, 4.0) // clipped to (0.5, 0.5); norm = 0.5·sqrt(2)
+    Trainer.applyUpdate(w2, new Array[Double](2), new Array[Double](2),
+      g2, t = 1, lrT = 0.01, l2 = 0.0, clipNorm = 0.5, clipValue = 0.5)
+    // both scaled gradients are equal and positive → update ≈ −lr each
+    assert(math.abs(w2(0) - w2(1)) < 1e-12)
+    assert(math.abs(w2(0) + 0.01) < 1e-6, w2.mkString(","))
+  }
+
   test("A5: FedAvg aggregate is the exact elementwise mean") {
     val out = FedAvg.aggregate(Seq(Array(1.0, 2.0), Array(3.0, 4.0), Array(5.0, 6.0)))
     assert(out.toSeq == Seq(3.0, 4.0))
