@@ -258,5 +258,39 @@ object StreamParityQueries {
             StreamingOps.incrementalDedupAtIngest(docStream(s, d), "text", seen, bloom))
           .select(col("doc_id")).orderBy("doc_id")
       },
-      Some("SELECT doc_id FROM documents WHERE doc_id >= 250 ORDER BY doc_id")))
+      Some("SELECT doc_id FROM documents WHERE doc_id >= 250 ORDER BY doc_id")),
+
+    // W1/W2-streaming under the gate: per-key COUNT-based sliding
+    // windows (flatMapGroupsWithState buffer, the last deterministic
+    // streaming op without a parity row — minhashCandidatePairs stays
+    // out by design: engine-hash signatures have no SQL restatement).
+    // Window w of a key covers that key's rows with per-key positions
+    // (w·step+1 … w·step+size) in seq order; the oracle restates it
+    // with a row_number + frame window. The single-file parquet source
+    // arrives as one batch, so the kernel's per-batch seq sort IS the
+    // total order.
+    Q("xs_stream_count_windows",
+      (s, d) => {
+        import s.implicits._
+        val kv = Tables.eventsStream(s, d)
+          .select(col("user_id").cast("string").as("key"),
+            col("event_id").as("seq"), col("value"))
+          .as[StreamingOps.KeyedValue]
+        drained(s, "xs_count_windows",
+            StreamingOps.countWindows(kv, size = 5, step = 5).toDF())
+          .select(col("key"), col("windowId").as("window_id"),
+            round(aggregate(col("values"), lit(0.0), (a, v) => a + v) / 5, 6).as("w_avg"),
+            element_at(col("values"), 1).as("first_v"),
+            element_at(col("values"), -1).as("last_v"))
+          .orderBy("key", "window_id")
+      },
+      Some("WITH r AS (SELECT CAST(user_id AS VARCHAR) AS key, value, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn FROM events), " +
+        "t AS (SELECT key, rn, avg(value) OVER w AS a, " +
+        "first_value(value) OVER w AS fv, last_value(value) OVER w AS lv, " +
+        "count(*) OVER w AS cnt FROM r WINDOW w AS " +
+        "(PARTITION BY key ORDER BY rn ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) " +
+        "SELECT key, (rn - 5) // 5 AS window_id, round(a, 6) AS w_avg, " +
+        "fv AS first_v, lv AS last_v FROM t " +
+        "WHERE rn >= 5 AND (rn - 5) % 5 = 0 ORDER BY key, window_id")))
 }
