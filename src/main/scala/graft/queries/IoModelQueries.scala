@@ -116,10 +116,11 @@ object IoModelQueries {
         Map("f" -> bdf, "i" -> bdi, "o" -> bdo, "g" -> bdg))
       "WITH sv AS (SELECT event_id, (value - (SELECT avg(value) FROM events)) / " +
         "(SELECT stddev_samp(value) FROM events) AS v FROM events), " +
-        "t AS (SELECT event_id, list(v) OVER w AS l, count(*) OVER w AS cnt FROM sv " +
+        "t AS (SELECT row_number() OVER (ORDER BY event_id) - 1 AS ridx, " +
+        "list(v) OVER w AS l, count(*) OVER w AS cnt FROM sv " +
         "WINDOW w AS (ORDER BY event_id ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING)), " +
-        "wn AS (SELECT event_id // 3 AS window_id, l[1] AS x1, l[2] AS x2, l[3] AS x3 " +
-        "FROM t WHERE event_id % 3 = 0 AND cnt = 3), " +
+        "wn AS (SELECT ridx // 3 AS window_id, l[1] AS x1, l[2] AS x2, l[3] AS x3 " +
+        "FROM t WHERE ridx % 3 = 0 AND cnt = 3), " +
         encC + decC +
         s"y AS (SELECT *, $bOut + $wOut*dh1 AS y1, $bOut + $wOut*dh2 AS y2, " +
         s"$bOut + $wOut*dh3 AS y3 FROM $decLast) " +
@@ -188,10 +189,11 @@ object IoModelQueries {
       }.mkString(" UNION ALL ")
       "WITH sv AS (SELECT event_id, (value - (SELECT avg(value) FROM events)) / " +
         "(SELECT stddev_samp(value) FROM events) AS v FROM events), " +
-        "t AS (SELECT event_id, list(v) OVER w AS l, count(*) OVER w AS cnt FROM sv " +
+        "t AS (SELECT row_number() OVER (ORDER BY event_id) - 1 AS ridx, " +
+        "list(v) OVER w AS l, count(*) OVER w AS cnt FROM sv " +
         "WINDOW w AS (ORDER BY event_id ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)), " +
-        "wn AS (SELECT event_id // 4 AS window_id, l[1] AS x0, l[2] AS x1, l[3] AS x2, l[4] AS x3 " +
-        "FROM t WHERE event_id % 4 = 0 AND cnt = 4), " +
+        "wn AS (SELECT ridx // 4 AS window_id, l[1] AS x0, l[2] AS x1, l[3] AS x2, l[4] AS x3 " +
+        "FROM t WHERE ridx % 4 = 0 AND cnt = 4), " +
         s"aa AS (SELECT *, ${aExpr(0)} AS a0, ${aExpr(1)} AS a1 FROM wn), " +
         s"h AS (SELECT *, ${th("a0")} AS h0, ${th("a1")} AS h1 FROM aa), " +
         s"o AS (SELECT *, ${oExpr(0)} AS o0, ${oExpr(1)} AS o1, " +
@@ -493,17 +495,23 @@ object IoModelQueries {
           0.25, -0.35,             // W2 row 3
           0.02, -0.01, 0.03, 0.0)  // b2
         val t = graft.model.TrainedAutoencoder(model, w, Nil)
-        val std = Prep.standardize(ev(s, d), ev(s, d), Seq("value"))
-        val wins = Windows.slidingWindows(std, "event_id", "value", 4, 4)
+        val std = graft.core.Indexing.withOrderedIdx(
+          Prep.standardize(ev(s, d), ev(s, d), Seq("value")), "_idx", col("event_id"))
+        val wins = Windows.slidingWindows(std, "_idx", "value", 4, 4)
         t.score(wins).select(col("window_id"), round(col("mse"), 6).as("mse"))
           .orderBy("window_id")
       },
+      // windows key on the CONTIGUOUS ordering-contract idx (two-phase
+      // Indexing.withOrderedIdx / row_number), not raw event_id — so the
+      // row holds on id-gapped corpora (ScaleGen replicas) too, where id
+      // arithmetic and row frames would diverge.
       Some("WITH sv AS (SELECT event_id, (value - (SELECT avg(value) FROM events)) / " +
         "(SELECT stddev_samp(value) FROM events) AS v FROM events), " +
-        "t AS (SELECT event_id, list(v) OVER w AS l, count(*) OVER w AS cnt FROM sv " +
+        "t AS (SELECT row_number() OVER (ORDER BY event_id) - 1 AS ridx, " +
+        "list(v) OVER w AS l, count(*) OVER w AS cnt FROM sv " +
         "WINDOW w AS (ORDER BY event_id ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)), " +
-        "wn AS (SELECT event_id // 4 AS window_id, l[1] AS x0, l[2] AS x1, l[3] AS x2, l[4] AS x3 " +
-        "FROM t WHERE event_id % 4 = 0 AND cnt = 4), " +
+        "wn AS (SELECT ridx // 4 AS window_id, l[1] AS x0, l[2] AS x1, l[3] AS x2, l[4] AS x3 " +
+        "FROM t WHERE ridx % 4 = 0 AND cnt = 4), " +
         "aa AS (SELECT window_id, x0, x1, x2, x3, " +
         "0.01 + 0.1*x0 + -0.2*x1 + 0.3*x2 + 0.05*x3 AS a0, " +
         "-0.02 + -0.15*x0 + 0.25*x1 + -0.1*x2 + 0.2*x3 AS a1 FROM wn), " +
@@ -531,8 +539,9 @@ object IoModelQueries {
         require(model.numWeights == M1b.flat.length,
           s"m1b weight layout drifted: ${model.numWeights} != ${M1b.flat.length}")
         val t = graft.model.TrainedAutoencoder(model, M1b.flat, Nil)
-        val std = Prep.standardize(ev(s, d), ev(s, d), Seq("value"))
-        val wins = Windows.slidingWindows(std, "event_id", "value", 3, 3)
+        val std = graft.core.Indexing.withOrderedIdx(
+          Prep.standardize(ev(s, d), ev(s, d), Seq("value")), "_idx", col("event_id"))
+        val wins = Windows.slidingWindows(std, "_idx", "value", 3, 3)
         t.score(wins).select(col("window_id"), round(col("mse"), 6).as("mse"))
           .orderBy("window_id")
       },
@@ -550,8 +559,9 @@ object IoModelQueries {
         val model = new DenseAutoencoder(Seq(4, 2, 4))
         require(model.numWeights == M2b.flat.length,
           s"m2b weight layout drifted: ${model.numWeights} != ${M2b.flat.length}")
-        val std = Prep.standardize(ev(s, d), ev(s, d), Seq("value"))
-        val wins = Windows.slidingWindows(std, "event_id", "value", 4, 4)
+        val std = graft.core.Indexing.withOrderedIdx(
+          Prep.standardize(ev(s, d), ev(s, d), Seq("value")), "_idx", col("event_id"))
+        val wins = Windows.slidingWindows(std, "_idx", "value", 4, 4)
         val trained = Trainer.fitFrom(model, M2b.flat.clone(), wins, "values",
           epochs = 1, lr = M2b.lr, lrDecay = 0.99, l2 = M2b.l2,
           clipNorm = M2b.clipN, clipValue = M2b.clipV)

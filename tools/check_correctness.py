@@ -22,7 +22,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # driver testdata ships single parquet FILES; ScaleGen writes
+        # Spark parquet DIRECTORIES — glob inside those
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     results = {}
     for name in sorted(oracle):
