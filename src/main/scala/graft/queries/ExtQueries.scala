@@ -384,6 +384,46 @@ object ExtQueries {
       "SELECT vec_id, neighbor_id, round(c, 6) AS cos, CAST(rk AS BIGINT) AS rank " +
       "FROM r WHERE rk <= 3 ORDER BY vec_id, rank"
 
+  /** [[knnJoinOracleSql]] with the plane count DERIVED from count(*) by
+    * the same integer rule as [[Similarity.autoPlanes]] (the
+    * `x_semantic_dedup_auto` pattern) — so `x_knn_join_auto` is
+    * oracle-green at ANY corpus size, not just the sizes where the rule
+    * resolves to the pinned 6 (the gapped-sf1 sweep caught the shared
+    * fixed-6 oracle diverging at 20 k vectors → 9 planes).
+    */
+  private val knnJoinAutoOracleSql: String =
+    "WITH nn AS (SELECT (count(*) + 63) // 64 AS needed FROM embeddings), " +
+      "pl AS (SELECT min(p) AS planes FROM generate_series(6, 62) t(p), nn " +
+      "WHERE (CAST(1 AS BIGINT) << p) >= nn.needed), " +
+      "x AS (SELECT vec_id, len(embedding) AS dim, " +
+      "CAST(unnest(embedding) AS DOUBLE) AS v, " +
+      "generate_subscripts(embedding, 1) - 1 AS j FROM embeddings), " +
+      "io AS (SELECT unnest(generate_series(0, planes - 1)) AS i FROM pl), " +
+      "p AS (SELECT vec_id, i, sum(v * CASE WHEN " +
+      "((i * dim + j) * 2654435761) % 4294967296 < 2147483648 " +
+      "THEN 1 ELSE -1 END) / sqrt((SELECT planes FROM pl) * 1.0) AS y " +
+      "FROM x CROSS JOIN io GROUP BY vec_id, i), " +
+      "bk AS (SELECT vec_id, CAST(sum(CASE WHEN y >= 0 " +
+      "THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS bucket " +
+      "FROM p GROUP BY vec_id), " +
+      "pr AS (SELECT a.vec_id AS qid, b.vec_id AS nid " +
+      "FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id), " +
+      "dd AS (SELECT qid, nid, unnest(e1.embedding) AS xx, " +
+      "unnest(e2.embedding) AS yy FROM pr " +
+      "JOIN embeddings e1 ON e1.vec_id = pr.qid " +
+      "JOIN embeddings e2 ON e2.vec_id = pr.nid), " +
+      "sm AS (SELECT qid, nid, " +
+      "sum(CAST(xx AS DOUBLE) * CAST(yy AS DOUBLE)) AS dt, " +
+      "sum(CAST(xx AS DOUBLE) * CAST(xx AS DOUBLE)) AS nx, " +
+      "sum(CAST(yy AS DOUBLE) * CAST(yy AS DOUBLE)) AS ny " +
+      "FROM dd GROUP BY qid, nid), " +
+      "r AS (SELECT qid AS vec_id, nid AS neighbor_id, " +
+      "dt / (sqrt(nx) * sqrt(ny)) AS c, row_number() OVER " +
+      "(PARTITION BY qid ORDER BY dt / (sqrt(nx) * sqrt(ny)) DESC, nid) AS rk " +
+      "FROM sm) " +
+      "SELECT vec_id, neighbor_id, round(c, 6) AS cos, CAST(rk AS BIGINT) AS rank " +
+      "FROM r WHERE rk <= 3 ORDER BY vec_id, rank"
+
   /** The UNMATERIALIZED plans behind the memoized queries, for the plan
     * audit (ExplainAuditSpec): a memo returns a checkpoint/persisted
     * frame whose audited plan is just a cache scan — a scale
@@ -2229,16 +2269,16 @@ object ExtQueries {
 
     // The production form of the same join: planes follow the corpus
     // size (one count()), holding expected bucket size at 64 — the
-    // knob the fixed-planes anchor above leaves to the caller. Shares
-    // the planes = 6 oracle because the rule RESOLVES to 6 at every
-    // driver-checked sf (see knnJoinOracleSql).
+    // knob the fixed-planes anchor above leaves to the caller. The
+    // oracle derives the plane count from count(*) with the same
+    // integer rule, so the row is green at any corpus size.
     Q("x_knn_join_auto",
       (s, d) => Similarity.knnJoinAuto(Tables.embeddings(s, d), "vec_id", "embedding",
           dIn = queryVec(s, d).length, k = 3)
         .select(col("vec_id"), col("neighbor_id"),
           round(col("cos"), 6).as("cos"), col("rank"))
         .orderBy("vec_id", "rank"),
-      Some(knnJoinOracleSql)),
+      Some(knnJoinAutoOracleSql)),
 
     Q("x_random_projection",
       (s, d) => {
@@ -2511,12 +2551,15 @@ object ExtQueries {
     // Cosine-LSH RECALL AUDIT (r10 verdict item 1): the exact truth set
     // at cos > 0.5, left-joined against the banded-LSH pipeline's pairs,
     // so every strong near-dup carries a `recovered` flag the oracle
-    // pins TRUE. 0.5 is the high-confidence cut where the 8-bit
-    // banding's collision probability is effectively 1 for this corpus's
-    // populated range (the 0.4-threshold band below it is the documented
-    // recall trade); non-vacuous at the verify sf (the corpus has a >0.5
-    // pair, inside the slice), and a future miss turns the row red
-    // instead of hiding in a rows-only check.
+    // pins TRUE. The audit runs 32 bands × 4 bits (same 128 planes as
+    // the production row's 16 × 8, re-banded): for a borderline
+    // cos ≈ 0.5 pair the per-band collision prob is p⁴ ≈ 0.2, miss
+    // probability (1−p⁴)³² < 1e-3 — the 16×8 banding the audit used
+    // before left a ~50% COIN FLIP per borderline pair (the gapped-sf1
+    // sweep caught exactly such a miss at cos 0.598). Non-vacuous at the
+    // verify sf (the corpus has a >0.5 pair, inside the slice), and a
+    // future miss turns the row red instead of hiding in a rows-only
+    // check.
     //
     // The truth side is the exact all-pairs anchor, BOUNDED to the
     // vec_id < 500 slice (the whole corpus at the verify sf, a fixed
@@ -2530,7 +2573,7 @@ object ExtQueries {
         val truth = Similarity.cosineNearDuplicates(
           emb.filter(col("vec_id") < 500), "vec_id", "embedding", 0.5)
         val found = Similarity.cosineNearDupLsh(emb, "vec_id", "embedding",
-            dim = queryVec(s, d).length, minCos = 0.4, bitsPerBand = 8)
+            dim = queryVec(s, d).length, minCos = 0.4, bands = 32, bitsPerBand = 4)
           .select(col("id1"), col("id2"), lit(true).as("_hit"))
         truth.join(found, Seq("id1", "id2"), "left")
           .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"),
@@ -2605,7 +2648,11 @@ object ExtQueries {
     // match exactly.
     Q("m3_fft_window",
       (s, d) => {
-        val wins = Windows.slidingWindows(Tables.events(s, d), "event_id", "value", 64, 32)
+        // windows over the ordering-contract idx (positional, id-layout
+        // independent — see WindowQueries.evIdx)
+        val idxed = graft.core.Indexing.withOrderedIdx(
+          Tables.events(s, d), "_idx", col("event_id"))
+        val wins = Windows.slidingWindows(idxed, "_idx", "value", 64, 32)
         wins.select(col("window_id"),
             GraftFunctions.fft_magnitude(col("values")).as("_m"))
           .select(col("window_id"),
@@ -2615,9 +2662,10 @@ object ExtQueries {
           .orderBy("window_id")
       },
       Some("WITH n AS (SELECT count(*) AS n FROM events), " +
+        "r AS (SELECT row_number() OVER (ORDER BY event_id) - 1 AS ridx, value FROM events), " +
         "w AS (SELECT unnest(generate_series(0, (n.n - 64) // 32)) AS window_id FROM n), " +
-        "ev AS (SELECT w.window_id, e.value, CAST(e.event_id - w.window_id * 32 AS DOUBLE) AS t " +
-        "FROM w JOIN events e ON e.event_id >= w.window_id * 32 AND e.event_id < w.window_id * 32 + 64), " +
+        "ev AS (SELECT w.window_id, e.value, CAST(e.ridx - w.window_id * 32 AS DOUBLE) AS t " +
+        "FROM w JOIN r e ON e.ridx >= w.window_id * 32 AND e.ridx < w.window_id * 32 + 64), " +
         "m AS (SELECT window_id, " +
         "abs(sum(value)) AS m0, " +
         "sqrt(pow(sum(value * cos(2 * pi() * 1 * t / 64)), 2) + pow(sum(value * sin(2 * pi() * 1 * t / 64)), 2)) AS m1, " +

@@ -179,7 +179,10 @@ object RelationalQueries {
     // error without a model in the loop.
     Q("a2_window_mse",
       (s, d) => {
-        val wins = graft.window.Windows.slidingWindows(ev(s, d), "event_id", "value", 100, 100)
+        // tumbling windows over the ordering-contract idx (positional,
+        // id-layout independent — see WindowQueries.evIdx)
+        val idxed = graft.core.Indexing.withOrderedIdx(ev(s, d), "_idx", col("event_id"))
+        val wins = graft.window.Windows.slidingWindows(idxed, "_idx", "value", 100, 100)
         val mean = aggregate(col("values"), lit(0.0), (a, v) => a + v) / 100
         wins.withColumn("_m", mean)
           .select(col("window_id").as("period"),
@@ -189,8 +192,9 @@ object RelationalQueries {
           .orderBy("period")
       },
       Some("SELECT period, round(avg((value - m) * (value - m)), 6) AS mse FROM " +
-        "(SELECT event_id // 100 AS period, value, " +
-        "avg(value) OVER (PARTITION BY event_id // 100) AS m FROM events) " +
+        "(SELECT ridx // 100 AS period, value, " +
+        "avg(value) OVER (PARTITION BY ridx // 100) AS m FROM " +
+        "(SELECT row_number() OVER (ORDER BY event_id) - 1 AS ridx, value FROM events)) " +
         "WHERE period < (SELECT count(*) // 100 FROM events) " +
         "GROUP BY period ORDER BY period")),
 

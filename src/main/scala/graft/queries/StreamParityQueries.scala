@@ -110,11 +110,23 @@ object StreamParityQueries {
     // StreamingSpec; which id survives an intra-batch tie is
     // order-dependent by design, so a corpus with exact dups would not
     // hash-compare).
+    // Full-horizon watermark (the stream's span is days, the horizon
+    // years) → keep-first-per-text semantics, i.e. the batch
+    // Dedup.exact contract. WHICH doc survives a same-text group is an
+    // intra-batch race (shuffle fetch order), so the output projects
+    // survivor-invariant columns only: n_chars is a pure function of
+    // text (n_chars == length(text), asserted on the driver data), so
+    // (n_chars, count) is deterministic however the races resolve. The
+    // earlier `SELECT doc_id` + all-docs oracle was vacuous on the
+    // duplicate-free gate sfs and WRONG on any corpus with in-horizon
+    // duplicates (sf0.1 has 8 groups; the gapped-sf1 sweep caught it).
     Q("xs_stream_dedup_exact",
       (s, d) => drained(s, "xs_dedup_exact",
-          StreamingOps.dedupExact(docStream(s, d), "ts_doc", "text", "1 day"))
-        .select(col("doc_id")).orderBy("doc_id"),
-      Some("SELECT doc_id FROM documents ORDER BY doc_id")),
+          StreamingOps.dedupExact(docStream(s, d), "ts_doc", "text", "3650 days"))
+        .groupBy("n_chars").agg(count(lit(1)).as("n_unique"))
+        .orderBy("n_chars"),
+      Some("SELECT n_chars, CAST(count(DISTINCT text) AS BIGINT) AS n_unique " +
+        "FROM documents GROUP BY n_chars ORDER BY n_chars")),
 
     // Benchmark decontamination at ingest (stateless narrow): benchmark
     // = the doc_id % 20 == 0 slice (x_decontaminate's split), flags via
@@ -258,7 +270,13 @@ object StreamParityQueries {
             StreamingOps.incrementalDedupAtIngest(docStream(s, d), "text", seen, bloom))
           .select(col("doc_id")).orderBy("doc_id")
       },
-      Some("SELECT doc_id FROM documents WHERE doc_id >= 250 ORDER BY doc_id")),
+      // survivors = new docs whose TEXT the ingested slice has not seen
+      // (hash-keyed in the operator; text-keyed in the restatement) — the
+      // earlier id-only oracle assumed no cross-slice duplicate texts,
+      // which holds on the gate sfs but not on replicated corpora
+      Some("SELECT doc_id FROM documents d WHERE doc_id >= 250 " +
+        "AND text NOT IN (SELECT text FROM documents WHERE doc_id < 250) " +
+        "ORDER BY doc_id")),
 
     // W1/W2-streaming under the gate: per-key COUNT-based sliding
     // windows (flatMapGroupsWithState buffer, the last deterministic

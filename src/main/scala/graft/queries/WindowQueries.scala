@@ -18,40 +18,54 @@ object WindowQueries {
 
   private def ev(s: org.apache.spark.sql.SparkSession, d: String) = Tables.events(s, d)
 
+  /** events with the ordering-contract idx (SURVEY §4.1): the positional
+    * operators below (windows, temporalize, lag, stack) are defined over
+    * a CONTIGUOUS 0-based position, which raw `event_id` only happens to
+    * be on the driver's testdata. Deriving `_idx` makes every row hold on
+    * id-gapped corpora too (the r11 gapped-sf1 oracle sweep caught the
+    * divergence); on the driver's RangeIndexed data `_idx == event_id`,
+    * so gate values are unchanged. Oracles restate the position as
+    * `row_number() - 1`.
+    */
+  private def evIdx(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.core.Indexing.withOrderedIdx(ev(s, d), "_idx", col("event_id"))
+
   val all: Seq[Q] = Seq(
 
     // W1/W2 — overlapping sliding windows (size 100, step 50), shuffle-
     // grouped by arithmetic window id — no global sort, no single task.
     Q("w1_sliding_windows",
-      (s, d) => Windows.slidingWindows(ev(s, d), "event_id", "value", 100, 50)
+      (s, d) => Windows.slidingWindows(evIdx(s, d), "_idx", "value", 100, 50)
         .select(col("window_id"),
           round(aggregate(col("values"), lit(0.0), (a, v) => a + v) / 100, 6).as("w_avg"),
           element_at(col("values"), 1).as("first_v"),
           element_at(col("values"), -1).as("last_v"))
         .orderBy("window_id"),
-      Some("WITH t AS (SELECT event_id, value, count(*) OVER w AS cnt, avg(value) OVER w AS a, " +
+      Some("WITH t AS (SELECT row_number() OVER (ORDER BY event_id) - 1 AS ridx, " +
+        "value, count(*) OVER w AS cnt, avg(value) OVER w AS a, " +
         "first_value(value) OVER w AS fv, last_value(value) OVER w AS lv FROM events " +
         "WINDOW w AS (ORDER BY event_id ROWS BETWEEN CURRENT ROW AND 99 FOLLOWING)) " +
-        "SELECT event_id // 50 AS window_id, round(a, 6) AS w_avg, fv AS first_v, lv AS last_v " +
-        "FROM t WHERE event_id % 50 = 0 AND cnt = 100 ORDER BY window_id")),
+        "SELECT ridx // 50 AS window_id, round(a, 6) AS w_avg, fv AS first_v, lv AS last_v " +
+        "FROM t WHERE ridx % 50 = 0 AND cnt = 100 ORDER BY window_id")),
 
     // W3 — de-overlap: every 2nd window (the scoring stride).
     Q("w3_deoverlap",
       (s, d) => Windows.deoverlap(
-          Windows.slidingWindows(ev(s, d), "event_id", "value", 100, 50), "window_id", 2)
+          Windows.slidingWindows(evIdx(s, d), "_idx", "value", 100, 50), "window_id", 2)
         .select(col("window_id"),
           round(aggregate(col("values"), lit(0.0), (a, v) => a + v) / 100, 6).as("w_avg"))
         .orderBy("window_id"),
-      Some("WITH t AS (SELECT event_id, count(*) OVER w AS cnt, avg(value) OVER w AS a FROM events " +
+      Some("WITH t AS (SELECT row_number() OVER (ORDER BY event_id) - 1 AS ridx, " +
+        "count(*) OVER w AS cnt, avg(value) OVER w AS a FROM events " +
         "WINDOW w AS (ORDER BY event_id ROWS BETWEEN CURRENT ROW AND 99 FOLLOWING)) " +
-        "SELECT event_id // 50 AS window_id, round(a, 6) AS w_avg FROM t " +
-        "WHERE event_id % 50 = 0 AND cnt = 100 AND (event_id // 50) % 2 = 0 ORDER BY window_id")),
+        "SELECT ridx // 50 AS window_id, round(a, 6) AS w_avg FROM t " +
+        "WHERE ridx % 50 = 0 AND cnt = 100 AND (ridx // 50) % 2 = 0 ORDER BY window_id")),
 
     // W4 — temporalize: trailing lookback-20 history per row, chunk+halo
     // partitioned (no global single-task window; chunk 1000 gives n/1000
     // parallel window partitions).
     Q("w4_temporalize",
-      (s, d) => Windows.temporalizeChunked(ev(s, d), "event_id", "value", 20, chunkSize = 1000L)
+      (s, d) => Windows.temporalizeChunked(evIdx(s, d), "_idx", "value", 20, chunkSize = 1000L)
         .select(col("event_id"), size(col("history")).cast("long").as("hist_len"),
           round(aggregate(col("history"), lit(0.0), (a, v) => a + v) / 20, 6).as("hist_avg"))
         .orderBy("event_id"),
@@ -138,7 +152,7 @@ object WindowQueries {
     // W14 — alignment shift: first k kept, remainder lagged by k
     // (chunk+halo — no global single-task window).
     Q("w14_lag_shift",
-      (s, d) => Windows.lagShiftChunked(ev(s, d), "event_id", "value", 20, chunkSize = 1000L)
+      (s, d) => Windows.lagShiftChunked(evIdx(s, d), "_idx", "value", 20, chunkSize = 1000L)
         .select("event_id", "shifted")
         .orderBy("event_id"),
       Some("SELECT event_id, COALESCE(lag(value, 20) OVER (ORDER BY event_id), value) AS shifted " +
@@ -147,35 +161,39 @@ object WindowQueries {
     // R1 — column-stack to a single series (channel-major global index).
     Q("r1_stack",
       (s, d) => {
-        val base = ev(s, d).select(col("event_id"), col("value"),
+        val base = evIdx(s, d).select(col("_idx"), col("value"),
           col("user_id").cast("double").as("u"),
           (col("event_id") % 7).cast("double").as("m"))
-        Prep.stackChannels(base, "event_id", Seq("value", "u", "m"))
+        Prep.stackChannels(base, "_idx", Seq("value", "u", "m"))
           .select(col("global_idx"), col("channel").cast("long").as("channel"), col("value"))
           .orderBy("global_idx")
       },
-      Some("WITH n AS (SELECT count(*) AS n FROM events), s AS (" +
-        "SELECT 0 AS channel, event_id, value AS v FROM events " +
-        "UNION ALL SELECT 1, event_id, CAST(user_id AS DOUBLE) FROM events " +
-        "UNION ALL SELECT 2, event_id, CAST(event_id % 7 AS DOUBLE) FROM events) " +
-        "SELECT s.channel * n.n + s.event_id AS global_idx, CAST(s.channel AS BIGINT) AS channel, " +
+      Some("WITH n AS (SELECT count(*) AS n FROM events), " +
+        "e AS (SELECT row_number() OVER (ORDER BY event_id) - 1 AS ridx, " +
+        "event_id, user_id, value FROM events), s AS (" +
+        "SELECT 0 AS channel, ridx, value AS v FROM e " +
+        "UNION ALL SELECT 1, ridx, CAST(user_id AS DOUBLE) FROM e " +
+        "UNION ALL SELECT 2, ridx, CAST(event_id % 7 AS DOUBLE) FROM e) " +
+        "SELECT s.channel * n.n + s.ridx AS global_idx, CAST(s.channel AS BIGINT) AS channel, " +
         "s.v AS value FROM s, n ORDER BY global_idx")),
 
     // R2 — column-major unstack: inverse of R1 via pivot.
     Q("r2_unstack",
       (s, d) => {
-        val base = ev(s, d).select(col("event_id"), col("value"),
+        val base = evIdx(s, d).select(col("_idx"), col("value"),
           col("user_id").cast("double").as("u"),
           (col("event_id") % 7).cast("double").as("m"))
-        val stacked = Prep.stackChannels(base, "event_id", Seq("value", "u", "m"))
+        val stacked = Prep.stackChannels(base, "_idx", Seq("value", "u", "m"))
         Prep.unstackChannels(stacked, "global_idx", "value", 3)
           .orderBy("idx")
       },
-      Some("WITH n AS (SELECT count(*) AS n FROM events), s AS (" +
-        "SELECT 0 AS channel, event_id, value AS v FROM events " +
-        "UNION ALL SELECT 1, event_id, CAST(user_id AS DOUBLE) FROM events " +
-        "UNION ALL SELECT 2, event_id, CAST(event_id % 7 AS DOUBLE) FROM events), " +
-        "g AS (SELECT s.channel * n.n + s.event_id AS global_idx, s.v FROM s, n) " +
+      Some("WITH n AS (SELECT count(*) AS n FROM events), " +
+        "e AS (SELECT row_number() OVER (ORDER BY event_id) - 1 AS ridx, " +
+        "event_id, user_id, value FROM events), s AS (" +
+        "SELECT 0 AS channel, ridx, value AS v FROM e " +
+        "UNION ALL SELECT 1, ridx, CAST(user_id AS DOUBLE) FROM e " +
+        "UNION ALL SELECT 2, ridx, CAST(event_id % 7 AS DOUBLE) FROM e), " +
+        "g AS (SELECT s.channel * n.n + s.ridx AS global_idx, s.v FROM s, n) " +
         "SELECT global_idx % n.n AS idx, " +
         "max(CASE WHEN global_idx // n.n = 0 THEN v END) AS \"0\", " +
         "max(CASE WHEN global_idx // n.n = 1 THEN v END) AS \"1\", " +
@@ -249,10 +267,13 @@ object WindowQueries {
         Eval.universeComplement(e.select(col("event_id").as("id")), "id",
           Seq(pred, label)).orderBy("id")
       },
-      Some("WITH n AS (SELECT count(*) AS n FROM events), " +
-        "u AS (SELECT unnest(generate_series(0, n.n - 1)) AS id FROM n) " +
-        "SELECT id FROM u WHERE id NOT IN (SELECT event_id FROM events WHERE value > 150) " +
-        "AND id NOT IN (SELECT event_id FROM events WHERE event_type = 'error') ORDER BY id")),
+      // the universe IS the table's id set (the Spark side passes the
+      // actual ids) — a generate_series(0, n−1) restatement conflates
+      // count with id range and breaks on id-gapped corpora
+      Some("SELECT event_id AS id FROM events " +
+        "WHERE event_id NOT IN (SELECT event_id FROM events WHERE value > 150) " +
+        "AND event_id NOT IN (SELECT event_id FROM events WHERE event_type = 'error') " +
+        "ORDER BY id")),
 
     // J5 — fractional label ranges → concrete index set. The universe size
     // joins in as a broadcast 1-row aggregate — no driver count() action.
@@ -437,7 +458,7 @@ object WindowQueries {
     // W5 — flatten window to its last timestep (element_at(history, -1));
     // chunk+halo partitioned like W4.
     Q("w5_last_timestep",
-      (s, d) => Windows.temporalizeChunked(ev(s, d), "event_id", "value", 20, chunkSize = 1000L)
+      (s, d) => Windows.temporalizeChunked(evIdx(s, d), "_idx", "value", 20, chunkSize = 1000L)
         .select(col("event_id"), element_at(col("history"), -1).as("last_prev"))
         .orderBy("event_id"),
       Some("SELECT event_id, last_prev FROM (SELECT event_id, " +
@@ -525,12 +546,17 @@ object WindowQueries {
         // DataFrame rollup+sort as an ambiguous self-join false positive)
         Tables.lineitem(s, d).createOrReplaceTempView("li_v")
         Tables.orders(s, d).createOrReplaceTempView("o_v")
-        s.sql("SELECT o_orderstatus, l_returnflag, round(sum(l_extendedprice), 1) AS rev, " +
+        // round to whole units, not tenths: the grand-total sum reaches
+        // ~3.5e9 at sf1, where summation-order noise (~1e-6 abs) can
+        // flip a 0.05 rounding boundary — the gapped-sf1 sweep caught
+        // exactly one such flip. Whole-unit rounding keeps the boundary
+        // 5 orders away from the noise at any realistic scale.
+        s.sql("SELECT o_orderstatus, l_returnflag, round(sum(l_extendedprice), 0) AS rev, " +
           "count(*) AS n FROM li_v JOIN o_v ON l_orderkey = o_orderkey " +
           "GROUP BY ROLLUP(o_orderstatus, l_returnflag) " +
           "ORDER BY o_orderstatus ASC NULLS FIRST, l_returnflag ASC NULLS FIRST")
       },
-      Some("SELECT o_orderstatus, l_returnflag, round(sum(l_extendedprice), 1) AS rev, " +
+      Some("SELECT o_orderstatus, l_returnflag, round(sum(l_extendedprice), 0) AS rev, " +
         "CAST(count(*) AS BIGINT) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "GROUP BY ROLLUP(o_orderstatus, l_returnflag) " +
         "ORDER BY o_orderstatus NULLS FIRST, l_returnflag NULLS FIRST")),
