@@ -81,6 +81,27 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame =
     withTsColumns(s, d, load(s, d, "events"))
 
+  private val eventsIdxMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** [[events]] with the ordering-contract `_idx`
+    * ([[Indexing.withOrderedIdx]] by `event_id`), materialized ONCE per
+    * (session, dir) and persisted — the contract's "every ingested table
+    * materializes its idx exactly once" (DESIGN.md), which the
+    * positional registry rows share instead of each paying the
+    * range-shuffle + count pass. At warehouse scale this is a written
+    * table; here a persisted frame is the same contract at test scale.
+    */
+  def eventsIdx(s: SparkSession, d: String): DataFrame =
+    eventsIdxMemo.getOrElseUpdate((s, d), {
+      eventsIdxMemo.keys.filter(_._1 ne s).foreach(eventsIdxMemo.remove)
+      val idxed = Indexing.withOrderedIdx(events(s, d), "_idx",
+        org.apache.spark.sql.functions.col("event_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      idxed.count() // materialize eagerly so reps measure the read, not the build
+      idxed
+    })
+
   /** Streaming twin of [[events]]: the same parquet read as a finite
     * file-source stream, with the same derived `ts_sec`/`ts_micro`
     * columns plus `ts_event` (TimestampType, = timestamp_micros(ts_micro))

@@ -2649,10 +2649,8 @@ object ExtQueries {
     Q("m3_fft_window",
       (s, d) => {
         // windows over the ordering-contract idx (positional, id-layout
-        // independent — see WindowQueries.evIdx)
-        val idxed = graft.core.Indexing.withOrderedIdx(
-          Tables.events(s, d), "_idx", col("event_id"))
-        val wins = Windows.slidingWindows(idxed, "_idx", "value", 64, 32)
+        // independent; materialized once — Tables.eventsIdx)
+        val wins = Windows.slidingWindows(Tables.eventsIdx(s, d), "_idx", "value", 64, 32)
         wins.select(col("window_id"),
             GraftFunctions.fft_magnitude(col("values")).as("_m"))
           .select(col("window_id"),

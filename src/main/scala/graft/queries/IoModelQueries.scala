@@ -495,8 +495,7 @@ object IoModelQueries {
           0.25, -0.35,             // W2 row 3
           0.02, -0.01, 0.03, 0.0)  // b2
         val t = graft.model.TrainedAutoencoder(model, w, Nil)
-        val std = graft.core.Indexing.withOrderedIdx(
-          Prep.standardize(ev(s, d), ev(s, d), Seq("value")), "_idx", col("event_id"))
+        val std = Prep.standardize(ev(s, d), Tables.eventsIdx(s, d), Seq("value"))
         val wins = Windows.slidingWindows(std, "_idx", "value", 4, 4)
         t.score(wins).select(col("window_id"), round(col("mse"), 6).as("mse"))
           .orderBy("window_id")
@@ -539,8 +538,7 @@ object IoModelQueries {
         require(model.numWeights == M1b.flat.length,
           s"m1b weight layout drifted: ${model.numWeights} != ${M1b.flat.length}")
         val t = graft.model.TrainedAutoencoder(model, M1b.flat, Nil)
-        val std = graft.core.Indexing.withOrderedIdx(
-          Prep.standardize(ev(s, d), ev(s, d), Seq("value")), "_idx", col("event_id"))
+        val std = Prep.standardize(ev(s, d), Tables.eventsIdx(s, d), Seq("value"))
         val wins = Windows.slidingWindows(std, "_idx", "value", 3, 3)
         t.score(wins).select(col("window_id"), round(col("mse"), 6).as("mse"))
           .orderBy("window_id")
@@ -559,8 +557,7 @@ object IoModelQueries {
         val model = new DenseAutoencoder(Seq(4, 2, 4))
         require(model.numWeights == M2b.flat.length,
           s"m2b weight layout drifted: ${model.numWeights} != ${M2b.flat.length}")
-        val std = graft.core.Indexing.withOrderedIdx(
-          Prep.standardize(ev(s, d), ev(s, d), Seq("value")), "_idx", col("event_id"))
+        val std = Prep.standardize(ev(s, d), Tables.eventsIdx(s, d), Seq("value"))
         val wins = Windows.slidingWindows(std, "_idx", "value", 4, 4)
         val trained = Trainer.fitFrom(model, M2b.flat.clone(), wins, "values",
           epochs = 1, lr = M2b.lr, lrDecay = 0.99, l2 = M2b.l2,

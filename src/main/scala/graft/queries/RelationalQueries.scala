@@ -180,9 +180,9 @@ object RelationalQueries {
     Q("a2_window_mse",
       (s, d) => {
         // tumbling windows over the ordering-contract idx (positional,
-        // id-layout independent — see WindowQueries.evIdx)
-        val idxed = graft.core.Indexing.withOrderedIdx(ev(s, d), "_idx", col("event_id"))
-        val wins = graft.window.Windows.slidingWindows(idxed, "_idx", "value", 100, 100)
+        // id-layout independent; materialized once — Tables.eventsIdx)
+        val wins = graft.window.Windows.slidingWindows(
+          Tables.eventsIdx(s, d), "_idx", "value", 100, 100)
         val mean = aggregate(col("values"), lit(0.0), (a, v) => a + v) / 100
         wins.withColumn("_m", mean)
           .select(col("window_id").as("period"),

@@ -28,7 +28,7 @@ object WindowQueries {
     * `row_number() - 1`.
     */
   private def evIdx(s: org.apache.spark.sql.SparkSession, d: String) =
-    graft.core.Indexing.withOrderedIdx(ev(s, d), "_idx", col("event_id"))
+    Tables.eventsIdx(s, d)
 
   val all: Seq[Q] = Seq(
 
