@@ -19,7 +19,7 @@ import numpy as np
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None, skip=None):
     con = duckdb.connect()
     for t in TABLES:
         # driver testdata ships single parquet FILES; ScaleGen writes
@@ -29,6 +29,10 @@ def main(sf_dir, out_dir):
             p = f"{p}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
+    if skip:
+        oracle = {k: v for k, v in oracle.items() if k not in skip}
     results = {}
     for name in sorted(oracle):
         sql = oracle[name]
@@ -81,4 +85,18 @@ def compare(name, odf, sdf):
     return "OK"
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    # usage: check_correctness.py <sf_dir> <out_dir> [--only a,b] [--skip c,d]
+    # --skip matters for gapped-sf1 sweeps, where a few oracles (the
+    # recursive-CTE BPE learner especially) cost most of the wall time
+    only = skip = None
+    args = sys.argv[1:]
+    pos = []
+    i = 0
+    while i < len(args):
+        if args[i] == "--only":
+            only = set(args[i + 1].split(",")); i += 2
+        elif args[i] == "--skip":
+            skip = set(args[i + 1].split(",")); i += 2
+        else:
+            pos.append(args[i]); i += 1
+    sys.exit(main(pos[0], pos[1], only=only, skip=skip))
