@@ -314,12 +314,13 @@ object IoModelQueries {
     // series — constant stage overhead, not data-proportional.
     Q("anomaly_pipeline",
       (s, d) => {
-        val periods = Prep.downsample(ev(s, d), "event_id", 100, Seq("value"))
+        val periods = Prep.downsample(Tables.eventsIdx(s, d), "_idx", 100, Seq("value"))
           .select(col("grp").as("period"), col("value").as("mse"))
         Eval.anomalyStart(periods, "period", "mse")
           .select(round(col("threshold"), 6).as("threshold"), col("anomaly_start"))
       },
-      Some("WITH p AS (SELECT event_id // 100 AS period, avg(value) AS mse FROM events GROUP BY 1), " +
+      Some("WITH p AS (SELECT ridx // 100 AS period, avg(value) AS mse FROM " +
+        "(SELECT row_number() OVER (ORDER BY event_id) - 1 AS ridx, value FROM events) GROUP BY 1), " +
         "np AS (SELECT count(*) AS np FROM p), " +
         "thr AS (SELECT avg(mse) + 4 * stddev_samp(mse) AS t FROM p, np WHERE period < floor(np.np * 0.1)), " +
         "r AS (SELECT period, CASE WHEN row_number() OVER (ORDER BY period) >= 3 THEN " +
@@ -341,17 +342,17 @@ object IoModelQueries {
     // greens can't. Output = per-window summaries of both legs.
     Q("trainer_prep_pipeline",
       (s, d) => {
-        val base = ev(s, d).select(col("event_id"), col("value"),
+        val base = Tables.eventsIdx(s, d).select(col("_idx"), col("value"),
           col("user_id").cast("double").as("u"))
-        val trunc = Prep.truncateToMultiple(base, "event_id", 64)
-        val (train, _) = Prep.sequentialSplit(trunc, "event_id", 0.7, 64)
+        val trunc = Prep.truncateToMultiple(base, "_idx", 64)
+        val (train, _) = Prep.sequentialSplit(trunc, "_idx", 0.7, 64)
         // full leg: scaler fit on the whole truncated frame, both channels
         val fullStd = Prep.standardize(trunc, trunc, Seq("value", "u"))
-        val fullStacked = Prep.stackChannels(fullStd, "event_id", Seq("value", "u"))
+        val fullStacked = Prep.stackChannels(fullStd, "_idx", Seq("value", "u"))
         // train leg: its own scaler, train columns only (train_columns ⊂
         // load_columns in the reference config)
         val trainStd = Prep.standardize(train, train, Seq("value"))
-        val trainStacked = Prep.stackChannels(trainStd, "event_id", Seq("value"))
+        val trainStacked = Prep.stackChannels(trainStd, "_idx", Seq("value"))
         def winSummary(df: org.apache.spark.sql.DataFrame, scope: String) =
           Windows.slidingWindows(df, "global_idx", "value", 64, 32)
             .select(lit(scope).as("scope"), col("window_id"),
@@ -362,20 +363,21 @@ object IoModelQueries {
           .unionByName(winSummary(trainStacked, "train"))
           .orderBy("scope", "window_id")
       },
-      Some("WITH nn AS (SELECT count(*) - count(*) % 64 AS keep FROM events), " +
-        "tr AS (SELECT event_id, value, CAST(user_id AS DOUBLE) AS u " +
-        "FROM events, nn WHERE event_id < keep), " +
+      Some("WITH e0 AS (SELECT row_number() OVER (ORDER BY event_id) - 1 AS ridx, " +
+        "value, CAST(user_id AS DOUBLE) AS u FROM events), " +
+        "nn AS (SELECT count(*) - count(*) % 64 AS keep FROM events), " +
+        "tr AS (SELECT ridx, value, u FROM e0, nn WHERE ridx < keep), " +
         "spl AS (SELECT t + (64 - t % 64) AS split FROM " +
         "(SELECT CAST(floor(count(*) * 0.7) AS BIGINT) AS t FROM tr)), " +
-        "trn AS (SELECT * FROM tr, spl WHERE event_id < split), " +
+        "trn AS (SELECT * FROM tr, spl WHERE ridx < split), " +
         "fstat AS (SELECT avg(value) AS mv, stddev_samp(value) AS sv, " +
         "avg(u) AS mu, stddev_samp(u) AS su FROM tr), " +
-        "fstd AS (SELECT event_id, (value - mv) / sv AS v0, (u - mu) / su AS v1 " +
+        "fstd AS (SELECT ridx, (value - mv) / sv AS v0, (u - mu) / su AS v1 " +
         "FROM tr, fstat), " +
         "fn AS (SELECT count(*) AS n FROM fstd), " +
-        "fser AS (SELECT ch * n + event_id AS gidx, v FROM " +
-        "(SELECT 0 AS ch, event_id, v0 AS v FROM fstd " +
-        "UNION ALL SELECT 1, event_id, v1 FROM fstd), fn), " +
+        "fser AS (SELECT ch * n + ridx AS gidx, v FROM " +
+        "(SELECT 0 AS ch, ridx, v0 AS v FROM fstd " +
+        "UNION ALL SELECT 1, ridx, v1 FROM fstd), fn), " +
         "fwin AS (SELECT gidx, count(*) OVER w AS cnt, avg(v) OVER w AS a, " +
         "first_value(v) OVER w AS fv, last_value(v) OVER w AS lv FROM fser " +
         "WINDOW w AS (ORDER BY gidx ROWS BETWEEN CURRENT ROW AND 63 FOLLOWING)), " +
@@ -383,10 +385,10 @@ object IoModelQueries {
         "round(fv, 6) AS first_v, round(lv, 6) AS last_v FROM fwin " +
         "WHERE gidx % 32 = 0 AND cnt = 64), " +
         "tstat AS (SELECT avg(value) AS mv, stddev_samp(value) AS sv FROM trn), " +
-        "tstd AS (SELECT event_id, (value - mv) / sv AS v FROM trn, tstat), " +
-        "twin AS (SELECT event_id AS gidx, count(*) OVER w AS cnt, avg(v) OVER w AS a, " +
+        "tstd AS (SELECT ridx, (value - mv) / sv AS v FROM trn, tstat), " +
+        "twin AS (SELECT ridx AS gidx, count(*) OVER w AS cnt, avg(v) OVER w AS a, " +
         "first_value(v) OVER w AS fv, last_value(v) OVER w AS lv FROM tstd " +
-        "WINDOW w AS (ORDER BY event_id ROWS BETWEEN CURRENT ROW AND 63 FOLLOWING)), " +
+        "WINDOW w AS (ORDER BY ridx ROWS BETWEEN CURRENT ROW AND 63 FOLLOWING)), " +
         "tfin AS (SELECT 'train' AS scope, gidx // 32 AS window_id, round(a, 6) AS w_avg, " +
         "round(fv, 6) AS first_v, round(lv, 6) AS last_v FROM twin " +
         "WHERE gidx % 32 = 0 AND cnt = 64) " +
@@ -395,16 +397,19 @@ object IoModelQueries {
     // Bearing annotation grid (reference src/data/bearing.py:35-51): the
     // per-segment stats + emphasis flags the reference's annotation plot
     // encodes, as one distributed aggregation.
+    // segments are positional hundredths of the SERIES (the reference
+    // annotates a RangeIndexed signal), so they key on the contract idx
     Q("bearing_annotation",
-      (s, d) => graft.io.Bearing.annotationSegments(ev(s, d), "event_id", "value")
+      (s, d) => graft.io.Bearing.annotationSegments(Tables.eventsIdx(s, d), "_idx", "value")
         .select(col("segment"), col("start_idx"), col("n_rows"),
           round(col("mean_v"), 6).as("mean_v"), col("max_v"), col("min_v"),
           col("emphasized"))
         .orderBy("segment"),
       Some("WITH n AS (SELECT count(*) AS n FROM events), " +
-        "s AS (SELECT least(event_id // greatest(n.n // 100, 1), 99) AS segment, event_id, value " +
-        "FROM events, n) " +
-        "SELECT segment, min(event_id) AS start_idx, CAST(count(*) AS BIGINT) AS n_rows, " +
+        "r AS (SELECT row_number() OVER (ORDER BY event_id) - 1 AS ridx, value FROM events), " +
+        "s AS (SELECT least(ridx // greatest(n.n // 100, 1), 99) AS segment, ridx, value " +
+        "FROM r, n) " +
+        "SELECT segment, min(ridx) AS start_idx, CAST(count(*) AS BIGINT) AS n_rows, " +
         "round(avg(value), 6) AS mean_v, max(value) AS max_v, min(value) AS min_v, " +
         "segment % 5 = 0 AS emphasized FROM s GROUP BY segment ORDER BY segment")),
 
@@ -433,8 +438,8 @@ object IoModelQueries {
       (s, d) => {
         val spark = s
         import spark.implicits._
-        val std = Prep.standardize(ev(s, d), ev(s, d), Seq("value"))
-        val wins = Windows.slidingWindows(std, "event_id", "value", 64, 64)
+        val std = Prep.standardize(ev(s, d), Tables.eventsIdx(s, d), Seq("value"))
+        val wins = Windows.slidingWindows(std, "_idx", "value", 64, 64)
         val t = Trainer.fit(new DenseAutoencoder(Seq(64, 16, 4, 16, 64)), wins,
           "values", epochs = 3, lr = 1e-3)
         t.lossHistory.zipWithIndex.map { case (l, e) => (e, l) }.toDF("epoch", "loss")
@@ -447,8 +452,8 @@ object IoModelQueries {
       (s, d) => {
         val spark = s
         import spark.implicits._
-        val std = Prep.standardize(ev(s, d), ev(s, d), Seq("value"))
-        val wins = Windows.slidingWindows(std, "event_id", "value", 32, 32)
+        val std = Prep.standardize(ev(s, d), Tables.eventsIdx(s, d), Seq("value"))
+        val wins = Windows.slidingWindows(std, "_idx", "value", 32, 32)
         val t = Trainer.fit(new graft.model.LstmAutoencoder(32, 8), wins,
           "values", epochs = 2, lr = 5e-3)
         t.lossHistory.zipWithIndex.map { case (l, e) => (e, l) }.toDF("epoch", "loss")
@@ -461,8 +466,8 @@ object IoModelQueries {
       (s, d) => {
         val model = new DenseAutoencoder(Seq(64, 16, 64))
         val t = graft.model.TrainedAutoencoder(model, model.initWeights(), Nil)
-        val std = Prep.standardize(ev(s, d), ev(s, d), Seq("value"))
-        val wins = Windows.slidingWindows(std, "event_id", "value", 64, 64)
+        val std = Prep.standardize(ev(s, d), Tables.eventsIdx(s, d), Seq("value"))
+        val wins = Windows.slidingWindows(std, "_idx", "value", 64, 64)
         t.score(wins).select(col("window_id"), round(col("mse"), 6).as("mse"))
           .orderBy("window_id")
       },
@@ -614,8 +619,8 @@ object IoModelQueries {
       (s, d) => {
         val spark = s
         import spark.implicits._
-        val std = Prep.standardize(ev(s, d), ev(s, d), Seq("value"))
-        val wins = Windows.slidingWindows(std, "event_id", "value", 32, 32).cache()
+        val std = Prep.standardize(ev(s, d), Tables.eventsIdx(s, d), Seq("value"))
+        val wins = Windows.slidingWindows(std, "_idx", "value", 32, 32).cache()
         val (train, valid) = Prep.sequentialSplit(wins, "window_id", 0.7, 1)
         val scored = Tuning.randomSearch(train, valid, "values", 32,
           trials = 4, epochs = 2,
@@ -639,7 +644,7 @@ object IoModelQueries {
         // the 4 per-client window frames otherwise re-runs the
         // stats-fit + transform scans of raw events when FedAvg.run
         // materializes its persist (8 event scans per run instead of 2).
-        val std = Prep.standardize(ev(s, d), ev(s, d), Seq("value"))
+        val std = Prep.standardize(ev(s, d), Tables.eventsIdx(s, d), Seq("value"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val w = Window.partitionBy(col("client")).orderBy(col("event_id"))
         val perClient = (0 until 4).map { c =>

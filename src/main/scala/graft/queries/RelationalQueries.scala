@@ -86,19 +86,23 @@ object RelationalQueries {
       Some("SELECT l_orderkey, l_linenumber, round(l_extendedprice * (1 - l_discount), 4) AS net " +
         "FROM lineitem ORDER BY l_orderkey, l_linenumber")),
 
-    // P6 — truncate tail to a multiple of 64.
+    // P6 — truncate tail to a multiple of 64. Positional ("first
+    // floor(n/64)·64 ROWS"), so the cut keys on the contract idx.
     Q("p6_truncate_multiple",
-      (s, d) => Prep.truncateToMultiple(ev(s, d), "event_id", 64)
+      (s, d) => Prep.truncateToMultiple(Tables.eventsIdx(s, d), "_idx", 64)
         .select("event_id").orderBy("event_id"),
-      Some("SELECT event_id FROM events WHERE event_id < " +
-        "(SELECT count(*) - count(*) % 64 FROM events) ORDER BY event_id")),
+      Some("SELECT event_id FROM " +
+        "(SELECT event_id, row_number() OVER (ORDER BY event_id) - 1 AS ridx FROM events) " +
+        "WHERE ridx < (SELECT count(*) - count(*) % 64 FROM events) ORDER BY event_id")),
 
     // P7 — ordered train split, split point rounded UP to a multiple of 64.
     Q("p7_sequential_split",
-      (s, d) => Prep.sequentialSplit(ev(s, d), "event_id", 0.7, 64)._1
+      (s, d) => Prep.sequentialSplit(Tables.eventsIdx(s, d), "_idx", 0.7, 64)._1
         .select("event_id").orderBy("event_id"),
       Some("WITH s AS (SELECT CAST(floor(count(*) * 0.7) AS BIGINT) AS t FROM events) " +
-        "SELECT event_id FROM events, s WHERE event_id < t + (64 - t % 64) ORDER BY event_id")),
+        "SELECT event_id FROM " +
+        "(SELECT event_id, row_number() OVER (ORDER BY event_id) - 1 AS ridx FROM events), s " +
+        "WHERE ridx < t + (64 - t % 64) ORDER BY event_id")),
 
     // P9 — threshold predicate → boolean flag.
     Q("p9_threshold_flag",
@@ -166,12 +170,16 @@ object RelationalQueries {
         "WHERE rn = 1 ORDER BY event_type")),
 
     // A1 — integer-division group mean (mean-downsample by 10).
+    // positional (reference resample = consecutive-ROW groups), so the
+    // group key is the ordering-contract idx, not raw event_id — on
+    // id-gapped corpora id-div groups would mean something else entirely
     Q("a1_downsample",
-      (s, d) => Prep.downsample(ev(s, d), "event_id", 10, Seq("value"))
+      (s, d) => Prep.downsample(Tables.eventsIdx(s, d), "_idx", 10, Seq("value"))
         .select(col("grp"), round(col("value"), 6).as("value_avg"))
         .orderBy("grp"),
-      Some("SELECT event_id // 10 AS grp, round(avg(value), 6) AS value_avg FROM events " +
-        "GROUP BY 1 ORDER BY 1")),
+      Some("SELECT grp, round(avg(value), 6) AS value_avg FROM " +
+        "(SELECT (row_number() OVER (ORDER BY event_id) - 1) // 10 AS grp, value FROM events) " +
+        "GROUP BY grp ORDER BY grp")),
 
     // A2 — per-window MSE via higher-order array functions: windows are
     // materialized arrays; x̂ here is the window mean, so MSE(window) =
@@ -200,11 +208,12 @@ object RelationalQueries {
 
     // A3 — per-period (chunk of 100) mean.
     Q("a3_chunk_mean",
-      (s, d) => Prep.downsample(ev(s, d), "event_id", 100, Seq("value"))
+      (s, d) => Prep.downsample(Tables.eventsIdx(s, d), "_idx", 100, Seq("value"))
         .select(col("grp").as("period"), round(col("value"), 6).as("mse"))
         .orderBy("period"),
-      Some("SELECT event_id // 100 AS period, round(avg(value), 6) AS mse FROM events " +
-        "GROUP BY 1 ORDER BY 1")),
+      Some("SELECT period, round(avg(value), 6) AS mse FROM " +
+        "(SELECT (row_number() OVER (ORDER BY event_id) - 1) // 100 AS period, value FROM events) " +
+        "GROUP BY period ORDER BY period")),
 
     // A4 — μ + 4σ threshold per group, fit on the first 10% of rows.
     Q("a4_threshold",

@@ -96,20 +96,26 @@ object WindowQueries {
         "ORDER BY event_type, event_id")),
 
     // W8 — repeat/upsample ×3: period → sample granularity.
+    // W8 — upsample: sample positions derive from the contract idx
+    // (the reference repeats a RangeIndexed series).
     Q("w8_repeat",
-      (s, d) => Windows.repeatRows(ev(s, d), "event_id", 3)
+      (s, d) => Windows.repeatRows(evIdx(s, d), "_idx", 3)
         .select(col("event_id"), col("rep").cast("long").as("rep"),
           col("sample_idx").cast("long").as("sample_idx"), col("value"))
         .orderBy("event_id", "rep"),
-      Some("SELECT event_id, g AS rep, event_id * 3 + g AS sample_idx, value " +
-        "FROM events, generate_series(0, 2) t(g) ORDER BY event_id, rep")),
+      Some("SELECT event_id, g AS rep, ridx * 3 + g AS sample_idx, value FROM " +
+        "(SELECT event_id, value, row_number() OVER (ORDER BY event_id) - 1 AS ridx FROM events), " +
+        "generate_series(0, 2) t(g) ORDER BY event_id, rep")),
 
-    // W9 — first-index-over-threshold with the reference's 0 sentinel.
+    // W9 — first-POSITION-over-threshold with the reference's 0 sentinel
+    // (np.argmax returns a position, so the result is the contract idx).
     Q("w9_first_over_threshold",
-      (s, d) => Windows.firstOverThreshold(ev(s, d), "event_id", col("value") > 180, Seq("event_type"))
+      (s, d) => Windows.firstOverThreshold(evIdx(s, d), "_idx", col("value") > 180, Seq("event_type"))
         .orderBy("event_type"),
-      Some("SELECT event_type, COALESCE(min(CASE WHEN value > 180 THEN event_id END), 0) AS first_over " +
-        "FROM events GROUP BY event_type ORDER BY event_type")),
+      Some("WITH r AS (SELECT event_type, value, " +
+        "row_number() OVER (ORDER BY event_id) - 1 AS ridx FROM events) " +
+        "SELECT event_type, COALESCE(min(CASE WHEN value > 180 THEN ridx END), 0) AS first_over " +
+        "FROM r GROUP BY event_type ORDER BY event_type")),
 
     // W10 — until-failure expansion: anomalous from first exceed onward.
     Q("w10_until_failure",
