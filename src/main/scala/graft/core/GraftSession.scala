@@ -95,11 +95,15 @@ object Tables {
   def eventsIdx(s: SparkSession, d: String): DataFrame =
     eventsIdxMemo.getOrElseUpdate((s, d), {
       eventsIdxMemo.keys.filter(_._1 ne s).foreach(eventsIdxMemo.remove)
-      val idxed = Indexing.withOrderedIdx(events(s, d), "_idx",
+      // materialized as PARQUET, not a persisted row cache: consumers get
+      // codegen'd columnar scans with pruning/pushdown (a cached-row scan
+      // cost anomaly_pipeline +0.5 s), and the on-disk table IS the
+      // warehouse-scale shape of the contract
+      val path = s"/tmp/graft_idx/${d.replaceAll("[^a-zA-Z0-9.]", "_")}/events_idx"
+      Indexing.withOrderedIdx(events(s, d), "_idx",
         org.apache.spark.sql.functions.col("event_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      idxed.count() // materialize eagerly so reps measure the read, not the build
-      idxed
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
     })
 
   /** Streaming twin of [[events]]: the same parquet read as a finite
