@@ -98,8 +98,11 @@ object Tables {
       // materialized as PARQUET, not a persisted row cache: consumers get
       // codegen'd columnar scans with pruning/pushdown (a cached-row scan
       // cost anomaly_pipeline +0.5 s), and the on-disk table IS the
-      // warehouse-scale shape of the contract
-      val path = s"/tmp/graft_idx/${d.replaceAll("[^a-zA-Z0-9.]", "_")}/events_idx"
+      // warehouse-scale shape of the contract. Path is PER-PROCESS
+      // (unlike the write-once scratch sinks): a concurrent JVM on the
+      // same sf dir must not overwrite files this session is reading.
+      val path = s"/tmp/graft_idx/${ProcessHandle.current().pid()}/" +
+        s"${d.replaceAll("[^a-zA-Z0-9.]", "_")}/events_idx"
       Indexing.withOrderedIdx(events(s, d), "_idx",
         org.apache.spark.sql.functions.col("event_id"))
         .write.mode("overwrite").parquet(path)
