@@ -82,6 +82,31 @@ class PositionalContractSpec extends SparkSpec {
       collectSorted(stacked(contiguous), "global_idx", "v"))
   }
 
+  test("downsample / truncate / split / argmax are id-layout independent through the contract idx") {
+    import graft.prep.Prep
+    def dn(df: DataFrame) =
+      Prep.downsample(idx(df), "_idx", 25, Seq("value"))
+        .select(col("grp"), round(col("value"), 6).as("v"))
+    assert(collectSorted(dn(gapped), "grp", "v") ==
+      collectSorted(dn(contiguous), "grp", "v"))
+    assert(dn(gapped).count() == 12) // 300 rows → 12 full-or-partial groups
+
+    def tr(df: DataFrame) =
+      Prep.truncateToMultiple(idx(df), "_idx", 64).select(round(col("value"), 6).as("v"))
+    assert(tr(gapped).count() == 256 &&
+      collectSorted(tr(gapped), "v") == collectSorted(tr(contiguous), "v"))
+
+    def sp(df: DataFrame) =
+      Prep.sequentialSplit(idx(df), "_idx", 0.5, 64)._1.select(round(col("value"), 6).as("v"))
+    // split point: floor(300·0.5)=150 → rounded up to 192 ROWS on both layouts
+    assert(sp(gapped).count() == 192 &&
+      collectSorted(sp(gapped), "v") == collectSorted(sp(contiguous), "v"))
+
+    def fo(df: DataFrame) =
+      Windows.firstOverThreshold(idx(df), "_idx", col("value") > 95, Nil)
+    assert(fo(gapped).collect().toSeq == fo(contiguous).collect().toSeq)
+  }
+
   test("withOrderedIdx yields the same contiguous idx sequence on both layouts") {
     val gi = idx(gapped).select("_idx").as[Long].collect().sorted
     val ci = idx(contiguous).select("_idx").as[Long].collect().sorted
