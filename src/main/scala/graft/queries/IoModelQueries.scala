@@ -611,6 +611,59 @@ object IoModelQueries {
         "SELECT i, round(w - 0.01 * (gc*sc) / (sqrt((gc*sc)*(gc*sc)) + 1e-8), 9) AS w1 " +
         "FROM c, s ORDER BY i")),
 
+    // M4/M6 oracle twin #2 — TWO sequential applyUpdate steps with Adam
+    // state carried between them and the per-epoch LR decay applied
+    // (lr₂ = lr₁·0.99, exactly fit()'s schedule). m4b's t = 1 step
+    // collapses the bias correction away (m̂ = g, v̂ = g²); this row pins
+    // the EMA recursion and the t = 2 correction the collapse hides:
+    // m₂ = β₁m₁ + (1−β₁)ĝ₂, v̂₂ = v₂/(1−β₂²), with ĝ₂ re-derived from
+    // the UPDATED weights (the L2 term moves between steps). The oracle
+    // restates both steps with power(β, t) denominators mirroring
+    // math.pow, so the sides differ only at summation-order ulps under
+    // round(…, 9).
+    Q("m4c_adam_two_steps",
+      (s, d) => {
+        val rows = Tables.part(s, d).filter(col("p_partkey") < 4096)
+          .select(col("p_partkey").as("i"),
+            (col("p_retailprice") / 1000.0).as("w"),
+            (((col("p_partkey") % 19).cast("double") - 9) / 10.0).as("g"))
+          .orderBy("i").collect()
+        val w = rows.map(_.getDouble(1))
+        val g = rows.map(_.getDouble(2))
+        val mA = new Array[Double](w.length); val vA = new Array[Double](w.length)
+        Trainer.applyUpdate(w, mA, vA, g.clone(), t = 1, lrT = 0.01,
+          l2 = 1e-7, clipNorm = 1.0, clipValue = 0.5)
+        Trainer.applyUpdate(w, mA, vA, g.clone(), t = 2, lrT = 0.01 * 0.99,
+          l2 = 1e-7, clipNorm = 1.0, clipValue = 0.5)
+        val out = rows.indices.map(k => (rows(k).getLong(0), w(k)))
+        import s.implicits._
+        out.toDF("i", "_w2raw")
+          .select(col("i"), round(col("_w2raw"), 9).as("w2")).orderBy("i")
+      },
+      Some("WITH p AS (SELECT p_partkey AS i, p_retailprice/1000.0 AS w0, " +
+        "(CAST(p_partkey % 19 AS DOUBLE) - 9)/10.0 AS g0 FROM part WHERE p_partkey < 4096), " +
+        // step 1: L2 from w0, clipvalue, clipnorm, t=1 update
+        "c1 AS (SELECT i, w0, g0, CASE WHEN g0 + 2*1e-7*w0 > 0.5 THEN 0.5 " +
+        "WHEN g0 + 2*1e-7*w0 < -0.5 THEN -0.5 ELSE g0 + 2*1e-7*w0 END AS gc1 FROM p), " +
+        "n1 AS (SELECT sqrt(sum(gc1*gc1)) AS nrm FROM c1), " +
+        "s1 AS (SELECT CASE WHEN nrm > 1.0 THEN 1.0/nrm ELSE 1.0 END AS sc FROM n1), " +
+        "u1 AS (SELECT i, w0, g0, gc1*sc AS gs1, " +
+        "w0 - 0.01 * (gc1*sc) / (sqrt((gc1*sc)*(gc1*sc)) + 1e-8) AS w1 FROM c1, s1), " +
+        // step 2: L2 from w1, fresh clip + norm over the new gradient
+        "c2 AS (SELECT i, w1, gs1, CASE WHEN g0 + 2*1e-7*w1 > 0.5 THEN 0.5 " +
+        "WHEN g0 + 2*1e-7*w1 < -0.5 THEN -0.5 ELSE g0 + 2*1e-7*w1 END AS gc2 FROM u1), " +
+        "n2 AS (SELECT sqrt(sum(gc2*gc2)) AS nrm FROM c2), " +
+        "s2 AS (SELECT CASE WHEN nrm > 1.0 THEN 1.0/nrm ELSE 1.0 END AS sc FROM n2), " +
+        // Adam state after step 1: m1 = (1-0.9)·gs1, v1 = (1-0.999)·gs1²
+        // (literal one-minus forms mirror the kernel's arithmetic)
+        "u2 AS (SELECT i, w1, gs1, gc2*sc AS gs2 FROM c2, s2), " +
+        "f AS (SELECT i, w1, " +
+        "(0.9*((1-0.9)*gs1) + (1-0.9)*gs2) / (1 - power(0.9, 2)) AS mh, " +
+        "(0.999*((1-0.999)*gs1*gs1) + (1-0.999)*gs2*gs2) / (1 - power(0.999, 2)) AS vh " +
+        "FROM u2) " +
+        "SELECT i, round(w1 - (0.01*0.99) * mh / (sqrt(vh) + 1e-8), 9) AS w2 " +
+        "FROM f ORDER BY i")),
+
     // M9 — seeded random hyperparameter search over lr × outer size ×
     // depth with val-loss objective (reference keras-tuner RandomSearch;
     // the space is scaled down for bench wall time but spans multiple
