@@ -574,6 +574,41 @@ object IoModelQueries {
       },
       Some(M2b.oracle)),
 
+    // M5 oracle twin — the REPORTED per-epoch loss value: fitFrom's
+    // lossHistory entry is the mean per-window MSE under the PRE-update
+    // weights (the treeAggregate's lossSum/m0), which DuckDB restates as
+    // avg over the same forward pass the m2b/m7b oracles already state.
+    // Pins the loss aggregation itself, not just the weight update.
+    Q("m5b_epoch_loss",
+      (s, d) => {
+        val model = new DenseAutoencoder(Seq(4, 2, 4))
+        val std = Prep.standardize(ev(s, d), Tables.eventsIdx(s, d), Seq("value"))
+        val wins = Windows.slidingWindows(std, "_idx", "value", 4, 4)
+        val trained = Trainer.fitFrom(model, M2b.flat.clone(), wins, "values",
+          epochs = 1, lr = M2b.lr, lrDecay = 0.99, l2 = M2b.l2,
+          clipNorm = M2b.clipN, clipValue = M2b.clipV)
+        import s.implicits._
+        Seq(trained.lossHistory.head).toDF("_raw")
+          .select(round(col("_raw"), 7).as("epoch_loss"))
+      },
+      Some("WITH sv AS (SELECT event_id, (value - (SELECT avg(value) FROM events)) / " +
+        "(SELECT stddev_samp(value) FROM events) AS v FROM events), " +
+        "t AS (SELECT row_number() OVER (ORDER BY event_id) - 1 AS ridx, " +
+        "list(v) OVER w AS l, count(*) OVER w AS cnt FROM sv " +
+        "WINDOW w AS (ORDER BY event_id ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)), " +
+        "wn AS (SELECT ridx // 4 AS window_id, l[1] AS x0, l[2] AS x1, l[3] AS x2, l[4] AS x3 " +
+        "FROM t WHERE ridx % 4 = 0 AND cnt = 4), " +
+        "aa AS (SELECT *, 0.01 + 0.1*x0 + -0.2*x1 + 0.3*x2 + 0.05*x3 AS a0, " +
+        "-0.02 + -0.15*x0 + 0.25*x1 + -0.1*x2 + 0.2*x3 AS a1 FROM wn), " +
+        "h AS (SELECT *, CASE WHEN a0 > 20 THEN 1.0 WHEN a0 < -20 THEN -1.0 " +
+        "ELSE (exp(2*a0)-1)/(exp(2*a0)+1) END AS h0, " +
+        "CASE WHEN a1 > 20 THEN 1.0 WHEN a1 < -20 THEN -1.0 " +
+        "ELSE (exp(2*a1)-1)/(exp(2*a1)+1) END AS h1 FROM aa), " +
+        "o AS (SELECT *, 0.02 + 0.5*h0 + -0.4*h1 AS o0, -0.01 + 0.3*h0 + 0.6*h1 AS o1, " +
+        "0.03 + -0.2*h0 + 0.1*h1 AS o2, 0.0 + 0.25*h0 + -0.35*h1 AS o3 FROM h) " +
+        "SELECT round(avg(((o0-x0)*(o0-x0) + (o1-x1)*(o1-x1) + (o2-x2)*(o2-x2) + " +
+        "(o3-x3)*(o3-x3)) / 4), 7) AS epoch_loss FROM o")),
+
     // M4 oracle twin — one bias-corrected Adam step (t = 1) through the
     // SAME Trainer.applyUpdate that fit() runs every epoch: L2 from the
     // current weights folded into the gradient, reference-style clipvalue
