@@ -21,12 +21,17 @@ object VerifySome {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
+    // Track failures: a throwing query must fail the harness itself (exit
+    // non-zero) AND stay out of the oracle slice, so an iteration run can
+    // never look green while having produced no parquet for a row.
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     names.foreach { name =>
       try {
         SparkEntry.queries(name)(spark, sfDir).coalesce(1)
           .write.mode("overwrite").parquet(s"$outDir/$name")
         println(s"[verify-some] wrote $name")
       } catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify-some] $name failed: ${e.getMessage}")
       }
     }
@@ -39,9 +44,14 @@ object VerifySome {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.view.filterKeys(names.contains).toMap
+    val ok = names.filterNot(failed.contains)
+    val json = SparkEntry.oracleSql.view.filterKeys(ok.contains).toMap
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[verify-some] FAILED: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -207,30 +207,56 @@ object Trainer {
     val losses = Seq.newBuilder[Double]
 
     (1 to epochs).foreach { epoch =>
-      val bw = data.sparkContext.broadcast(w)
       val sampled = if (batchFraction >= 1.0) data
                     else data.sample(withReplacement = false, batchFraction, seed + epoch)
-      val (gradSum, lossSum, cnt) = sampled.treeAggregate(
-        (new Array[Double](w.length), 0.0, 0L))(
-        seqOp = { case ((g, ls, c), x) =>
-          val loss = model.accumulateGrad(x, bw.value, g)
-          (g, ls + loss, c + 1)
-        },
-        combOp = { case ((g1, l1, c1), (g2, l2, c2)) =>
-          var i = 0
-          while (i < g1.length) { g1(i) += g2(i); i += 1 }
-          (g1, l1 + l2, c1 + c2)
-        })
-      bw.destroy()
-      val m0 = math.max(cnt, 1L).toDouble
-      var i = 0
-      while (i < gradSum.length) { gradSum(i) /= m0; i += 1 }
+      val (gradMean, meanLoss, _) = gradPass(model, w, sampled)
       t += 1
-      applyUpdate(w, mAdam, vAdam, gradSum, t, lrT, l2, clipNorm, clipValue)
+      applyUpdate(w, mAdam, vAdam, gradMean, t, lrT, l2, clipNorm, clipValue)
       lrT *= lrDecay // reference: lr · (1 − 0.01) per epoch
-      losses += lossSum / m0
+      losses += meanLoss
     }
     TrainedAutoencoder(model, w, losses.result())
+  }
+
+  /** One full-batch gradient pass over `data` at weights `w`: the exact
+    * treeAggregate epoch kernel `fit` runs, returning (meanGrad, meanLoss,
+    * count) WITHOUT applying the optimizer.
+    */
+  private def gradPass(model: WindowModel, w: Array[Double],
+                       data: org.apache.spark.rdd.RDD[Array[Double]])
+      : (Array[Double], Double, Long) = {
+    val bw = data.sparkContext.broadcast(w)
+    val (gradSum, lossSum, cnt) = data.treeAggregate(
+      (new Array[Double](w.length), 0.0, 0L))(
+      seqOp = { case ((g, ls, c), x) =>
+        val loss = model.accumulateGrad(x, bw.value, g)
+        (g, ls + loss, c + 1)
+      },
+      combOp = { case ((g1, l1, c1), (g2, l2, c2)) =>
+        var i = 0
+        while (i < g1.length) { g1(i) += g2(i); i += 1 }
+        (g1, l1 + l2, c1 + c2)
+      })
+    bw.destroy()
+    val m0 = math.max(cnt, 1L).toDouble
+    var i = 0
+    while (i < gradSum.length) { gradSum(i) /= m0; i += 1 }
+    (gradSum, lossSum / m0, cnt)
+  }
+
+  /** The raw mean epoch gradient (pre-L2/clip/Adam) at `weights` — the same
+    * distributed pass `fit` runs each epoch, exposed so `m2b_train_epoch`
+    * can pin the well-conditioned gradient itself under the DuckDB oracle
+    * separately from the (ill-conditioned near g≈0) t=1 Adam ratio.
+    */
+  def epochGradient(model: WindowModel, weights: Array[Double],
+                    windows: DataFrame, valuesCol: String)
+      : (Array[Double], Double, Long) = {
+    val spark = windows.sparkSession
+    import spark.implicits._
+    val data = windows.select(col(valuesCol).cast("array<double>")).as[Seq[Double]]
+      .rdd.map(_.toArray)
+    gradPass(model, weights, data)
   }
 
   /** M4 — one Adam update, in place, on already-averaged gradients: the

@@ -158,15 +158,35 @@ object Tuning {
                  valuesCol: String, inputDim: Int,
                  candidates: Seq[Candidate], epochs: Int,
                  seed: Long = 42L): Seq[Scored] = {
-    import org.apache.spark.sql.functions._
     candidates.map { c =>
       val sizes = (inputDim +: c.hidden) ++ c.hidden.reverse.tail :+ inputDim
       val t = Trainer.fit(new DenseAutoencoder(sizes, seed), train, valuesCol,
         epochs = epochs, lr = c.lr)
-      val valMse = t.score(validation.withColumn("window_id", monotonically_increasing_id()),
-          valuesCol)
-        .agg(avg("mse")).head().getDouble(0)
-      Scored(c.lr, c.hidden, valMse)
+      Scored(c.lr, c.hidden, valScore(t, validation, valuesCol))
     }.sortBy(_.valMse)
   }
+
+  /** Mean validation MSE of one candidate — the scoring half of the
+    * search loop, shared by [[gridSearch]] and [[selectBest]].
+    */
+  def valScore(t: TrainedAutoencoder,
+               validation: org.apache.spark.sql.DataFrame,
+               valuesCol: String): Double = {
+    import org.apache.spark.sql.functions._
+    t.score(validation.withColumn("window_id", monotonically_increasing_id()),
+        valuesCol)
+      .agg(avg("mse")).head().getDouble(0)
+  }
+
+  /** The SELECTION half of the search, factored out over already-fixed
+    * models (pre-trained or literal weights) so the val-loss argmin
+    * decision itself is oracle-pinnable (`m9b_model_selection`) without
+    * nondeterministic training floats: score each tagged model on the
+    * validation set, rank best-first.
+    */
+  def selectBest(models: Seq[(String, TrainedAutoencoder)],
+                 validation: org.apache.spark.sql.DataFrame,
+                 valuesCol: String): Seq[(String, Double)] =
+    models.map { case (tag, t) => (tag, valScore(t, validation, valuesCol)) }
+      .sortBy(_._2)
 }

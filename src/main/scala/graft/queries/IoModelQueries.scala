@@ -8,7 +8,7 @@ import graft.core.Tables
 import graft.eval.Eval
 import graft.fed.{ClientConfig, FedAvg}
 import graft.io.{Sinks, Sources}
-import graft.model.{DenseAutoencoder, LstmAutoencoder, Trainer, Tuning}
+import graft.model.{DenseAutoencoder, LstmAutoencoder, TrainedAutoencoder, Trainer, Tuning}
 import graft.prep.Prep
 import graft.window.Windows
 
@@ -133,14 +133,32 @@ object IoModelQueries {
     * training epoch of the 4→2→4 dense autoencoder under the DuckDB
     * oracle: per-window forward (tanh hidden, linear out), per-window
     * backprop (the closed-form 4→2→4 gradient), the mean over all
-    * windows (kernel: gradSum/m0 — summation-order ulps vs DuckDB's sum
-    * are absorbed by the final round), then L2 + clipvalue → clipnorm →
-    * bias-corrected Adam at t=1 exactly as [[Trainer.applyUpdate]]. The
-    * Spark side runs the REAL `Trainer.fitFrom` epoch (treeAggregate
-    * gradients, broadcast weights); only the restatement is closed-form.
-    * Gradient component order follows the flat weight layout (W1
-    * row-major, b1, W2 row-major, b2) so the norm accumulates in the
-    * kernel's index order.
+    * windows, then L2 + clipvalue → clipnorm → bias-corrected Adam at
+    * t=1 exactly as [[Trainer.applyUpdate]]. The Spark side runs the
+    * REAL `Trainer.fitFrom` epoch (treeAggregate gradients, broadcast
+    * weights); only the restatement is closed-form. Gradient component
+    * order follows the flat weight layout (W1 row-major, b1, W2
+    * row-major, b2) so the norm accumulates in the kernel's index order.
+    *
+    * PRECISION CONTRACT (why this pin is summation-order-safe at ANY sf,
+    * the r11 fix): Spark's treeAggregate and DuckDB's sum accumulate the
+    * per-window gradients in different orders, so the two sides' mean
+    * gradients differ by δg ≲ 1e-12 absolute (u·log₂(m)·Σ|per-window
+    * terms|/m for any m). The t=1 Adam ratio g/(|g|+ε), ε=1e-8, has
+    * derivative ε/(|g|+ε)² — up to 1/ε = 1e8 near g≈0 — so for a TINY
+    * mean-gradient component the weight update amplifies δg to
+    * δw ~ lr·δg/ε ≈ 1e-8, and NO fixed rounding grid pins such a
+    * component reliably (the r11 round(·,7) flake). The row therefore
+    * pins two columns: `g6` = round(clipped·scaled mean gradient, 6) for
+    * EVERY component — well-conditioned, |δ| ≲ 1e-12 against a 1e-6
+    * grid — and `w1` = round(post-Adam weight, 6) ONLY where
+    * |g_clip·scale| ≥ τ = 1e-5, where the ratio derivative is
+    * ≤ ε/τ² = 1e2 and hence |δw| ≤ lr·1e2·δg ≈ 1e-12; below τ both
+    * sides emit the literal init weight instead (the Adam math for tiny
+    * gradients is already pinned by m4b/m4c on exact synthetic
+    * gradients). The τ comparison itself only disagrees across sides if
+    * a component lands within δg≈1e-12 of τ — measure-zero in practice
+    * and strictly safer than the old single-column 1e-7 grid.
     */
   private object M2b {
     val w1 = Array(Array(0.1, -0.2, 0.3, 0.05), Array(-0.15, 0.25, -0.1, 0.2))
@@ -149,6 +167,7 @@ object IoModelQueries {
     val b2 = Array(0.02, -0.01, 0.03, 0.0)
     val flat: Array[Double] = w1.flatten ++ b1 ++ w2.flatten ++ b2
     val lr = 0.01; val l2 = 1e-7; val clipN = 1.0; val clipV = 0.5
+    val tau = 1e-5 // |g_clip·scale| ≥ τ ⇒ the w1 pin is well-conditioned
 
     private def lit(v: Double) = if (v < 0) s"($v)" else v.toString
     private def th(a: String) =
@@ -184,8 +203,10 @@ object IoModelQueries {
       val ss = s"ss AS (SELECT *, CASE WHEN nrm > ${lit(clipN)} " +
         s"THEN ${lit(clipN)}/nrm ELSE 1.0 END AS sc FROM nn) "
       val branches = (0 until n).map { k =>
-        s"SELECT CAST($k AS BIGINT) AS i, round(${lit(flat(k))} - " +
-          s"${lit(lr)}*(gc$k*sc)/(sqrt((gc$k*sc)*(gc$k*sc))+1e-8), 7) AS w1 FROM ss"
+        s"SELECT CAST($k AS BIGINT) AS i, round(gc$k*sc, 6) AS g6, " +
+          s"CASE WHEN abs(gc$k*sc) >= ${lit(tau)} THEN round(${lit(flat(k))} - " +
+          s"${lit(lr)}*(gc$k*sc)/(sqrt((gc$k*sc)*(gc$k*sc))+1e-8), 6) " +
+          s"ELSE round(${lit(flat(k))}, 6) END AS w1 FROM ss"
       }.mkString(" UNION ALL ")
       "WITH sv AS (SELECT event_id, (value - (SELECT avg(value) FROM events)) / " +
         "(SELECT stddev_samp(value) FROM events) AS v FROM events), " +
@@ -202,7 +223,57 @@ object IoModelQueries {
         "2*(o2-x2)/4 AS d2, 2*(o3-x3)/4 AS d3 FROM o), " +
         s"bp AS (SELECT *, ${dhExpr(0)} AS dh0, ${dhExpr(1)} AS dh1 FROM b), " +
         gm + lc + nn + ss +
-        s"SELECT i, w1 FROM ($branches) u ORDER BY i"
+        s"SELECT i, g6, w1 FROM ($branches) u ORDER BY i"
+    }
+  }
+
+  /** Generated oracle for `m9b_model_selection` — M9's SELECTION decision
+    * (rank candidates by mean validation MSE, best first — reference
+    * keras-tuner's val-loss objective, `src/training/trainer.py:104-146`)
+    * over FIXED-weight candidates, the m2b twin trick: each candidate is
+    * the literal [[M2b]] 4→2→4 net with its weights scaled by a constant,
+    * so DuckDB restates every forward pass in closed form and takes the
+    * argmin itself. Ranking happens on the UNROUNDED mean MSE on both
+    * sides (candidate means differ at O(0.1) — ulps cannot reorder);
+    * the reported val_mse is pinned at the house 6dp.
+    */
+  private object M9b {
+    val scales = Seq(1.0, 0.5, 0.0)
+    def tag(sc: Double): String = s"m2b_x$sc"
+
+    private def lit(v: Double) = if (v < 0) s"($v)" else v.toString
+    private def th(a: String) =
+      s"CASE WHEN $a > 20 THEN 1.0 WHEN $a < -20 THEN -1.0 " +
+        s"ELSE (exp(2*$a)-1)/(exp(2*$a)+1) END"
+
+    val oracle: String = {
+      val perCand = scales.zipWithIndex.map { case (scale, k) =>
+        val w1 = M2b.w1.map(_.map(_ * scale)); val b1 = M2b.b1.map(_ * scale)
+        val w2 = M2b.w2.map(_.map(_ * scale)); val b2 = M2b.b2.map(_ * scale)
+        def aExpr(r: Int) =
+          s"${lit(b1(r))} + " + (0 to 3).map(c => s"${lit(w1(r)(c))}*x$c").mkString(" + ")
+        def oExpr(j: Int) =
+          s"${lit(b2(j))} + " + (0 to 1).map(r => s"${lit(w2(j)(r))}*h$r").mkString(" + ")
+        s"a$k AS (SELECT *, ${aExpr(0)} AS a0, ${aExpr(1)} AS a1 FROM wn), " +
+          s"h$k AS (SELECT *, ${th("a0")} AS h0, ${th("a1")} AS h1 FROM a$k), " +
+          s"o$k AS (SELECT *, ${oExpr(0)} AS o0, ${oExpr(1)} AS o1, " +
+          s"${oExpr(2)} AS o2, ${oExpr(3)} AS o3 FROM h$k), " +
+          s"m$k AS (SELECT '${tag(scale)}' AS tag, " +
+          "avg(((o0-x0)*(o0-x0) + (o1-x1)*(o1-x1) + (o2-x2)*(o2-x2) + " +
+          s"(o3-x3)*(o3-x3)) / 4) AS vm FROM o$k)"
+      }
+      val union = scales.indices.map(k => s"SELECT tag, vm FROM m$k").mkString(" UNION ALL ")
+      "WITH sv AS (SELECT event_id, (value - (SELECT avg(value) FROM events)) / " +
+        "(SELECT stddev_samp(value) FROM events) AS v FROM events), " +
+        "t AS (SELECT row_number() OVER (ORDER BY event_id) - 1 AS ridx, " +
+        "list(v) OVER w AS l, count(*) OVER w AS cnt FROM sv " +
+        "WINDOW w AS (ORDER BY event_id ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)), " +
+        "wn AS (SELECT ridx // 4 AS window_id, l[1] AS x0, l[2] AS x1, l[3] AS x2, l[4] AS x3 " +
+        "FROM t WHERE ridx % 4 = 0 AND cnt = 4), " +
+        perCand.mkString(", ") + ", " +
+        s"scored AS ($union) " +
+        "SELECT CAST(row_number() OVER (ORDER BY vm, tag) AS BIGINT) AS rank, " +
+        "tag, round(vm, 6) AS val_mse FROM scored ORDER BY rank"
     }
   }
 
@@ -557,6 +628,10 @@ object IoModelQueries {
     // [[M2b]] init, restated end-to-end by the generated closed-form
     // oracle. m2_autoencoder_train remains the production multi-epoch
     // rows-only row; this pins the gradient + optimizer math on real data.
+    // Two pinned columns (see the M2b precision contract): g6 pins the
+    // clipped·scaled epoch mean gradient for every component; w1 pins
+    // the post-Adam weight only where the t=1 ratio is well-conditioned
+    // (|g| ≥ τ), masking to the literal init elsewhere on BOTH sides.
     Q("m2b_train_epoch",
       (s, d) => {
         val model = new DenseAutoencoder(Seq(4, 2, 4))
@@ -567,10 +642,23 @@ object IoModelQueries {
         val trained = Trainer.fitFrom(model, M2b.flat.clone(), wins, "values",
           epochs = 1, lr = M2b.lr, lrDecay = 0.99, l2 = M2b.l2,
           clipNorm = M2b.clipN, clipValue = M2b.clipV)
+        // Re-derive the clipped·scaled mean gradient through the SAME
+        // kernels (epoch treeAggregate + applyUpdate's clip/norm in flat
+        // index order) so the g6/mask arithmetic matches fit()'s floats.
+        val (gRaw, _, _) = Trainer.epochGradient(model, M2b.flat, wins, "values")
+        val gClip = gRaw.clone()
+        Trainer.applyUpdate(M2b.flat.clone(), new Array[Double](gClip.length),
+          new Array[Double](gClip.length), gClip, t = 1, lrT = M2b.lr,
+          l2 = M2b.l2, clipNorm = M2b.clipN, clipValue = M2b.clipV)
+        val nrm = math.sqrt(gClip.map(x => x * x).sum)
+        val sc = if (nrm > M2b.clipN) M2b.clipN / nrm else 1.0
         import s.implicits._
-        trained.weights.toSeq.zipWithIndex.map { case (v, k) => (k.toLong, v) }
-          .toDF("i", "_raw")
-          .select(col("i"), round(col("_raw"), 7).as("w1")).orderBy("i")
+        trained.weights.toSeq.zipWithIndex.map { case (v, k) =>
+          val gcs = gClip(k) * sc
+          (k.toLong, gcs, if (math.abs(gcs) >= M2b.tau) v else M2b.flat(k))
+        }.toDF("i", "_g", "_w")
+          .select(col("i"), round(col("_g"), 6).as("g6"),
+            round(col("_w"), 6).as("w1")).orderBy("i")
       },
       Some(M2b.oracle)),
 
@@ -589,7 +677,7 @@ object IoModelQueries {
           clipNorm = M2b.clipN, clipValue = M2b.clipV)
         import s.implicits._
         Seq(trained.lossHistory.head).toDF("_raw")
-          .select(round(col("_raw"), 7).as("epoch_loss"))
+          .select(round(col("_raw"), 6).as("epoch_loss"))
       },
       Some("WITH sv AS (SELECT event_id, (value - (SELECT avg(value) FROM events)) / " +
         "(SELECT stddev_samp(value) FROM events) AS v FROM events), " +
@@ -607,7 +695,7 @@ object IoModelQueries {
         "o AS (SELECT *, 0.02 + 0.5*h0 + -0.4*h1 AS o0, -0.01 + 0.3*h0 + 0.6*h1 AS o1, " +
         "0.03 + -0.2*h0 + 0.1*h1 AS o2, 0.0 + 0.25*h0 + -0.35*h1 AS o3 FROM h) " +
         "SELECT round(avg(((o0-x0)*(o0-x0) + (o1-x1)*(o1-x1) + (o2-x2)*(o2-x2) + " +
-        "(o3-x3)*(o3-x3)) / 4), 7) AS epoch_loss FROM o")),
+        "(o3-x3)*(o3-x3)) / 4), 6) AS epoch_loss FROM o")),
 
     // M4 oracle twin — one bias-corrected Adam step (t = 1) through the
     // SAME Trainer.applyUpdate that fit() runs every epoch: L2 from the
@@ -722,6 +810,32 @@ object IoModelQueries {
           .toDF("lr", "arch", "val_mse")
       },
       None),
+
+    // M9 oracle twin — the SELECTION decision itself (rank by mean val
+    // MSE, best first) through the REAL Tuning.selectBest/valScore path
+    // (the same scoring gridSearch runs), over fixed-weight candidates:
+    // the literal M2b 4→2→4 net at weight scales 1.0/0.5/0.0. DuckDB
+    // restates each forward pass in closed form and takes the argmin —
+    // so the driver checks the DECISION m9_hyperparam_search leaves
+    // rows-only (training floats are nondeterministic; fixed weights
+    // aren't). Ranking compares unrounded means O(0.1) apart.
+    Q("m9b_model_selection",
+      (s, d) => {
+        val model = new DenseAutoencoder(Seq(4, 2, 4))
+        val std = Prep.standardize(ev(s, d), Tables.eventsIdx(s, d), Seq("value"))
+        val wins = Windows.slidingWindows(std, "_idx", "value", 4, 4)
+        val cands = M9b.scales.map { sc =>
+          (M9b.tag(sc), TrainedAutoencoder(model, M2b.flat.map(_ * sc), Nil))
+        }
+        val ranked = Tuning.selectBest(cands, wins, "values")
+          .sortBy { case (tag, m) => (m, tag) } // deterministic tie-break, mirrors oracle
+        import s.implicits._
+        ranked.zipWithIndex.map { case ((tag, m), r) => ((r + 1).toLong, tag, m) }
+          .toDF("rank", "tag", "_m")
+          .select(col("rank"), col("tag"), round(col("_m"), 6).as("val_mse"))
+          .orderBy("rank")
+      },
+      Some(M9b.oracle)),
 
     // M10/A5 — FedAvg rounds over 4 per-client channel datasets.
     Q("m10_fedavg",

@@ -33,6 +33,26 @@ class ModelSpec extends SparkSpec {
     assert(last5 < first5 * 0.8, s"loss did not decrease: $first5 -> $last5")
   }
 
+  test("M2: epochGradient + applyUpdate reproduces a one-epoch fitFrom (the m2b contract)") {
+    val model = new DenseAutoencoder(Seq(16, 8, 16))
+    val init = model.initWeights()
+    val wins = sineWindows(64, 16)
+    val trained = Trainer.fitFrom(model, init.clone(), wins, "values",
+      epochs = 1, lr = 0.01, lrDecay = 0.99, l2 = 1e-7, clipNorm = 1.0, clipValue = 0.5)
+    val (g, meanLoss, cnt) = Trainer.epochGradient(model, init, wins, "values")
+    assert(cnt == 64)
+    assert(math.abs(meanLoss - trained.lossHistory.head) < 1e-12)
+    val w = init.clone()
+    Trainer.applyUpdate(w, new Array[Double](w.length), new Array[Double](w.length),
+      g.clone(), t = 1, lrT = 0.01, l2 = 1e-7, clipNorm = 1.0, clipValue = 0.5)
+    // two independent treeAggregate passes may differ by summation-order
+    // ulps — the whole point of the m2b precision contract; assert well
+    // inside the 1e-6 pin grid
+    trained.weights.zip(w).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"epoch replay diverged: $a vs $b")
+    }
+  }
+
   test("M7/M8: reconstruction error separates injected anomaly windows") {
     val train = sineWindows(64, 16)
     val t = Trainer.fit(new DenseAutoencoder(Seq(16, 8, 16)), train, "values",
