@@ -101,13 +101,33 @@ object Tables {
       // warehouse-scale shape of the contract. Path is PER-PROCESS
       // (unlike the write-once scratch sinks): a concurrent JVM on the
       // same sf dir must not overwrite files this session is reading.
-      val path = s"/tmp/graft_idx/${ProcessHandle.current().pid()}/" +
-        s"${d.replaceAll("[^a-zA-Z0-9.]", "_")}/events_idx"
+      // The raw dir's hash disambiguates dirs the [^a-zA-Z0-9.] sanitize
+      // would alias (e.g. "sf-1" vs "sf_1" — a second materialization
+      // must never overwrite files a memoized frame still reads lazily),
+      // and the pid root is removed on JVM exit so /tmp does not
+      // accumulate one tree per run.
+      val path = f"$idxRoot/${d.replaceAll("[^a-zA-Z0-9.]", "_")}_${d.hashCode}%08x/events_idx"
       Indexing.withOrderedIdx(events(s, d), "_idx",
         org.apache.spark.sql.functions.col("event_id"))
         .write.mode("overwrite").parquet(path)
       s.read.parquet(path)
     })
+
+  /** Per-process scratch root for materialized idx tables; deleted by a
+    * shutdown hook (registered once) so repeated runs don't accumulate
+    * under /tmp/graft_idx.
+    */
+  private lazy val idxRoot: String = {
+    val root = s"/tmp/graft_idx/${ProcessHandle.current().pid()}"
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(root))
+    }))
+    root
+  }
 
   /** Streaming twin of [[events]]: the same parquet read as a finite
     * file-source stream, with the same derived `ts_sec`/`ts_micro`

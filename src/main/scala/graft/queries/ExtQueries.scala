@@ -2460,10 +2460,14 @@ object ExtQueries {
     // nature and are exercised by every doc here.
     Q("x_fingerprint",
       (s, d) => {
-        val fps = Tables.documents(s, d)
+        // one scan + ONE shuffle: count over partition-by-fp replaces the
+        // r11 groupBy+self-join shape (2 scans + 2 shuffles, the 0.36→0.81 s
+        // r11 bench regression); fp groups are dup clusters — tiny — so the
+        // partitioned window is skew-safe and ExplainAudit-clean
+        Tables.documents(s, d)
           .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("_fp"))
-        val sizes = fps.groupBy("_fp").agg(count(lit(1)).as("n_same_fp"))
-        fps.join(sizes, "_fp")
+          .withColumn("n_same_fp",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("_fp")))
           .select(col("doc_id"), col("n_same_fp"))
           .orderBy("doc_id")
       },
