@@ -22,10 +22,16 @@ import graft.streaming.StreamingOps.{BandedDoc, CandidatePair}
   *                   flatMapGroups-shaped sink via a no-state
   *                   flatMapGroupsWithState (state never updated): adds
   *                   the keyed-exchange + per-group iteration cost.
-  *  - `baseline`   — the production [[StreamingOps.minhashCandidatePairs]].
-  *  - `condupd`    — baseline + state.update SKIPPED when bucket
-  *                   membership did not change (timeout still re-armed).
+  *  - `baseline`   — the production [[StreamingOps.minhashCandidatePairs]]
+  *                   (which since r12 already skips the state value write
+  *                   for unchanged buckets — the probe's own finding).
+  *  - `condupd`    — the conditional-update form kept verbatim as the
+  *                   A/B control for the adopted change.
   *  - `rocksdb`    — baseline under the RocksDB provider.
+  *
+  * r12 warm medians (3 reps, local[8]): floor 1.0 s → banded 2.1 s →
+  * shuffled 3.1 s → baseline 4.5 s; rocksdb +0.1 s — the floor analysis
+  * recorded in DESIGN.md "Standing bench triage".
   *
   * `runMain graft.streaming.MinhashProbe [reps]`
   */

@@ -298,6 +298,7 @@ object StreamingOps {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             var known = state.getOption.map(_.ids).getOrElse(Array.empty[Long])
+            val n0 = known.length
             val out = Seq.newBuilder[CandidatePair]
             var maxTs = Long.MinValue
             rows.toSeq.sortBy(_.id).foreach { r =>
@@ -308,7 +309,10 @@ object StreamingOps {
                 if (known.length < maxBucket) known = known :+ r.id
               }
             }
-            state.update(BucketState(known))
+            // value write only when membership changed (MinhashProbe: ~5%
+            // of the lane); the timeout below is still re-armed every
+            // touch, so expiry semantics are unchanged
+            if (known.length != n0) state.update(BucketState(known))
             // expire the bucket `watermark` past its newest event (never
             // behind the current watermark — Spark rejects that)
             state.setTimeoutTimestamp(
