@@ -501,16 +501,33 @@ object Dedup {
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** A 64-bit token key both engines can compute EXACTLY: the first four
+    * character codes and the length packed into 52 bits (no mod-2^64
+    * arithmetic, so ANSI-safe on the Spark side and plain integer math in
+    * DuckDB), meant to be avalanched by
+    * [[graft.functions.GraftFunctions.splitmix64]]. Used by the
+    * `x_simhash_splitmix` oracle twin so the SimHash kernel runs on a
+    * hash DuckDB restates; the production lanes keep `xxhash64`.
+    */
+  def restatableTokenKey(t: Column): Column = {
+    def c(i: Int) =
+      when(length(t) >= i, ascii(substring(t, i, 1))).otherwise(lit(0)).cast("long")
+    c(1) + c(2) * 256L + c(3) * 65536L + c(4) * 16777216L +
+      length(t).cast("long") * 4294967296L
+  }
+
   /** SimHash signatures for a whole table via explode + one hash-aggregate:
     * token hashes explode to rows, the 64 per-bit vote sums are map-side-
     * combined sum() aggregates (one shuffle of 64 ints per doc), the
     * signature is assembled from the sums. ~6× faster than the per-row
-    * 64-pass higher-order-function form on the bench.
+    * 64-pass higher-order-function form on the bench. `tokenHash` swaps
+    * the hash for the oracle twin (default: production xxhash64).
     */
-  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val tok = df.select(col(idCol).as("_id"),
         explode(split(col(textCol), " +")).as("_t"))
-      .select(col("_id"), xxhash64(col("_t")).as("_h"))
+      .select(col("_id"), tokenHash(col("_t")).as("_h"))
     val votes = tok.groupBy("_id").agg(
       sum(when(col("_h").bitwiseAND(1) === 1, 1).otherwise(-1)).as("_b0"),
       (1 until 64).map(b =>
@@ -521,8 +538,9 @@ object Dedup {
         .reduce((a, c) => a.bitwiseOR(c)).as("_sig"))
   }
 
-  def simhashCandidates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val withSig = simhashSignatures(df, idCol, textCol)
+  def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+    val withSig = simhashSignatures(df, idCol, textCol, tokenHash)
     val banded = withSig.select(col("_id"), col("_sig"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("_sig"), b * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("band", "band_val")))

@@ -135,6 +135,11 @@ object GraftFunctions {
   def sorted_long_contains(c: Column, sorted: Array[Long]): Column =
     toColumn(SortedLongContains(toExpression(c), sorted))
 
+  /** Codegen'd splitmix64 finalizer over a bigint column — the
+    * DuckDB-restatable 64-bit mix (see [[SplitMix64]]).
+    */
+  def splitmix64(c: Column): Column = toColumn(SplitMix64(toExpression(c)))
+
   /** Codegen'd winnowing fingerprint selection over a token array:
     * distinct `(pos, gram_hash)` structs, rightmost-tie window minima
     * (see [[WinnowSelect]] for the hash contract).
@@ -153,6 +158,7 @@ object GraftFunctions {
   def registerAll(spark: SparkSession): Unit = {
     registerFunction(spark, "fft_magnitude", exprs => FftMagnitude(exprs.head))
     registerFunction(spark, "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)))
+    registerFunction(spark, "splitmix64", exprs => SplitMix64(exprs.head))
   }
 }
 
@@ -171,5 +177,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("splitmix64"),
+      new ExpressionInfo(classOf[SplitMix64].getName, "splitmix64"),
+      (exprs: Seq[Expression]) => SplitMix64(exprs.head)))
   }
 }

@@ -137,6 +137,53 @@ object ExtQueries {
     "THEN z - 18446744073709551616 ELSE z END) % 2000 + 2000) % 2000) " +
     "/ 1000.0 - 1.0 AS h FROM s5)"
 
+  /** DuckDB restatement of the `x_simhash_splitmix` twin: per-token
+    * 52-bit key (first four `ord` codes + length — integer math, no
+    * wraparound) → the canonical splitmix64 finalizer in HUGEINT
+    * mod-2^64 arithmetic (same multiply-split technique as
+    * [[splitmixHyperplaneCtes]]; constants are the unsigned decimals of
+    * 0x9E3779B97F4A7C15 / 0xBF58476D1CE4E5B9 / 0x94D049BB133111EB,
+    * shifts 30/27/31 as // 2^k) → 64 per-bit ±1 vote sums per doc →
+    * sign-bit signature → 4×16-bit bands → band-equality pair join →
+    * `64 − bit_count(xor(sig, sig))` on the SIGNED representatives
+    * (two's-complement conversion via − 2^64 above the sign bit, exactly
+    * Java `Long.bitCount` semantics).
+    */
+  private val SimhashSplitmixOracle: String = {
+    def c(i: Int) = s"CASE WHEN length(t) >= $i THEN ord(substr(t, $i, 1)) ELSE 0 END"
+    val key = s"${c(1)} + 256 * ${c(2)} + 65536 * ${c(3)} + " +
+      s"16777216 * ${c(4)} + 4294967296 * length(t)"
+    val mod = "18446744073709551616"
+    def mulStep(m: String) =
+      s"((z % 4294967296) * $m + ((z // 4294967296) * $m % 4294967296) * 4294967296) % $mod"
+    def pow2(i: Int) = java.math.BigInteger.valueOf(2).pow(i).toString
+    val votes = (0 until 64).map(i =>
+      s"sum(CASE WHEN (z // ${pow2(i)}) % 2 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(", ")
+    val sigSum = (0 until 64).map(i =>
+      s"CASE WHEN b$i > 0 THEN CAST(${pow2(i)} AS HUGEINT) ELSE CAST(0 AS HUGEINT) END")
+      .mkString(" + ")
+    val bandVal = "(sigu // (CASE band WHEN 0 THEN 1 WHEN 1 THEN 65536 " +
+      "WHEN 2 THEN 4294967296 ELSE 281474976710656 END)) % 65536"
+    "WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, ' +')) AS t FROM documents), " +
+      s"tk AS (SELECT doc_id, CAST($key AS HUGEINT) AS k FROM tok), " +
+      s"s0 AS (SELECT doc_id, (k + 11400714819323198485) % $mod AS z FROM tk), " +
+      "s1 AS (SELECT doc_id, xor(z, z // 1073741824) AS z FROM s0), " +
+      s"s2 AS (SELECT doc_id, ${mulStep("13787848793156543929")} AS z FROM s1), " +
+      "s3 AS (SELECT doc_id, xor(z, z // 134217728) AS z FROM s2), " +
+      s"s4 AS (SELECT doc_id, ${mulStep("10723151780598845931")} AS z FROM s3), " +
+      "s5 AS (SELECT doc_id, xor(z, z // 2147483648) AS z FROM s4), " +
+      s"v AS (SELECT doc_id, $votes FROM s5 GROUP BY doc_id), " +
+      s"sg AS (SELECT doc_id, $sigSum AS sigu FROM v), " +
+      "ss AS (SELECT doc_id, sigu, CAST(CASE WHEN sigu >= 9223372036854775808 " +
+      s"THEN sigu - $mod ELSE sigu END AS BIGINT) AS ssig FROM sg), " +
+      "bd AS (SELECT doc_id, sigu, ssig, band, " + bandVal + " AS band_val " +
+      "FROM ss, generate_series(0, 3) g(band)) " +
+      "SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, " +
+      "CAST(64 - bit_count(xor(a.ssig, b.ssig)) AS INTEGER) AS matching_bits " +
+      "FROM bd a JOIN bd b ON a.band = b.band AND a.band_val = b.band_val " +
+      "AND a.doc_id < b.doc_id ORDER BY id1, id2"
+  }
+
   /** Brute-force cosine top-20 against the vec_id=0 embedding — shared
     * by `x_ann_bruteforce` (the exact baseline) and
     * `x_ann_ivf_full_probe` (the IVF probe machinery degenerated to
@@ -1653,6 +1700,21 @@ object ExtQueries {
       (s, d) => Dedup.simhashCandidates(Tables.documents(s, d), "doc_id", "text")
         .orderBy("id1", "id2"),
       None),
+
+    // SimHash oracle twin — the ENTIRE SimHash kernel (64 per-bit vote
+    // sums → sign-bit signature assembly → 4×16-bit banding → band-equal
+    // candidate join → Hamming matching_bits) under the driver's hash
+    // gate, with the one unrestatable piece swapped: token hash =
+    // splitmix64(restatable 52-bit char/length key) instead of xxhash64
+    // (the x_ann_lsh hyperplane-oracle trick — DuckDB restates splitmix64
+    // in HUGEINT mod-2^64 arithmetic). Same code path as the production
+    // x_simhash row via the simhashCandidates tokenHash parameter; the
+    // production row stays rows-only (see the COVERAGE.md closure table).
+    Q("x_simhash_splitmix",
+      (s, d) => Dedup.simhashCandidates(Tables.documents(s, d), "doc_id", "text",
+          tokenHash = t => GraftFunctions.splitmix64(Dedup.restatableTokenKey(t)))
+        .orderBy("id1", "id2"),
+      Some(SimhashSplitmixOracle)),
 
     // The ingest-time WRITE of the stored gram-pair index, priced as its
     // own bench row (the x_ann_ivf_build precedent): the first query to

@@ -957,6 +957,40 @@ class EvalFunctionsSpec extends SparkSpec {
     assert(hamming(sigs(0), sigs(2)) > hamming(sigs(0), sigs(1)))
   }
 
+  test("ext: SplitMix64 kernel — canonical vector, SplittableRandom parity, codegen + SQL paths") {
+    import graft.functions.SplitMix64
+    // the canonical splitmix64 sequence head for state 0 (public vector)
+    assert(SplitMix64.mix(0L) == java.lang.Long.parseUnsignedLong("e220a8397b1dcdaf", 16))
+    // Java's SplittableRandom(seed).nextLong() IS golden-gamma advance + mix64
+    Seq(0L, 1L, 42L, -7L, Long.MaxValue, Long.MinValue).foreach { x =>
+      assert(SplitMix64.mix(x) == new java.util.SplittableRandom(x).nextLong())
+    }
+    // the Column (codegen) and SQL surfaces agree with the JVM kernel
+    val df = Seq(0L, 1L, 42L, -7L).toDF("k")
+    val viaCol = df.select(graft.functions.GraftFunctions.splitmix64(col("k")))
+      .as[Long].collect().toSeq
+    assert(viaCol == Seq(0L, 1L, 42L, -7L).map(SplitMix64.mix))
+    graft.functions.GraftFunctions.registerAll(spark)
+    df.createOrReplaceTempView("sm_t")
+    val viaSql = spark.sql("SELECT splitmix64(k) FROM sm_t").as[Long].collect().toSeq
+    assert(viaSql == viaCol)
+  }
+
+  test("ext: simhash splitmix twin flags the same near-dup structure as the xxhash production path") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+      (2L, "catalyst optimizer rewrites logical plans into physical execution trees")
+    ).toDF("doc_id", "text")
+    val twinHash = (t: org.apache.spark.sql.Column) =>
+      graft.functions.GraftFunctions.splitmix64(graft.ext.Dedup.restatableTokenKey(t))
+    val pairs = graft.ext.Dedup.simhashCandidates(docs, "doc_id", "text", twinHash)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), s"near-dup pair not flagged: $pairs")
+    assert(!pairs.contains((0L, 2L)) && !pairs.contains((1L, 2L)),
+      s"unrelated docs flagged: $pairs")
+  }
+
   test("ext: fingerprint is order-sensitive and stable") {
     val df = Seq((0L, "alpha beta gamma"), (1L, "beta alpha gamma"), (2L, "alpha beta gamma"))
       .toDF("doc_id", "text")
