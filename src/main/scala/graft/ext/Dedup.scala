@@ -271,6 +271,61 @@ object Dedup {
       .distinct()
   }
 
+  /** MinHash-LSH candidate pairs with every hash DuckDB-restatable — the
+    * `x_minhash_lsh_splitmix` oracle twin of [[minhashCandidates]],
+    * preserving its exact structure (shingle key → per-lane min-fold →
+    * banding → band-equality self-join → id1<id2 distinct) with the
+    * xxhash64 seeding swapped for splitmix64 chains:
+    *
+    *  - token m = splitmix64([[restatableTokenKey]])
+    *  - shingle s = the order-sensitive right fold
+    *    `mix(m_p ⊕ mix(m_{p+1} ⊕ … mix(m_{p+n−1} ⊕ 0)))`
+    *  - lane j hash = `mix(s ⊕ mix(j))` (lane constants are themselves
+    *    mixed, so the oracle regenerates them from `generate_series`)
+    *  - a band's key is its `rowsPerBand` raw lane minima joined as a
+    *    struct — band-hash compression is an optimization the twin skips
+    *    so the oracle needs no fourth mix chain.
+    *
+    * Same shuffle shape as production: shingle rows explode once, the
+    * per-lane minima are map-side partial aggregates, the join is
+    * (band, lane-minima) equi-keyed.
+    */
+  def minhashCandidatesSplitmix(df: DataFrame, idCol: String, textCol: String,
+                                shingleLen: Int = 3, bands: Int = 8,
+                                rowsPerBand: Int = 2): DataFrame = {
+    import graft.functions.{GraftFunctions, SplitMix64}
+    val numHashes = bands * rowsPerBand
+    // shingle keys, let-bound like shingleHashArray (same O(tokens) shape)
+    val shingleKeys = element_at(
+      transform(array(transform(split(col(textCol), " +"),
+          t => GraftFunctions.splitmix64(restatableTokenKey(t)))), th =>
+        when(size(th) >= shingleLen,
+            transform(sequence(lit(0), size(th) - shingleLen), pos =>
+              (shingleLen to 1 by -1).foldLeft(lit(0L): Column)((acc, j) =>
+                GraftFunctions.splitmix64(element_at(th, pos + j).bitwiseXOR(acc)))))
+          .otherwise(array().cast("array<bigint>"))),
+      lit(1))
+    val exploded = df.select(col(idCol).as("_id"), explode(shingleKeys).as("_s"))
+    val sig = exploded.groupBy("_id")
+      .agg(min(GraftFunctions.splitmix64(col("_s").bitwiseXOR(lit(SplitMix64.mix(0L)))))
+          .as("_h0"),
+        (1 until numHashes).map(j =>
+          min(GraftFunctions.splitmix64(col("_s").bitwiseXOR(lit(SplitMix64.mix(j.toLong)))))
+            .as(s"_h$j")): _*)
+    val banded = sig.select(col("_id"), posexplode(
+        array((0 until bands).map { b =>
+          struct((0 until rowsPerBand)
+            .map(r => col(s"_h${b * rowsPerBand + r}").as(s"k$r")): _*)
+        }: _*))
+      .as(Seq("band", "band_key")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a._id") < col("b._id"))
+      .select(col("a._id").as("id1"), col("b._id").as("id2"))
+      .distinct()
+  }
+
   /** Near-dup candidate pairs from winnowing fingerprints
     * ([[graft.ext.TextAnalysis.winnowFingerprints]]): documents sharing
     * at least `minShared` selected fingerprints. Where MinHash banding

@@ -137,6 +137,77 @@ object ExtQueries {
     "THEN z - 18446744073709551616 ELSE z END) % 2000 + 2000) % 2000) " +
     "/ 1000.0 - 1.0 AS h FROM s5)"
 
+  /** Six-CTE splitmix64 finalizer chain on HUGEINT column `z` of CTE
+    * `from`, carrying `keep` columns; emits CTEs `<p>a..<p>f` (result in
+    * `<p>f.z`, still the unsigned [0, 2^64) representative). Shared by
+    * the splitmix oracle twins.
+    */
+  private def mixCtes(p: String, from: String, keep: String): String = {
+    val mod = "18446744073709551616"
+    def mul(m: String) =
+      s"((z % 4294967296) * $m + ((z // 4294967296) * $m % 4294967296) * 4294967296) % $mod"
+    s"${p}a AS (SELECT $keep, (z + 11400714819323198485) % $mod AS z FROM $from), " +
+      s"${p}b AS (SELECT $keep, xor(z, z // 1073741824) AS z FROM ${p}a), " +
+      s"${p}c AS (SELECT $keep, ${mul("13787848793156543929")} AS z FROM ${p}b), " +
+      s"${p}d AS (SELECT $keep, xor(z, z // 134217728) AS z FROM ${p}c), " +
+      s"${p}e AS (SELECT $keep, ${mul("10723151780598845931")} AS z FROM ${p}d), " +
+      s"${p}f AS (SELECT $keep, xor(z, z // 2147483648) AS z FROM ${p}e)"
+  }
+
+  /** The restatable 52-bit token key of [[graft.ext.Dedup.restatableTokenKey]]
+    * over a SQL string expression `t`.
+    */
+  private def tokenKeySql(t: String): String = {
+    def c(i: Int) = s"CASE WHEN length($t) >= $i THEN ord(substr($t, $i, 1)) ELSE 0 END"
+    s"${c(1)} + 256 * ${c(2)} + 65536 * ${c(3)} + 16777216 * ${c(4)} + 4294967296 * length($t)"
+  }
+
+  /** DuckDB restatement of `x_minhash_lsh_splitmix`
+    * ([[graft.ext.Dedup.minhashCandidatesSplitmix]]): token mix → the
+    * order-sensitive shingle fold (three chained mixes for n=3) → lane
+    * constants `mix(j)` from generate_series → lane hashes
+    * `mix(s ⊕ mix(j))` → SIGNED per-lane minima (two's-complement
+    * conversion before `min`, matching Spark's Long ordering) → bands of
+    * `rowsPerBand` raw minima → band-equality pair join. Six mix chains
+    * total, all via [[mixCtes]].
+    */
+  private val MinhashSplitmixOracle: String = {
+    val mod = "18446744073709551616"
+    "WITH d AS (SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents), " +
+      // token rows with position (docs with < 3 tokens have no shingles)
+      "tp AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS tpos, toks FROM d " +
+      "WHERE len(toks) >= 3), " +
+      s"tk AS (SELECT doc_id, tpos, CAST(${tokenKeySql("toks[tpos]")} AS HUGEINT) AS z FROM tp), " +
+      mixCtes("tm", "tk", "doc_id, tpos") + ", " +
+      // shingle fold c1 = mix(m3); c2 = mix(m2 ⊕ c1); s = mix(m1 ⊕ c2)
+      "sh AS (SELECT a.doc_id, a.tpos AS p, a.z AS m1, b.z AS m2, c.z AS m3 " +
+      "FROM tmf a JOIN tmf b ON a.doc_id = b.doc_id AND b.tpos = a.tpos + 1 " +
+      "JOIN tmf c ON a.doc_id = c.doc_id AND c.tpos = a.tpos + 2), " +
+      "c1i AS (SELECT doc_id, p, m1, m2, m3 AS z FROM sh), " +
+      mixCtes("c1", "c1i", "doc_id, p, m1, m2") + ", " +
+      "c2i AS (SELECT doc_id, p, m1, xor(m2, z) AS z FROM c1f), " +
+      mixCtes("c2", "c2i", "doc_id, p, m1") + ", " +
+      "c3i AS (SELECT doc_id, p, xor(m1, z) AS z FROM c2f), " +
+      mixCtes("c3", "c3i", "doc_id, p") + ", " +
+      // lane constants mix(j), j = 0..15
+      "lni AS (SELECT j, CAST(j AS HUGEINT) AS z FROM generate_series(0, 15) g(j)), " +
+      mixCtes("ln", "lni", "j") + ", " +
+      // lane hashes mix(s ⊕ mix(j)) over shingle × lane
+      "lhi AS (SELECT s.doc_id, s.p, l.j, xor(s.z, l.z) AS z FROM c3f s, lnf l), " +
+      mixCtes("lh", "lhi", "doc_id, p, j") + ", " +
+      // signed minima per (doc, lane)
+      "hs AS (SELECT doc_id, j, CAST(CASE WHEN z >= 9223372036854775808 " +
+      s"THEN z - $mod ELSE z END AS BIGINT) AS h FROM lhf), " +
+      "sig AS (SELECT doc_id, j, min(h) AS hmin FROM hs GROUP BY doc_id, j), " +
+      // bands of rowsPerBand = 2 raw minima
+      "bd AS (SELECT doc_id, j // 2 AS band, " +
+      "max(CASE WHEN j % 2 = 0 THEN hmin END) AS s0, " +
+      "max(CASE WHEN j % 2 = 1 THEN hmin END) AS s1 FROM sig GROUP BY doc_id, j // 2) " +
+      "SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM bd a JOIN bd b " +
+      "ON a.band = b.band AND a.s0 = b.s0 AND a.s1 = b.s1 AND a.doc_id < b.doc_id " +
+      "ORDER BY id1, id2"
+  }
+
   /** DuckDB restatement of the `x_simhash_splitmix` twin: per-token
     * 52-bit key (first four `ord` codes + length — integer math, no
     * wraparound) → the canonical splitmix64 finalizer in HUGEINT
@@ -1694,6 +1765,18 @@ object ExtQueries {
       (s, d) => Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text")
         .orderBy("id1", "id2"),
       None),
+
+    // MinHash-LSH oracle twin — the full candidate pipeline (shingle
+    // fold → 16 per-lane min-hashes → 8×2 banding → band-equality join →
+    // id1<id2 distinct) with every hash a splitmix64 chain DuckDB
+    // regenerates (six mix chains: token, three shingle-fold steps, lane
+    // constants, lane hashes). Same structure and shuffle shape as the
+    // production xxhash64 row above, which stays rows-only (closure
+    // table); recall vs exact Jaccard is pinned by x_minhash_recall.
+    Q("x_minhash_lsh_splitmix",
+      (s, d) => Dedup.minhashCandidatesSplitmix(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("id1", "id2"),
+      Some(MinhashSplitmixOracle)),
 
     // SimHash near-dup candidates — rows-only check.
     Q("x_simhash",

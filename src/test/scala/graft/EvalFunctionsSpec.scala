@@ -991,6 +991,19 @@ class EvalFunctionsSpec extends SparkSpec {
       s"unrelated docs flagged: $pairs")
   }
 
+  test("ext: minhash splitmix twin flags exact/near duplicates like the production path") {
+    val base = "the quick brown fox jumps over the lazy dog and runs through the green field today " * 3
+    val docs = Seq(
+      (0L, base),
+      (1L, base + "with one extra tail sentence appended here"),
+      (2L, "catalyst optimizer rewrites logical plans into physical execution trees " * 4)
+    ).toDF("doc_id", "text")
+    val pairs = graft.ext.Dedup.minhashCandidatesSplitmix(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), s"near-dup pair not flagged: $pairs")
+    assert(!pairs.exists(p => p._2 == 2L), s"unrelated doc flagged: $pairs")
+  }
+
   test("ext: fingerprint is order-sensitive and stable") {
     val df = Seq((0L, "alpha beta gamma"), (1L, "beta alpha gamma"), (2L, "alpha beta gamma"))
       .toDF("doc_id", "text")
