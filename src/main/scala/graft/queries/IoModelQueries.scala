@@ -160,7 +160,7 @@ object IoModelQueries {
     * a component lands within δg≈1e-12 of τ — measure-zero in practice
     * and strictly safer than the old single-column 1e-7 grid.
     */
-  private object M2b {
+  private[graft] object M2b {
     val w1 = Array(Array(0.1, -0.2, 0.3, 0.05), Array(-0.15, 0.25, -0.1, 0.2))
     val b1 = Array(0.01, -0.02)
     val w2 = Array(Array(0.5, -0.4), Array(0.3, 0.6), Array(-0.2, 0.1), Array(0.25, -0.35))

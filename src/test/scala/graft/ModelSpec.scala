@@ -53,6 +53,46 @@ class ModelSpec extends SparkSpec {
     }
   }
 
+  test("M2: m2b/m5b pin values sit far from their 6dp rounding boundaries (precision contract audit)") {
+    // The m2b/m5b oracle pins round both sides at 6dp; they are safe iff
+    // every TRUE pinned value sits farther from a 0.5e-6 rounding
+    // boundary than the cross-engine summation noise (~1e-12, amplified
+    // to ≲1e-10 for the masked-w1 contract). This audit recomputes the
+    // unrounded pins on real driver testdata and asserts margin > 1e-8 —
+    // two orders above the amplified noise bound — so a future data or
+    // kernel change that drifts a pin near a boundary fails CI instead
+    // of flaking under the driver.
+    import graft.queries.IoModelQueries.M2b
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val model = new DenseAutoencoder(Seq(4, 2, 4))
+    val ev = graft.core.Tables.events(spark, dir)
+    val std = graft.prep.Prep.standardize(ev,
+      graft.core.Tables.eventsIdx(spark, dir), Seq("value"))
+    val wins = graft.window.Windows.slidingWindows(std, "_idx", "value", 4, 4)
+    val (gRaw, meanLoss, cnt) = Trainer.epochGradient(model, M2b.flat, wins, "values")
+    assert(cnt > 0)
+    val gClip = gRaw.clone()
+    Trainer.applyUpdate(M2b.flat.clone(), new Array[Double](gClip.length),
+      new Array[Double](gClip.length), gClip, t = 1, lrT = M2b.lr,
+      l2 = M2b.l2, clipNorm = M2b.clipN, clipValue = M2b.clipV)
+    val nrm = math.sqrt(gClip.map(x => x * x).sum)
+    val sc = if (nrm > M2b.clipN) M2b.clipN / nrm else 1.0
+    def margin(x: Double): Double = {
+      val f = (math.abs(x) * 1e6) % 1.0
+      math.abs(f - 0.5) / 1e6
+    }
+    gClip.indices.foreach { k =>
+      val gcs = gClip(k) * sc
+      assert(margin(gcs) > 1e-8, s"g6 pin $k near boundary: $gcs")
+      if (math.abs(gcs) >= M2b.tau) {
+        val w1 = M2b.flat(k) - M2b.lr * gcs / (math.sqrt(gcs * gcs) + 1e-8)
+        assert(margin(w1) > 1e-8, s"w1 pin $k near boundary: $w1")
+      }
+    }
+    assert(margin(meanLoss) > 1e-8, s"m5b loss pin near boundary: $meanLoss")
+  }
+
   test("M7/M8: reconstruction error separates injected anomaly windows") {
     val train = sineWindows(64, 16)
     val t = Trainer.fit(new DenseAutoencoder(Seq(16, 8, 16)), train, "values",
