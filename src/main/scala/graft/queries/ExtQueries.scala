@@ -137,6 +137,37 @@ object ExtQueries {
     "THEN z - 18446744073709551616 ELSE z END) % 2000 + 2000) % 2000) " +
     "/ 1000.0 - 1.0 AS h FROM s5)"
 
+  /** DuckDB restatement of the banded-hyperplane near-dup pipeline
+    * (`x_cosine_near_dup_lsh` / `_stored` — identical results): the
+    * 16×8-bit signature grid from the regenerated splitmix64 hyperplanes
+    * ([[splitmixHyperplaneCtes]], 128 planes over dim 64), sign-bit
+    * packing per band, the (band, sig) candidate self-join, then exact
+    * cosine verification at minCos. Cross-engine risk is a projection
+    * landing within summation-order ulps of 0.0 (sign flip) — the
+    * documented x_ann_lsh exposure, O(1e-14) per projection since
+    * projections are O(0.1+).
+    */
+  private val CosineNearDupLshOracle: String =
+    splitmixHyperplaneCtes(128) + ", " +
+      "em AS (SELECT vec_id, gi - 1 AS i, CAST(x AS DOUBLE) AS x FROM " +
+      "(SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS gi " +
+      "FROM embeddings)), " +
+      "pv AS (SELECT em.vec_id, hp.p, sum(em.x * hp.h) AS v FROM em " +
+      "JOIN hp ON em.i = hp.i GROUP BY 1, 2), " +
+      "sg AS (SELECT vec_id, p // 8 AS band, " +
+      "CAST(sum(CASE WHEN v >= 0 THEN 1 << (p % 8) ELSE 0 END) AS BIGINT) AS sig " +
+      "FROM pv GROUP BY 1, 2), " +
+      "cp AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2 FROM sg a " +
+      "JOIN sg b ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id), " +
+      "pe AS (SELECT cp.id1, cp.id2, unnest(e1.embedding) AS x1, unnest(e2.embedding) AS x2 " +
+      "FROM cp JOIN embeddings e1 ON e1.vec_id = cp.id1 " +
+      "JOIN embeddings e2 ON e2.vec_id = cp.id2), " +
+      "cs AS (SELECT id1, id2, sum(CAST(x1 AS DOUBLE) * CAST(x2 AS DOUBLE)) AS dt, " +
+      "sum(CAST(x1 AS DOUBLE) * CAST(x1 AS DOUBLE)) AS n1, " +
+      "sum(CAST(x2 AS DOUBLE) * CAST(x2 AS DOUBLE)) AS n2 FROM pe GROUP BY 1, 2) " +
+      "SELECT id1, id2, round(dt / (sqrt(n1) * sqrt(n2)), 6) AS cos FROM cs " +
+      "WHERE dt / (sqrt(n1) * sqrt(n2)) > 0.4 ORDER BY id1, id2"
+
   /** Six-CTE splitmix64 finalizer chain on HUGEINT column `z` of CTE
     * `from`, carrying `keep` columns; emits CTEs `<p>a..<p>f` (result in
     * `<p>f.z`, still the unsigned [0, 2^64) representative). Shared by
@@ -2670,13 +2701,19 @@ object ExtQueries {
     // dedup-side trade — true duplicates at cos ≥ 0.9 are still caught
     // w.p. ≈ 1). dim derives from the corpus's query vector, not a
     // hard-coded constant. Rows-only (hash-derived candidates).
+    // Full oracle since r12: the banded signatures are PACKED SIGN BITS
+    // of splitmix-hyperplane projections (bandedSignatureRows) — nothing
+    // engine-specific — so DuckDB regenerates the 128 planes
+    // (CosineNearDupLshOracle), repacks every band signature, reruns the
+    // candidate join and the exact-cosine verification. The r11 closure
+    // table called this lane xxhash-banded; it never was.
     Q("x_cosine_near_dup_lsh",
       (s, d) => Similarity.cosineNearDupLsh(
           Tables.embeddings(s, d), "vec_id", "embedding", dim = queryVec(s, d).length,
           minCos = 0.4, bitsPerBand = 8)
         .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
         .orderBy("id1", "id2"),
-      None),
+      Some(CosineNearDupLshOracle)),
 
     // The stored-index leg of the same pipeline: the banded signature
     // index is WRITTEN once per (session, sf) as a parquet table bucketed
@@ -2684,8 +2721,9 @@ object ExtQueries {
     // near-dup query verifies from the RELOADED table via `sigRows`, never
     // recomputing a signature (plan asserted in SimilaritySpec). This is
     // the 100 TB lifecycle: pay the signature scan once at index-build
-    // time, amortize over every later near-dup run. Rows-only (same
-    // hash-derived candidates as the inline leg; parity pinned in tests).
+    // time, amortize over every later near-dup run. Same oracle as the
+    // inline leg since r12 — storage round-tripping must not change a
+    // single pair, and now the driver checks that, not just the tests.
     Q("x_cosine_near_dup_lsh_stored",
       (s, d) => {
         val dim = queryVec(s, d).length
@@ -2695,7 +2733,7 @@ object ExtQueries {
           .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
           .orderBy("id1", "id2")
       },
-      None),
+      Some(CosineNearDupLshOracle)),
 
     // Cosine-LSH RECALL AUDIT (r10 verdict item 1): the exact truth set
     // at cos > 0.5, left-joined against the banded-LSH pipeline's pairs,
