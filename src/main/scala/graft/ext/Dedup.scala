@@ -290,22 +290,54 @@ object Dedup {
     * per-lane minima are map-side partial aggregates, the join is
     * (band, lane-minima) equi-keyed.
     */
+  /** Splitmix shingle-key array of a text column — the twin analogue of
+    * [[shingleHashArray]]: per-token `mix(restatableTokenKey)`, then the
+    * order-sensitive right fold `mix(m_p ⊕ mix(m_{p+1} ⊕ …))` per
+    * shingle, let-bound so tokenization runs once per document.
+    */
+  def splitmixShingleKeys(text: Column, n: Int): Column = {
+    import graft.functions.GraftFunctions
+    element_at(
+      transform(array(transform(split(text, " +"),
+          t => GraftFunctions.splitmix64(restatableTokenKey(t)))), th =>
+        when(size(th) >= n,
+            transform(sequence(lit(0), size(th) - n), pos =>
+              (n to 1 by -1).foldLeft(lit(0L): Column)((acc, j) =>
+                GraftFunctions.splitmix64(element_at(th, pos + j).bitwiseXOR(acc)))))
+          .otherwise(array().cast("array<bigint>"))),
+      lit(1))
+  }
+
+  /** Per-ROW splitmix band keys (array of `bands` longs) — the twin
+    * analogue of `bandHashes(minhashSignatureHashed(…))` for the
+    * STREAMING parity row: lane minima via an in-row fold (no shuffle),
+    * band key = the right-fold combiner `mix(h_{b·r} ⊕ mix(h_{b·r+1} ⊕ …))`
+    * so the bucket is one long, like the production op shuffles on.
+    */
+  def splitmixBandKeys(text: Column, shingleLen: Int = 3, bands: Int = 8,
+                       rowsPerBand: Int = 2): Column = {
+    import graft.functions.{GraftFunctions, SplitMix64}
+    val numHashes = bands * rowsPerBand
+    val laneConsts = (0 until numHashes).map(j => SplitMix64.mix(j.toLong))
+    val shs = splitmixShingleKeys(text, shingleLen)
+    val sig = aggregate(shs, array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, sh) => zip_with(acc, typedlit(laneConsts),
+        (a, l) => least(a, GraftFunctions.splitmix64(sh.bitwiseXOR(l)))))
+    element_at(transform(array(sig), sg =>
+      array((0 until bands).map { b =>
+        (rowsPerBand to 1 by -1).foldLeft(lit(0L): Column)((acc, r) =>
+          GraftFunctions.splitmix64(
+            element_at(sg, b * rowsPerBand + r).bitwiseXOR(acc)))
+      }: _*)), lit(1))
+  }
+
   def minhashCandidatesSplitmix(df: DataFrame, idCol: String, textCol: String,
                                 shingleLen: Int = 3, bands: Int = 8,
                                 rowsPerBand: Int = 2): DataFrame = {
     import graft.functions.{GraftFunctions, SplitMix64}
     val numHashes = bands * rowsPerBand
-    // shingle keys, let-bound like shingleHashArray (same O(tokens) shape)
-    val shingleKeys = element_at(
-      transform(array(transform(split(col(textCol), " +"),
-          t => GraftFunctions.splitmix64(restatableTokenKey(t)))), th =>
-        when(size(th) >= shingleLen,
-            transform(sequence(lit(0), size(th) - shingleLen), pos =>
-              (shingleLen to 1 by -1).foldLeft(lit(0L): Column)((acc, j) =>
-                GraftFunctions.splitmix64(element_at(th, pos + j).bitwiseXOR(acc)))))
-          .otherwise(array().cast("array<bigint>"))),
-      lit(1))
-    val exploded = df.select(col(idCol).as("_id"), explode(shingleKeys).as("_s"))
+    val exploded = df.select(col(idCol).as("_id"),
+      explode(splitmixShingleKeys(col(textCol), shingleLen)).as("_s"))
     val sig = exploded.groupBy("_id")
       .agg(min(GraftFunctions.splitmix64(col("_s").bitwiseXOR(lit(SplitMix64.mix(0L)))))
           .as("_h0"),

@@ -202,7 +202,10 @@ object ExtQueries {
     * `rowsPerBand` raw minima → band-equality pair join. Six mix chains
     * total, all via [[mixCtes]].
     */
-  private val MinhashSplitmixOracle: String = {
+  /** Shared base of the minhash-splitmix oracles: everything up to the
+    * per-(doc, band) lane minima CTE `bd(doc_id, band, s0, s1)`.
+    */
+  private val MinhashSplitmixBase: String = {
     val mod = "18446744073709551616"
     "WITH d AS (SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents), " +
       // token rows with position (docs with < 3 tokens have no shingles)
@@ -233,9 +236,34 @@ object ExtQueries {
       // bands of rowsPerBand = 2 raw minima
       "bd AS (SELECT doc_id, j // 2 AS band, " +
       "max(CASE WHEN j % 2 = 0 THEN hmin END) AS s0, " +
-      "max(CASE WHEN j % 2 = 1 THEN hmin END) AS s1 FROM sig GROUP BY doc_id, j // 2) " +
+      "max(CASE WHEN j % 2 = 1 THEN hmin END) AS s1 FROM sig GROUP BY doc_id, j // 2)"
+  }
+
+  private val MinhashSplitmixOracle: String =
+    MinhashSplitmixBase + " " +
       "SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM bd a JOIN bd b " +
       "ON a.band = b.band AND a.s0 = b.s0 AND a.s1 = b.s1 AND a.doc_id < b.doc_id " +
+      "ORDER BY id1, id2"
+
+  /** Oracle for the STREAMING parity row `xs_stream_minhash_pairs`: same
+    * base, but the band key is the single-long combiner the streaming
+    * state op shuffles on — `mix(u(s0) ⊕ mix(u(s1)))` with `u` the
+    * unsigned representative (two more [[mixCtes]] chains). A finite
+    * drained ingest with a beyond-horizon watermark and an uncapped
+    * bucket emits exactly the batch candidate set (pairs may repeat per
+    * band/batch; both sides DISTINCT).
+    */
+  private[queries] val MinhashStreamSplitmixOracle: String = {
+    val mod = "18446744073709551616"
+    MinhashSplitmixBase + ", " +
+      s"k1i AS (SELECT doc_id, band, s0, CAST(CASE WHEN s1 < 0 THEN s1 + $mod ELSE s1 END AS HUGEINT) AS z FROM bd), " +
+      mixCtes("k1", "k1i", "doc_id, band, s0") + ", " +
+      s"k2i AS (SELECT doc_id, band, xor(CAST(CASE WHEN s0 < 0 THEN s0 + $mod ELSE s0 END AS HUGEINT), z) AS z FROM k1f), " +
+      mixCtes("k2", "k2i", "doc_id, band") + ", " +
+      "bk AS (SELECT doc_id, band, CAST(CASE WHEN z >= 9223372036854775808 " +
+      s"THEN z - $mod ELSE z END AS BIGINT) AS bucket FROM k2f) " +
+      "SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM bk a JOIN bk b " +
+      "ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id " +
       "ORDER BY id1, id2"
   }
 

@@ -310,5 +310,26 @@ object StreamParityQueries {
         "(PARTITION BY key ORDER BY rn ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) " +
         "SELECT key, (rn - 5) // 5 AS window_id, round(a, 6) AS w_avg, " +
         "fv AS first_v, lv AS last_v FROM t " +
-        "WHERE rn >= 5 AND (rn - 5) % 5 = 0 ORDER BY key, window_id")))
+        "WHERE rn >= 5 AND (rn - 5) % 5 = 0 ORDER BY key, window_id")),
+
+    // MinHash-LSH candidate pairs at INGEST under the gate — the lane
+    // the r11 verdict called unpinnable ("by design: engine-hash
+    // signatures"). The splitmix band keys (Dedup.splitmixBandKeys, the
+    // same kernel x_minhash_lsh_splitmix checks in batch) make the
+    // stateful bucket op itself driver-checkable: a drained finite
+    // ingest with a beyond-horizon watermark and an uncapped bucket
+    // emits every (earlier, later) pair per touched bucket — whose
+    // DISTINCT is exactly the batch candidate set DuckDB regenerates
+    // (ExtQueries.MinhashStreamSplitmixOracle). Pairs repeat per
+    // band/batch in append mode; both sides DISTINCT. Production stays
+    // xxhash-banded with the capped bucket (StreamingSpec pins its
+    // batch parity).
+    Q("xs_stream_minhash_pairs",
+      (s, d) => drained(s, "xs_minhash_pairs",
+          StreamingOps.minhashCandidatePairs(docStream(s, d), "ts_doc", "doc_id",
+            "text", watermark = "3650 days", maxBucket = 1 << 16,
+            keysFn = Some(t => Dedup.splitmixBandKeys(t))).toDF())
+        .distinct()
+        .orderBy("id1", "id2"),
+      Some(ExtQueries.MinhashStreamSplitmixOracle)))
 }

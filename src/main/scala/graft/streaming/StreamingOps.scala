@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -281,15 +281,21 @@ object StreamingOps {
     */
   def minhashCandidatePairs(stream: DataFrame, tsCol: String, idCol: String, textCol: String,
                             watermark: String, shingleLen: Int = 3, bands: Int = 8,
-                            rowsPerBand: Int = 2, maxBucket: Int = 128): Dataset[CandidatePair] = {
+                            rowsPerBand: Int = 2, maxBucket: Int = 128,
+                            keysFn: Option[Column => Column] = None): Dataset[CandidatePair] = {
     val spark = stream.sparkSession
     import spark.implicits._
     import graft.ext.Dedup
-    val sig = Dedup.minhashSignatureHashed(col(textCol), shingleLen, bands * rowsPerBand)
+    // keysFn swaps the per-row band-key array for the oracle parity row
+    // (splitmix keys DuckDB restates); production stays xxhash64-banded
+    val bandKeys = keysFn.map(_(col(textCol))).getOrElse(
+      Dedup.bandHashes(
+        Dedup.minhashSignatureHashed(col(textCol), shingleLen, bands * rowsPerBand),
+        bands, rowsPerBand))
     val banded = stream.withWatermark(tsCol, watermark)
       .filter(size(split(col(textCol), " +")) >= shingleLen)
       .select(col(idCol).cast("long").as("id"), col(tsCol).as("eventTs"),
-        posexplode(Dedup.bandHashes(sig, bands, rowsPerBand)).as(Seq("band", "bucket")))
+        posexplode(bandKeys).as(Seq("band", "bucket")))
       .as[BandedDoc]
     banded.groupByKey(d => (d.band, d.bucket))
       .flatMapGroupsWithState[BucketState, CandidatePair](
