@@ -271,25 +271,6 @@ object Dedup {
       .distinct()
   }
 
-  /** MinHash-LSH candidate pairs with every hash DuckDB-restatable — the
-    * `x_minhash_lsh_splitmix` oracle twin of [[minhashCandidates]],
-    * preserving its exact structure (shingle key → per-lane min-fold →
-    * banding → band-equality self-join → id1<id2 distinct) with the
-    * xxhash64 seeding swapped for splitmix64 chains:
-    *
-    *  - token m = splitmix64([[restatableTokenKey]])
-    *  - shingle s = the order-sensitive right fold
-    *    `mix(m_p ⊕ mix(m_{p+1} ⊕ … mix(m_{p+n−1} ⊕ 0)))`
-    *  - lane j hash = `mix(s ⊕ mix(j))` (lane constants are themselves
-    *    mixed, so the oracle regenerates them from `generate_series`)
-    *  - a band's key is its `rowsPerBand` raw lane minima joined as a
-    *    struct — band-hash compression is an optimization the twin skips
-    *    so the oracle needs no fourth mix chain.
-    *
-    * Same shuffle shape as production: shingle rows explode once, the
-    * per-lane minima are map-side partial aggregates, the join is
-    * (band, lane-minima) equi-keyed.
-    */
   /** Splitmix shingle-key array of a text column — the twin analogue of
     * [[shingleHashArray]]: per-token `mix(restatableTokenKey)`, then the
     * order-sensitive right fold `mix(m_p ⊕ mix(m_{p+1} ⊕ …))` per
@@ -331,6 +312,25 @@ object Dedup {
       }: _*)), lit(1))
   }
 
+  /** MinHash-LSH candidate pairs with every hash DuckDB-restatable — the
+    * `x_minhash_lsh_splitmix` oracle twin of [[minhashCandidates]],
+    * preserving its exact structure (shingle key → per-lane min-fold →
+    * banding → band-equality self-join → id1<id2 distinct) with the
+    * xxhash64 seeding swapped for splitmix64 chains:
+    *
+    *  - shingle s = [[splitmixShingleKeys]]
+    *  - lane j hash = `mix(s ⊕ mix(j))` (lane constants are themselves
+    *    mixed, so the oracle regenerates them from `generate_series`)
+    *  - a band's key is its `rowsPerBand` raw lane minima joined as a
+    *    struct — band-hash compression is an optimization this twin
+    *    skips so the oracle needs no extra mix chain (the STREAMING
+    *    parity twin needs a single-long bucket and uses
+    *    [[splitmixBandKeys]]' combiner instead).
+    *
+    * Same shuffle shape as production: shingle rows explode once, the
+    * per-lane minima are map-side partial aggregates, the join is
+    * (band, lane-minima) equi-keyed.
+    */
   def minhashCandidatesSplitmix(df: DataFrame, idCol: String, textCol: String,
                                 shingleLen: Int = 3, bands: Int = 8,
                                 rowsPerBand: Int = 2): DataFrame = {

@@ -280,12 +280,7 @@ object ExtQueries {
     * Java `Long.bitCount` semantics).
     */
   private val SimhashSplitmixOracle: String = {
-    def c(i: Int) = s"CASE WHEN length(t) >= $i THEN ord(substr(t, $i, 1)) ELSE 0 END"
-    val key = s"${c(1)} + 256 * ${c(2)} + 65536 * ${c(3)} + " +
-      s"16777216 * ${c(4)} + 4294967296 * length(t)"
     val mod = "18446744073709551616"
-    def mulStep(m: String) =
-      s"((z % 4294967296) * $m + ((z // 4294967296) * $m % 4294967296) * 4294967296) % $mod"
     def pow2(i: Int) = java.math.BigInteger.valueOf(2).pow(i).toString
     val votes = (0 until 64).map(i =>
       s"sum(CASE WHEN (z // ${pow2(i)}) % 2 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(", ")
@@ -295,14 +290,9 @@ object ExtQueries {
     val bandVal = "(sigu // (CASE band WHEN 0 THEN 1 WHEN 1 THEN 65536 " +
       "WHEN 2 THEN 4294967296 ELSE 281474976710656 END)) % 65536"
     "WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, ' +')) AS t FROM documents), " +
-      s"tk AS (SELECT doc_id, CAST($key AS HUGEINT) AS k FROM tok), " +
-      s"s0 AS (SELECT doc_id, (k + 11400714819323198485) % $mod AS z FROM tk), " +
-      "s1 AS (SELECT doc_id, xor(z, z // 1073741824) AS z FROM s0), " +
-      s"s2 AS (SELECT doc_id, ${mulStep("13787848793156543929")} AS z FROM s1), " +
-      "s3 AS (SELECT doc_id, xor(z, z // 134217728) AS z FROM s2), " +
-      s"s4 AS (SELECT doc_id, ${mulStep("10723151780598845931")} AS z FROM s3), " +
-      "s5 AS (SELECT doc_id, xor(z, z // 2147483648) AS z FROM s4), " +
-      s"v AS (SELECT doc_id, $votes FROM s5 GROUP BY doc_id), " +
+      s"tk AS (SELECT doc_id, CAST(${tokenKeySql("t")} AS HUGEINT) AS z FROM tok), " +
+      mixCtes("sm", "tk", "doc_id") + ", " +
+      s"v AS (SELECT doc_id, $votes FROM smf GROUP BY doc_id), " +
       s"sg AS (SELECT doc_id, $sigSum AS sigu FROM v), " +
       "ss AS (SELECT doc_id, sigu, CAST(CASE WHEN sigu >= 9223372036854775808 " +
       s"THEN sigu - $mod ELSE sigu END AS BIGINT) AS ssig FROM sg), " +

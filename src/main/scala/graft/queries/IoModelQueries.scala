@@ -169,6 +169,22 @@ object IoModelQueries {
     val lr = 0.01; val l2 = 1e-7; val clipN = 1.0; val clipV = 0.5
     val tau = 1e-5 // |g_clip·scale| ≥ τ ⇒ the w1 pin is well-conditioned
 
+    /** The clipped·scaled mean gradient at the literal init — the g6/mask
+      * quantity, derived through the production kernels (applyUpdate's
+      * L2+clip, then the index-order norm/scale applyUpdate itself uses).
+      * Shared by the m2b query and ModelSpec's boundary-margin audit so
+      * the pinned quantity and the audited quantity can never diverge.
+      */
+    def clippedScaledGradient(gRaw: Array[Double]): Array[Double] = {
+      val g = gRaw.clone()
+      Trainer.applyUpdate(flat.clone(), new Array[Double](g.length),
+        new Array[Double](g.length), g, t = 1, lrT = lr, l2 = l2,
+        clipNorm = clipN, clipValue = clipV)
+      val nrm = math.sqrt(g.map(x => x * x).sum)
+      val sc = if (nrm > clipN) clipN / nrm else 1.0
+      g.map(_ * sc)
+    }
+
     private def lit(v: Double) = if (v < 0) s"($v)" else v.toString
     private def th(a: String) =
       s"CASE WHEN $a > 20 THEN 1.0 WHEN $a < -20 THEN -1.0 " +
@@ -646,15 +662,10 @@ object IoModelQueries {
         // kernels (epoch treeAggregate + applyUpdate's clip/norm in flat
         // index order) so the g6/mask arithmetic matches fit()'s floats.
         val (gRaw, _, _) = Trainer.epochGradient(model, M2b.flat, wins, "values")
-        val gClip = gRaw.clone()
-        Trainer.applyUpdate(M2b.flat.clone(), new Array[Double](gClip.length),
-          new Array[Double](gClip.length), gClip, t = 1, lrT = M2b.lr,
-          l2 = M2b.l2, clipNorm = M2b.clipN, clipValue = M2b.clipV)
-        val nrm = math.sqrt(gClip.map(x => x * x).sum)
-        val sc = if (nrm > M2b.clipN) M2b.clipN / nrm else 1.0
+        val gcsArr = M2b.clippedScaledGradient(gRaw)
         import s.implicits._
         trained.weights.toSeq.zipWithIndex.map { case (v, k) =>
-          val gcs = gClip(k) * sc
+          val gcs = gcsArr(k)
           (k.toLong, gcs, if (math.abs(gcs) >= M2b.tau) v else M2b.flat(k))
         }.toDF("i", "_g", "_w")
           .select(col("i"), round(col("_g"), 6).as("g6"),

@@ -22,11 +22,16 @@ import graft.streaming.StreamingOps.{BandedDoc, CandidatePair}
   *                   flatMapGroups-shaped sink via a no-state
   *                   flatMapGroupsWithState (state never updated): adds
   *                   the keyed-exchange + per-group iteration cost.
-  *  - `baseline`   — the production [[StreamingOps.minhashCandidatePairs]]
-  *                   (which since r12 already skips the state value write
-  *                   for unchanged buckets — the probe's own finding).
-  *  - `condupd`    — the conditional-update form kept verbatim as the
-  *                   A/B control for the adopted change.
+  *  - `baseline`   — the production [[StreamingOps.minhashCandidatePairs]].
+  *  - `noarm`      — an EXPERIMENTAL variant that, when a touched
+  *                   bucket's membership is unchanged, skips BOTH the
+  *                   value update and the timeout re-arm. Only this
+  *                   elides the state write: a conditional update alone
+  *                   is a no-op because re-arming the timeout dirties
+  *                   the state row anyway (the r12 review finding that
+  *                   reverted it from production). The price is changed
+  *                   semantics — expiry anchored at last MEMBERSHIP
+  *                   change, not last touch — so this stays probe-only.
   *  - `rocksdb`    — baseline under the RocksDB provider.
   *
   * r12 warm medians (3 reps, local[8]): floor 1.0 s → banded 2.1 s →
@@ -37,8 +42,8 @@ import graft.streaming.StreamingOps.{BandedDoc, CandidatePair}
   */
 object MinhashProbe {
 
-  private def minhashCondUpdate(stream: DataFrame, tsCol: String, idCol: String,
-                                textCol: String, watermark: String): DataFrame = {
+  private def minhashNoRearm(stream: DataFrame, tsCol: String, idCol: String,
+                             textCol: String, watermark: String): DataFrame = {
     val spark = stream.sparkSession
     import spark.implicits._
     import graft.ext.Dedup
@@ -66,9 +71,14 @@ object MinhashProbe {
                 if (known.length < 128) known = known :+ r.id
               }
             }
-            if (known.length != n0) state.update(BucketState(known))
-            state.setTimeoutTimestamp(
-              math.max(maxTs, state.getCurrentWatermarkMs() + 1), watermark)
+            // the ONLY way to elide the write: leave both value AND
+            // timeout untouched when membership is unchanged (expiry
+            // then anchors at the last membership change)
+            if (known.length != n0 || !state.exists) {
+              state.update(BucketState(known))
+              state.setTimeoutTimestamp(
+                math.max(maxTs, state.getCurrentWatermarkMs() + 1), watermark)
+            }
             out.result().iterator
           }
       }.toDF()
@@ -115,8 +125,8 @@ object MinhashProbe {
       "baseline" -> (() => run(df =>
         StreamingOps.minhashCandidatePairs(df, "ts", "doc_id", "text",
           watermark = "2 minutes").toDF())),
-      "condupd" -> (() => run(df =>
-        minhashCondUpdate(df, "ts", "doc_id", "text", "2 minutes"))),
+      "noarm" -> (() => run(df =>
+        minhashNoRearm(df, "ts", "doc_id", "text", "2 minutes"))),
       "rocksdb" -> (() => StreamBench.rocksDb(spark) {
         run(df => StreamingOps.minhashCandidatePairs(df, "ts", "doc_id", "text",
           watermark = "2 minutes").toDF())

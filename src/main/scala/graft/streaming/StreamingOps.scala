@@ -282,13 +282,15 @@ object StreamingOps {
   def minhashCandidatePairs(stream: DataFrame, tsCol: String, idCol: String, textCol: String,
                             watermark: String, shingleLen: Int = 3, bands: Int = 8,
                             rowsPerBand: Int = 2, maxBucket: Int = 128,
-                            keysFn: Option[Column => Column] = None): Dataset[CandidatePair] = {
+                            keysFn: Option[(Column, Int) => Column] = None): Dataset[CandidatePair] = {
     val spark = stream.sparkSession
     import spark.implicits._
     import graft.ext.Dedup
     // keysFn swaps the per-row band-key array for the oracle parity row
-    // (splitmix keys DuckDB restates); production stays xxhash64-banded
-    val bandKeys = keysFn.map(_(col(textCol))).getOrElse(
+    // (splitmix keys DuckDB restates); production stays xxhash64-banded.
+    // It receives shingleLen so the short-doc filter below and the key
+    // computation can never use different shingle lengths.
+    val bandKeys = keysFn.map(_(col(textCol), shingleLen)).getOrElse(
       Dedup.bandHashes(
         Dedup.minhashSignatureHashed(col(textCol), shingleLen, bands * rowsPerBand),
         bands, rowsPerBand))
@@ -304,7 +306,6 @@ object StreamingOps {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             var known = state.getOption.map(_.ids).getOrElse(Array.empty[Long])
-            val n0 = known.length
             val out = Seq.newBuilder[CandidatePair]
             var maxTs = Long.MinValue
             rows.toSeq.sortBy(_.id).foreach { r =>
@@ -315,10 +316,14 @@ object StreamingOps {
                 if (known.length < maxBucket) known = known :+ r.id
               }
             }
-            // value write only when membership changed (MinhashProbe: ~5%
-            // of the lane); the timeout below is still re-armed every
-            // touch, so expiry semantics are unchanged
-            if (known.length != n0) state.update(BucketState(known))
+            // NOTE a conditional `update` (skip when membership is
+            // unchanged) elides nothing here: the timeout re-arm below
+            // dirties the state row every touch, so Spark rewrites it
+            // regardless (MinhashProbe's A/B measured exactly noise).
+            // The write-per-touched-bucket floor is structural unless
+            // expiry is anchored at last-membership-change instead —
+            // probe variant `noarm` prices that trade.
+            state.update(BucketState(known))
             // expire the bucket `watermark` past its newest event (never
             // behind the current watermark — Spark rejects that)
             state.setTimeoutTimestamp(

@@ -72,18 +72,15 @@ class ModelSpec extends SparkSpec {
     val wins = graft.window.Windows.slidingWindows(std, "_idx", "value", 4, 4)
     val (gRaw, meanLoss, cnt) = Trainer.epochGradient(model, M2b.flat, wins, "values")
     assert(cnt > 0)
-    val gClip = gRaw.clone()
-    Trainer.applyUpdate(M2b.flat.clone(), new Array[Double](gClip.length),
-      new Array[Double](gClip.length), gClip, t = 1, lrT = M2b.lr,
-      l2 = M2b.l2, clipNorm = M2b.clipN, clipValue = M2b.clipV)
-    val nrm = math.sqrt(gClip.map(x => x * x).sum)
-    val sc = if (nrm > M2b.clipN) M2b.clipN / nrm else 1.0
+    // the SAME derivation the m2b query pins (shared helper — the audit
+    // and the pinned quantity cannot diverge)
+    val gcsArr = M2b.clippedScaledGradient(gRaw)
     def margin(x: Double): Double = {
       val f = (math.abs(x) * 1e6) % 1.0
       math.abs(f - 0.5) / 1e6
     }
-    gClip.indices.foreach { k =>
-      val gcs = gClip(k) * sc
+    gcsArr.indices.foreach { k =>
+      val gcs = gcsArr(k)
       assert(margin(gcs) > 1e-8, s"g6 pin $k near boundary: $gcs")
       if (math.abs(gcs) >= M2b.tau) {
         val w1 = M2b.flat(k) - M2b.lr * gcs / (math.sqrt(gcs * gcs) + 1e-8)
@@ -91,6 +88,16 @@ class ModelSpec extends SparkSpec {
       }
     }
     assert(margin(meanLoss) > 1e-8, s"m5b loss pin near boundary: $meanLoss")
+    // m9b's three fixed-candidate val_mse pins share the 6dp grid and
+    // the same exposure — audit their boundaries too
+    val m9bVals = Seq(1.0, 0.5, 0.0).map { scale =>
+      val t = graft.model.TrainedAutoencoder(model, M2b.flat.map(_ * scale), Nil)
+      graft.model.Tuning.valScore(t, wins.select("window_id", "values"), "values")
+    }
+    assert(m9bVals.distinct.size == 3 &&
+      m9bVals.sorted.sliding(2).forall { case Seq(a, b) => b - a > 1e-4 },
+      s"m9b candidates too close to rank safely: $m9bVals")
+    m9bVals.foreach(v => assert(margin(v) > 1e-8, s"m9b val_mse pin near boundary: $v"))
   }
 
   test("M7/M8: reconstruction error separates injected anomaly windows") {
