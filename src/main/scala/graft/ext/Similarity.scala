@@ -362,6 +362,36 @@ object Similarity {
     semanticDedup(df, idCol, vecCol, dIn,
       autoPlanes(df.count(), targetBucket, minPlanes), minCos)
 
+  /** Collapse bit-identical embedding rows to one representative each —
+    * the pre-pass that keeps [[knnJoinAuto]]/[[semanticDedupAuto]]'s
+    * occupancy rule honest on DUPLICATE-HEAVY corpora (the r12 ×100
+    * stress study: exact-twin vector clusters co-bucket under ANY plane
+    * count, so within-bucket pair work grows with the square of the
+    * duplicate multiplicity — a ×138 wall-clock blow-up at ×10 data on
+    * a corpus whose replicas collided to exact twins). Identical vectors
+    * are cosine-1 neighbors by definition: collapse them, run the ANN
+    * op on representatives, and fan results back out through the
+    * membership frame.
+    *
+    * Returns (representatives, membership): `representatives` is one
+    * row per distinct vector value (the MIN id wins — deterministic);
+    * `membership` maps every original id to its representative id and
+    * the cluster size. Grouping keys on the raw vector value (array
+    * equality), not a hash — no collision risk. One shuffle each.
+    */
+  def collapseExactVectors(df: DataFrame, idCol: String, vecCol: String)
+      : (DataFrame, DataFrame) = {
+    val reps = df.filter(col(vecCol).isNotNull)
+      .groupBy(col(vecCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+      .select(col(idCol), col(vecCol), col("dup_count"))
+    val membership = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol))
+      .join(reps.select(col(idCol).as("rep_id"), col(vecCol), col("dup_count")), Seq(vecCol))
+      .select(col(idCol), col("rep_id"), col("dup_count"))
+    (reps, membership)
+  }
+
   /** Blend a lexical score frame (id, raw score — e.g. BM25) with a
     * semantic cosine frame (id, cos ∈ [−1, 1]) into one hybrid
     * relevance: the lexical side min-max normalizes to [0, 1] (a
@@ -493,7 +523,7 @@ object Similarity {
     * [[knnJoin]]: project with the [[jlMatrix]] ±1 bank, take the sign
     * bit per plane, pack to one long. Output: (idCol, _v, bucket).
     */
-  private def signBuckets(df: DataFrame, idCol: String, vecCol: String,
+  private[graft] def signBuckets(df: DataFrame, idCol: String, vecCol: String,
                           dIn: Int, planes: Int): DataFrame = {
     require(planes > 0 && planes < 63, s"need 0 < planes < 63, got $planes")
     val projected = df.select(col(idCol), col(vecCol).cast("array<double>").as("_v"),

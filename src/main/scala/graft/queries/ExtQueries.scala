@@ -1827,6 +1827,26 @@ object ExtQueries {
         .orderBy("id1", "id2"),
       Some(MinhashSplitmixOracle)),
 
+    // Exact-duplicate vector collapse (the r12 ×100 stress finding: the
+    // ANN occupancy rule needs dup-mass collapsed first — identical
+    // vectors co-bucket under any plane count). Grouping is on the raw
+    // vector VALUE on both sides (no hash), so the row is fully
+    // oracle-checkable; summary shape keeps it non-vacuous on the
+    // duplicate-free driver corpora (n_reps == n_rows there) and
+    // load-bearing on replicated ones.
+    Q("x_collapse_exact_vectors",
+      (s, d) => {
+        val (reps, _) = Similarity.collapseExactVectors(
+          Tables.embeddings(s, d), "vec_id", "embedding")
+        reps.agg(count(lit(1)).as("n_reps"),
+          max(col("dup_count")).as("max_dup"),
+          sum(col("dup_count")).as("n_rows"))
+      },
+      Some("SELECT CAST(count(*) AS BIGINT) AS n_reps, " +
+        "CAST(max(c) AS BIGINT) AS max_dup, CAST(sum(c) AS BIGINT) AS n_rows " +
+        "FROM (SELECT count(*) AS c FROM embeddings " +
+        "WHERE embedding IS NOT NULL GROUP BY embedding)")),
+
     // SimHash near-dup candidates — rows-only check.
     Q("x_simhash",
       (s, d) => Dedup.simhashCandidates(Tables.documents(s, d), "doc_id", "text")

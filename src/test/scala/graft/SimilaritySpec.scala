@@ -179,6 +179,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("collapseExactVectors: min-id representatives, full membership, twins found via rep fan-out") {
+    val df = Seq(
+      (5L, Seq(1.0f, 0.0f, 0.0f)), (2L, Seq(1.0f, 0.0f, 0.0f)), (9L, Seq(1.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f)), (7L, Seq(0.0f, 1.0f, 0.0f)),
+      (4L, Seq(0.0f, 0.0f, 1.0f)),
+      (8L, null.asInstanceOf[Seq[Float]])
+    ).toDF("vec_id", "embedding")
+    val (reps, membership) = graft.ext.Similarity.collapseExactVectors(df, "vec_id", "embedding")
+    val repRows = reps.select("vec_id", "dup_count").as[(Long, Long)].collect().toMap
+    assert(repRows == Map(2L -> 3L, 3L -> 2L, 4L -> 1L)) // min id wins, null dropped
+    val mem = membership.select("vec_id", "rep_id").as[(Long, Long)].collect().toMap
+    assert(mem == Map(5L -> 2L, 2L -> 2L, 9L -> 2L, 3L -> 3L, 7L -> 3L, 4L -> 4L))
+    // dup-mass ANN recipe: run on representatives, fan out through membership —
+    // every member of a duplicate cluster reaches every other via its rep
+    val twins = membership.as("a")
+      .join(membership.as("b"), $"a.rep_id" === $"b.rep_id" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id", $"b.vec_id").as[(Long, Long)].collect().toSet
+    assert(twins == Set((2L, 5L), (2L, 9L), (5L, 9L), (3L, 7L)))
+  }
+
   test("banded signatures are deterministic and band-independent") {
     val sigsA = fixture.select(col("vec_id"),
         Similarity.bandedSignatures(col("embedding"), dim, bands = 4, bitsPerBand = 5).as("s"))
