@@ -6,7 +6,8 @@ object BucketProbe {
     val spark = graft.core.GraftSession.configure(SparkSession.builder()
       .master("local[16]").config("spark.sql.shuffle.partitions", "16")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    args.foreach { d =>
+    val timeKnn = args.contains("-knn")
+    args.filterNot(_ == "-knn").foreach { d =>
       val emb = graft.core.Tables.embeddings(spark, d)
       val n = emb.count()
       val planes = graft.ext.Similarity.autoPlanes(n, 64L, 6)
@@ -19,6 +20,12 @@ object BucketProbe {
       println(s"[probe] $d n=$n planes=$planes buckets=${stats.getLong(0)} " +
         s"maxOcc=${stats.getLong(1)} avgOcc=${f"${stats.getDouble(2)}%.1f"} " +
         s"pairWork=${stats.getDouble(3).toLong} top10=$top")
+      if (timeKnn) {
+        val t0 = System.nanoTime()
+        val rows = graft.ext.Similarity.knnJoinAdaptive(emb, "vec_id", "embedding", 64, k = 3)
+          .count()
+        println(f"[probe] $d knnJoinAdaptive rows=$rows ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      }
     }
     spark.stop()
   }

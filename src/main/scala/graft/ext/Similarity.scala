@@ -464,7 +464,16 @@ object Similarity {
   private def knnJoinImpl(df: DataFrame, idCol: String, vecCol: String,
                           dIn: Int, planes: Int, k: Int): DataFrame = {
     require(k > 0, s"need k > 0, got $k")
-    val bucketed = signBuckets(df, idCol, vecCol, dIn, planes)
+    pairTopK(signBuckets(df, idCol, vecCol, dIn, planes), idCol, k)
+  }
+
+  /** The pairing half of the kNN join over an already-bucketed frame
+    * (idCol, bucket, _v): within-bucket candidates → exact cosine →
+    * per-query top-k (ties broken by neighbor_id). Shared by
+    * [[knnJoinImpl]] and [[knnJoinAdaptive]], byte-identical plan to the
+    * pre-r12 inline form.
+    */
+  private def pairTopK(bucketed: DataFrame, idCol: String, k: Int): DataFrame = {
     val a = bucketed.select(col(idCol).as("_qid"), col("bucket"), col("_v").as("_v1"))
     val b = bucketed.select(col(idCol).as("neighbor_id"), col("bucket"), col("_v").as("_v2"))
     val w = org.apache.spark.sql.expressions.Window
@@ -475,6 +484,61 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("_qid").as(idCol), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
+  /** [[knnJoinAuto]] with ADAPTIVE bucket sub-splitting — the r12 ×100
+    * finding's remedy (DESIGN.md "×100 probe"): the auto plane rule
+    * holds the AVERAGE occupancy at `targetBucket`, but clustered
+    * embeddings concentrate in few sign-cells (measured max 6 878 vs
+    * target 64 at 200 k vectors), and within-bucket pair work is
+    * quadratic in the HOT cell, not the average. Here buckets whose
+    * occupancy exceeds `splitFactor·targetBucket` get `delta` extra
+    * sign planes appended — the smallest delta with
+    * `maxOcc / 2^delta ≤ splitFactor·targetBucket` — from the SAME
+    * deterministic JL family (row i of [[jlMatrix]] is independent of
+    * the matrix height, so level-2 signs extend level-1 exactly).
+    * Distinct vectors split under extra planes; bit-identical twins
+    * never do — collapse those first with [[collapseExactVectors]].
+    *
+    * When no bucket exceeds the cap the result is IDENTICAL to
+    * [[knnJoinAuto]] (same buckets, same pairing, same tie-break) — so
+    * any oracle derived for the auto form holds verbatim below the
+    * threshold. Above it, candidates inside split cells are restricted
+    * to sub-bucket mates: the standard extra-planes recall trade,
+    * bought only where the data is hot, priced by the delta formula —
+    * a pure function of (n, bucket counts) an external engine can
+    * re-derive.
+    */
+  def knnJoinAdaptive(df: DataFrame, idCol: String, vecCol: String, dIn: Int,
+                      k: Int, targetBucket: Long = 64L, minPlanes: Int = 6,
+                      splitFactor: Long = 4L): DataFrame = {
+    require(k > 0 && splitFactor >= 1, s"need k > 0 and splitFactor >= 1")
+    val planes0 = autoPlanes(df.count(), targetBucket, minPlanes)
+    val bucketed = signBuckets(df, idCol, vecCol, dIn, planes0)
+    val counts = bucketed.groupBy("bucket").agg(count(lit(1)).as("_occ"))
+    val cap = splitFactor * targetBucket
+    val maxOcc = counts.agg(max(col("_occ"))).head().getLong(0)
+    if (maxOcc <= cap) pairTopK(bucketed, idCol, k)
+    else {
+      var delta = 1
+      while (delta < 20 && (maxOcc >> delta) > cap) delta += 1
+      require(planes0 + delta < 62, s"plane budget exceeded: $planes0 + $delta")
+      val hot = counts.filter(col("_occ") > cap).select(col("bucket"), lit(true).as("_hot"))
+      // level-2 signs: rows planes0 .. planes0+delta-1 of the SAME JL
+      // family (sign of row i is height-independent)
+      val subProj = graft.functions.GraftFunctions.matvec_product(
+        col("_v"), jlMatrix(dIn, planes0 + delta))
+      val sub = (planes0 until planes0 + delta).map(i =>
+          when(element_at(subProj, i + 1) >= 0, lit(1L << (i - planes0))).otherwise(lit(0L)))
+        .reduce((x, y) => x.bitwiseOR(y))
+      val resplit = bucketed
+        .join(broadcast(hot), Seq("bucket"), "left")
+        .withColumn("bucket",
+          shiftleft(col("bucket"), delta)
+            .bitwiseOR(when(coalesce(col("_hot"), lit(false)), sub).otherwise(lit(0L))))
+        .drop("_hot")
+      pairTopK(resplit, idCol, k)
+    }
   }
 
   /** [[knnJoin]] with the plane count scaled to the DATA, which is the

@@ -199,6 +199,34 @@ class SimilaritySpec extends SparkSpec {
     assert(twins == Set((2L, 5L), (2L, 9L), (5L, 9L), (3L, 7L)))
   }
 
+  test("knnJoinAdaptive: identical to knnJoinAuto below the split cap; splits the hot cell above it") {
+    val rnd = new scala.util.Random(7)
+    def vec(seed: Int) = Seq.tabulate(16)(i => (new scala.util.Random(seed * 31 + i).nextDouble() - 0.5).toFloat)
+    // 40 well-spread vectors: no bucket near the cap → results must be EQUAL
+    val spread = (0 until 40).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val auto = graft.ext.Similarity.knnJoinAuto(spread, "vec_id", "embedding", 16, k = 3)
+      .collect().map(_.toSeq).toSet
+    val adapt = graft.ext.Similarity.knnJoinAdaptive(spread, "vec_id", "embedding", 16, k = 3)
+      .collect().map(_.toSeq).toSet
+    assert(adapt == auto, "degenerate case must reproduce knnJoinAuto exactly")
+    // skewed corpus: 600 vectors tightly clustered around one direction
+    // (tiny per-row noise — one sign-cell swallows the cluster) + 100 spread
+    val base = Array.tabulate(16)(i => math.sin(i + 1.0))
+    val skewed = ((0 until 600).map { i =>
+      (i.toLong, base.zipWithIndex.map { case (v, j) =>
+        (v + 0.01 * new scala.util.Random(i * 97 + j).nextGaussian()).toFloat }.toSeq)
+    } ++ (600 until 700).map(i => (i.toLong, vec(i)))).toDF("vec_id", "embedding")
+    val res = graft.ext.Similarity.knnJoinAdaptive(skewed, "vec_id", "embedding", 16,
+      k = 2, targetBucket = 8L, minPlanes = 4, splitFactor = 2L)
+    val perQuery = res.groupBy("vec_id").count().select("count").as[Long].collect()
+    assert(perQuery.forall(_ <= 2))
+    // clustered rows must still find a same-cluster neighbor at cos ≈ 1
+    val top = res.filter($"vec_id" < 600 && $"rank" === 1)
+      .select("cos").as[Double].collect()
+    assert(top.nonEmpty && top.forall(_ > 0.99),
+      s"cluster members lost their near-twins: min=${top.minOption}")
+  }
+
   test("banded signatures are deterministic and band-independent") {
     val sigsA = fixture.select(col("vec_id"),
         Similarity.bandedSignatures(col("embedding"), dim, bands = 4, bitsPerBand = 5).as("s"))
