@@ -218,11 +218,16 @@ object IoModelQueries {
         (0 until n).map(k => s"gc$k*gc$k").mkString(" + ") + ") AS nrm FROM lc), "
       val ss = s"ss AS (SELECT *, CASE WHEN nrm > ${lit(clipN)} " +
         s"THEN ${lit(clipN)}/nrm ELSE 1.0 END AS sc FROM nn) "
+      // `+ 0` normalizes IEEE signed zero: DuckDB's round() preserves the
+      // sign bit (−1e-9 → −0.0) while Spark's Round (BigDecimal) cannot
+      // emit −0.0, so a value that rounds to zero would be ==-equal but
+      // binary-distinct under the driver's hash gate (the r11/r12 m2b
+      // failure). IEEE: −0.0 + 0.0 = +0.0; nonzero values are unchanged.
       val branches = (0 until n).map { k =>
-        s"SELECT CAST($k AS BIGINT) AS i, round(gc$k*sc, 6) AS g6, " +
-          s"CASE WHEN abs(gc$k*sc) >= ${lit(tau)} THEN round(${lit(flat(k))} - " +
+        s"SELECT CAST($k AS BIGINT) AS i, round(gc$k*sc, 6) + 0 AS g6, " +
+          s"(CASE WHEN abs(gc$k*sc) >= ${lit(tau)} THEN round(${lit(flat(k))} - " +
           s"${lit(lr)}*(gc$k*sc)/(sqrt((gc$k*sc)*(gc$k*sc))+1e-8), 6) " +
-          s"ELSE round(${lit(flat(k))}, 6) END AS w1 FROM ss"
+          s"ELSE round(${lit(flat(k))}, 6) END) + 0 AS w1 FROM ss"
       }.mkString(" UNION ALL ")
       "WITH sv AS (SELECT event_id, (value - (SELECT avg(value) FROM events)) / " +
         "(SELECT stddev_samp(value) FROM events) AS v FROM events), " +

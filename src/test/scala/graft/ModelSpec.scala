@@ -79,12 +79,32 @@ class ModelSpec extends SparkSpec {
       val f = (math.abs(x) * 1e6) % 1.0
       math.abs(f - 0.5) / 1e6
     }
+    // 6dp-rounded pin values as DuckDB emits them — for the signed-zero
+    // audit below (the r11/r12 driver failure: a pin that rounds to zero
+    // from a negative value makes DuckDB emit −0.0 while Spark's
+    // BigDecimal Round emits +0.0; ==-equal, hash-distinct). The oracle
+    // now normalizes with `+ 0`, and this audit asserts the exposure is
+    // confined to that handled class: flag any pin whose UNNORMALIZED
+    // rounding would be a negative zero so the contract stays visible.
+    def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
     gcsArr.indices.foreach { k =>
       val gcs = gcsArr(k)
       assert(margin(gcs) > 1e-8, s"g6 pin $k near boundary: $gcs")
+      // τ-mask conditioning: the mask branch itself must not sit within
+      // summation noise of τ, or the two engines could take different
+      // branches (the flake class the mask was built to avoid)
+      assert(math.abs(math.abs(gcs) - M2b.tau) > 1e-8,
+        s"g pin $k within noise of tau mask: $gcs")
       if (math.abs(gcs) >= M2b.tau) {
         val w1 = M2b.flat(k) - M2b.lr * gcs / (math.sqrt(gcs * gcs) + 1e-8)
         assert(margin(w1) > 1e-8, s"w1 pin $k near boundary: $w1")
+        // visibility: negative-zero pins exist (i=19 at driver sf0.01 is
+        // one) and are handled by the oracle's `+ 0` — record, don't fail
+        if (round6(w1) == 0.0 && w1 < 0)
+          info(s"w1 pin $k rounds to negative zero (normalized by oracle '+ 0'): $w1")
+      } else {
+        assert(round6(M2b.flat(k)) != 0.0 || M2b.flat(k) >= 0,
+          s"masked w1 pin $k is a negative zero literal: ${M2b.flat(k)}")
       }
     }
     assert(margin(meanLoss) > 1e-8, s"m5b loss pin near boundary: $meanLoss")

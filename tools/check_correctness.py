@@ -66,6 +66,14 @@ def compare(name, odf, sdf):
             if ov.dtype.kind == "f" or sv.dtype.kind == "f":
                 ovf = ov.astype(float); svf = sv.astype(float)
                 both_nan = np.isnan(ovf) & np.isnan(svf)
+                # the driver hashes raw bytes, so -0.0 vs +0.0 (==-equal)
+                # is a driver FAIL — flag sign-of-zero mismatches too
+                zsign = (ovf == 0.0) & (svf == 0.0) & \
+                    (np.signbit(ovf) != np.signbit(svf))
+                if zsign.any():
+                    i = int(np.argmax(zsign))
+                    return (f"SIGNED_ZERO col={c} row={i} oracle={ovf[i]!r} "
+                            f"spark={svf[i]!r} (n_diff={int(zsign.sum())})")
                 exact = (ovf == svf) | both_nan
                 if not exact.all():
                     close = np.isclose(ovf, svf, rtol=1e-9, atol=1e-12, equal_nan=True)
