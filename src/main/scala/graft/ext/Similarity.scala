@@ -336,8 +336,16 @@ object Similarity {
     * Output: (id1, id2, bucket: long, cos: double), id1 < id2.
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String, dIn: Int,
-                    planes: Int, minCos: Double): DataFrame = {
-    val bucketed = signBuckets(df, idCol, vecCol, dIn, planes)
+                    planes: Int, minCos: Double): DataFrame =
+    pairCos(signBuckets(df, idCol, vecCol, dIn, planes), idCol, minCos)
+
+  /** The pairing half of semantic dedup over an already-bucketed frame
+    * (idCol, bucket, _v): within-bucket candidates via the bucket
+    * equi-join → exact cosine ≥ `minCos`. Shared by [[semanticDedup]]
+    * and [[semanticDedupAdaptive]], byte-identical plan to the pre-r13
+    * inline form.
+    */
+  private def pairCos(bucketed: DataFrame, idCol: String, minCos: Double): DataFrame = {
     val a = bucketed.select(col(idCol).as("id1"), col("bucket"), col("_v").as("_v1"))
     val b = bucketed.select(col(idCol).as("id2"), col("bucket"), col("_v").as("_v2"))
     a.join(b, "bucket")
@@ -361,6 +369,30 @@ object Similarity {
                         minPlanes: Int = 6): DataFrame =
     semanticDedup(df, idCol, vecCol, dIn,
       autoPlanes(df.count(), targetBucket, minPlanes), minCos)
+
+  /** [[semanticDedupAuto]] with ADAPTIVE hot-cell sub-splitting — the
+    * same remedy [[knnJoinAdaptive]] applies to the kNN join, for the
+    * same r12 ×100 finding: the auto plane rule holds AVERAGE bucket
+    * occupancy at `targetBucket`, but clustered embeddings pile into few
+    * sign-cells and the within-bucket pair stage is quadratic in the HOT
+    * cell (measured ~200 s at sf10 stress for the auto form). Buckets
+    * over `splitFactor·targetBucket` rows get `delta` extra sign planes
+    * from the same deterministic JL family (see [[adaptiveBuckets]]).
+    *
+    * When no bucket exceeds the cap the result is IDENTICAL to
+    * [[semanticDedupAuto]]; above it, pairs inside split cells are
+    * restricted to sub-bucket mates — the recall trade bought only where
+    * the data is hot. The output `bucket` is the POST-split id (level-1
+    * bucket << delta, sub bits OR'd in for hot cells), so skew remains
+    * observable downstream. Fully portable/restatable: plane count,
+    * delta, and the hot set are pure integer functions of `count(*)`
+    * and the bucket histogram.
+    */
+  def semanticDedupAdaptive(df: DataFrame, idCol: String, vecCol: String,
+                            dIn: Int, minCos: Double, targetBucket: Long = 64L,
+                            minPlanes: Int = 6, splitFactor: Long = 4L): DataFrame =
+    pairCos(adaptiveBuckets(df, idCol, vecCol, dIn, targetBucket, minPlanes,
+      splitFactor), idCol, minCos)
 
   /** Collapse bit-identical embedding rows to one representative each —
     * the pre-pass that keeps [[knnJoinAuto]]/[[semanticDedupAuto]]'s
@@ -390,6 +422,97 @@ object Similarity {
       .join(reps.select(col(idCol).as("rep_id"), col(vecCol), col("dup_count")), Seq(vecCol))
       .select(col(idCol), col("rep_id"), col("dup_count"))
     (reps, membership)
+  }
+
+  /** [[knnJoinAdaptive]] with the [[collapseExactVectors]] pre-pass
+    * COMPOSED in — the full production ANN recipe for duplicate-heavy
+    * corpora (the r12 ×100 chained-stress finding: bit-identical twin
+    * clusters co-bucket under ANY plane count, so the pair stage grows
+    * with the SQUARE of duplicate multiplicity — ×138 wall at ×10 data
+    * — and the adaptive splitter cannot separate them because identical
+    * vectors have identical signs at every level). Here the join runs
+    * over one representative per distinct vector value and results fan
+    * back to every original row through the membership frame:
+    *
+    *  - query side: each original id inherits its representative's
+    *    neighbor list (identical vector ⇒ identical cosines);
+    *  - neighbor side: each representative neighbor expands to its
+    *    cluster's members — only the `k` smallest member ids per
+    *    cluster, since within one cluster all expanded rows share the
+    *    neighbor's cosine and rank ties break on id, so no later member
+    *    can reach any query's top-k;
+    *  - twins: other members of the query's own cluster are cosine-1
+    *    neighbors BY DEFINITION (identical vectors) and enter with
+    *    literal cos = 1.0 — the `k+1` smallest ids per cluster cover
+    *    every query's `k` smallest OTHER members.
+    *
+    * The final per-query top-k re-ranks the union by (cos desc, id) —
+    * so output stays n·k rows and every intermediate is linear in n
+    * plus rep-level pair work: the duplicate-multiplicity quadratic is
+    * gone by construction. Rows with a null vector are dropped (no
+    * vector, no neighbors — the IVF convention).
+    *
+    * Output: (idCol, neighbor_id, cos, rank), rank 1..k per ORIGINAL id.
+    */
+  def knnJoinCollapsed(df: DataFrame, idCol: String, vecCol: String, dIn: Int,
+                       k: Int, targetBucket: Long = 64L, minPlanes: Int = 6,
+                       splitFactor: Long = 4L): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    val (reps, membership) = collapseExactVectors(df, idCol, vecCol)
+    val repK = knnJoinAdaptive(reps, idCol, vecCol, dIn, k, targetBucket,
+      minPlanes, splitFactor)
+    val wm = org.apache.spark.sql.expressions.Window
+      .partitionBy("rep_id").orderBy(col(idCol))
+    val ranked = membership.select(col(idCol), col("rep_id"))
+      .withColumn("_mrk", row_number().over(wm))
+    val nbrMembers = ranked.filter(col("_mrk") <= k)
+      .select(col("rep_id").as("_nrep"), col(idCol).as("_nmem"))
+    val expanded = membership.select(col(idCol).as("_oid"), col("rep_id"))
+      .join(repK.select(col(idCol).as("_qrep"), col("neighbor_id"), col("cos")),
+        col("rep_id") === col("_qrep"))
+      .join(nbrMembers, col("neighbor_id") === col("_nrep"))
+      .select(col("_oid"), col("_nmem").as("neighbor_id"), col("cos"))
+    val twinCand = ranked.filter(col("_mrk") <= k + 1)
+      .select(col("rep_id"), col(idCol).as("_twin"))
+    val twins = membership.select(col(idCol).as("_oid"), col("rep_id"))
+      .join(twinCand, "rep_id")
+      .filter(col("_oid") =!= col("_twin"))
+      .select(col("_oid"), col("_twin").as("neighbor_id"), lit(1.0).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_oid").orderBy(col("cos").desc, col("neighbor_id"))
+    expanded.unionByName(twins)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("_oid").as(idCol), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
+  /** [[semanticDedupAdaptive]] with the [[collapseExactVectors]]
+    * pre-pass composed in — the dedup twin of [[knnJoinCollapsed]].
+    * Emits a CONNECTED-COVER of the full near-duplicate graph, not
+    * every pair: cross-cluster edges are the rep-level adaptive pairs
+    * (members share their representative's cosines), and each twin
+    * cluster contributes STAR edges (rep → member, literal cos = 1.0)
+    * instead of its m·(m−1)/2 within-cluster pairs. Any two rows
+    * near-dup-connected in the full graph are connected through their
+    * representatives in the cover and vice versa — so connected
+    * components (the thing a dedup pass consumes) are EXACTLY
+    * preserved while output and pair work stay linear in duplicate
+    * multiplicity instead of quadratic. The `bucket` column is dropped:
+    * star edges have no bucket, and the post-split rep bucket is an
+    * internal detail ([[semanticDedupAdaptive]] still exposes it).
+    *
+    * Output: (id1, id2, cos), id1 < id2 (representatives are min-id,
+    * so star edges order naturally).
+    */
+  def semanticDedupCollapsed(df: DataFrame, idCol: String, vecCol: String,
+                             dIn: Int, minCos: Double, targetBucket: Long = 64L,
+                             minPlanes: Int = 6, splitFactor: Long = 4L): DataFrame = {
+    val (reps, membership) = collapseExactVectors(df, idCol, vecCol)
+    val repPairs = semanticDedupAdaptive(reps, idCol, vecCol, dIn, minCos,
+      targetBucket, minPlanes, splitFactor).select("id1", "id2", "cos")
+    val stars = membership.filter(col(idCol) =!= col("rep_id"))
+      .select(col("rep_id").as("id1"), col(idCol).as("id2"), lit(1.0).as("cos"))
+    repPairs.unionByName(stars)
   }
 
   /** Blend a lexical score frame (id, raw score — e.g. BM25) with a
@@ -440,13 +563,19 @@ object Similarity {
     * cosine desc (neighbor id breaks exact ties deterministically).
     *
     * This planes-free form IS the default: it applies the
-    * [[knnJoinAuto]] data-scaled plane rule, so the reachable API
-    * cannot silently degrade to all-pairs-per-bucket at scale
-    * (measured ×45 wall at ×10 data for a pinned plane count).
+    * [[knnJoinAdaptive]] data-scaled plane rule WITH hot-cell
+    * sub-splitting (r13 — previously [[knnJoinAuto]]), so the reachable
+    * API can neither degrade to all-pairs-per-bucket at scale (measured
+    * ×45 wall at ×10 data for a pinned plane count) nor melt on
+    * clustered corpora whose hot sign-cell is 100× the occupancy target
+    * (the r12 ×100 finding: ×116 wall for the non-adaptive auto rule;
+    * the adaptive form measured 8.5× faster at sf10 clustered, 99.6%
+    * rows retained). Below the occupancy cap all three forms agree
+    * bit-for-bit.
     */
   def knnJoin(df: DataFrame, idCol: String, vecCol: String, dIn: Int,
               k: Int): DataFrame =
-    knnJoinAuto(df, idCol, vecCol, dIn, k)
+    knnJoinAdaptive(df, idCol, vecCol, dIn, k)
 
   /** [[knnJoin]] with a CALLER-PINNED plane count. Bucket count is then
     * fixed at `2^planes` regardless of corpus size, so within-bucket
@@ -512,13 +641,41 @@ object Similarity {
   def knnJoinAdaptive(df: DataFrame, idCol: String, vecCol: String, dIn: Int,
                       k: Int, targetBucket: Long = 64L, minPlanes: Int = 6,
                       splitFactor: Long = 4L): DataFrame = {
-    require(k > 0 && splitFactor >= 1, s"need k > 0 and splitFactor >= 1")
+    require(k > 0, s"need k > 0, got $k")
+    pairTopK(adaptiveBuckets(df, idCol, vecCol, dIn, targetBucket, minPlanes,
+      splitFactor), idCol, k)
+  }
+
+  /** The adaptive-bucketing half shared by [[knnJoinAdaptive]] and
+    * [[semanticDedupAdaptive]]: [[signBuckets]] at the [[autoPlanes]]
+    * level-1 plane count, then buckets whose occupancy exceeds
+    * `splitFactor·targetBucket` get `delta` extra sign planes appended
+    * — the smallest delta with `maxOcc / 2^delta ≤ cap` — from the SAME
+    * deterministic JL family (row i of [[jlMatrix]] is independent of
+    * the matrix height, so level-2 signs extend level-1 exactly).
+    * Distinct vectors split under extra planes; bit-identical twins
+    * never do — collapse those first with [[collapseExactVectors]] (or
+    * use the composed [[knnJoinCollapsed]]/[[semanticDedupCollapsed]]).
+    *
+    * When no bucket exceeds the cap the output equals [[signBuckets]]
+    * at the auto plane count verbatim. An EMPTY (or all-null-vector)
+    * input short-circuits to the un-split bucketing — the same empty
+    * frame the auto forms produce — instead of reading a null max
+    * occupancy. Output: (idCol, _v, bucket), bucket = level-1 bucket
+    * << delta, sub bits OR'd in for hot cells (delta = 0 ⇒ unshifted).
+    */
+  private[graft] def adaptiveBuckets(df: DataFrame, idCol: String, vecCol: String,
+                                     dIn: Int, targetBucket: Long, minPlanes: Int,
+                                     splitFactor: Long): DataFrame = {
+    require(splitFactor >= 1, s"need splitFactor >= 1, got $splitFactor")
     val planes0 = autoPlanes(df.count(), targetBucket, minPlanes)
     val bucketed = signBuckets(df, idCol, vecCol, dIn, planes0)
     val counts = bucketed.groupBy("bucket").agg(count(lit(1)).as("_occ"))
     val cap = splitFactor * targetBucket
-    val maxOcc = counts.agg(max(col("_occ"))).head().getLong(0)
-    if (maxOcc <= cap) pairTopK(bucketed, idCol, k)
+    // null max = empty input → no bucket can exceed the cap
+    val maxOcc = Option(counts.agg(max(col("_occ"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    if (maxOcc <= cap) bucketed
     else {
       var delta = 1
       while (delta < 20 && (maxOcc >> delta) > cap) delta += 1
@@ -531,13 +688,12 @@ object Similarity {
       val sub = (planes0 until planes0 + delta).map(i =>
           when(element_at(subProj, i + 1) >= 0, lit(1L << (i - planes0))).otherwise(lit(0L)))
         .reduce((x, y) => x.bitwiseOR(y))
-      val resplit = bucketed
+      bucketed
         .join(broadcast(hot), Seq("bucket"), "left")
         .withColumn("bucket",
           shiftleft(col("bucket"), delta)
             .bitwiseOR(when(coalesce(col("_hot"), lit(false)), sub).otherwise(lit(0L))))
         .drop("_hot")
-      pairTopK(resplit, idCol, k)
     }
   }
 

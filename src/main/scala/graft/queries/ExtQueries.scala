@@ -591,6 +591,176 @@ object ExtQueries {
       "SELECT vec_id, neighbor_id, round(c, 6) AS cos, CAST(rk AS BIGINT) AS rank " +
       "FROM r WHERE rk <= 3 ORDER BY vec_id, rank"
 
+  /** CTE block restating [[Similarity.adaptiveBuckets]] in DuckDB — the
+    * r13 adaptive promotion: level-1 sign buckets at the autoPlanes
+    * count, the bucket occupancy histogram, the delta rule (smallest
+    * d ≥ 1 with `maxOcc >> d ≤ cap`, 0 when no bucket exceeds the cap,
+    * capped at 20 exactly like the Scala loop), level-2 sub-signs for
+    * rows planes..planes+delta−1 of the SAME portable JL family (the
+    * sign of row i is height-independent, so the unscaled sum's sign
+    * matches Spark's scaled projection), and the final post-split id
+    * `(bucket << delta) | (hot ? sub : 0)`. Ends in `bk2(vec_id,
+    * bucket)`; `src` must provide (vec_id, embedding) — `embeddings`
+    * for the direct rows, the `reps` CTE for the collapsed ones.
+    * Every quantity is a pure integer function of count(*) and the
+    * bucket histogram, so the restatement is engine-agnostic.
+    */
+  private def adaptiveBucketCtes(targetBucket: Int, minPlanes: Int,
+                                 splitFactor: Int, src: String): String = {
+    val cap = targetBucket.toLong * splitFactor
+    s"nn AS (SELECT (count(*) + ${targetBucket - 1}) // $targetBucket AS needed FROM $src), " +
+      s"pl AS (SELECT min(p) AS planes FROM generate_series($minPlanes, 62) t(p), nn " +
+      "WHERE (CAST(1 AS BIGINT) << p) >= nn.needed), " +
+      "x AS (SELECT vec_id, len(embedding) AS dim, " +
+      "CAST(unnest(embedding) AS DOUBLE) AS v, " +
+      s"generate_subscripts(embedding, 1) - 1 AS j FROM $src), " +
+      "io AS (SELECT unnest(generate_series(0, planes - 1)) AS i FROM pl), " +
+      "p AS (SELECT vec_id, i, sum(v * CASE WHEN " +
+      "((i * dim + j) * 2654435761) % 4294967296 < 2147483648 " +
+      "THEN 1 ELSE -1 END) AS y FROM x CROSS JOIN io GROUP BY vec_id, i), " +
+      "bk AS (SELECT vec_id, CAST(sum(CASE WHEN y >= 0 " +
+      "THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS bucket " +
+      "FROM p GROUP BY vec_id), " +
+      "oc AS (SELECT bucket, count(*) AS occ FROM bk GROUP BY bucket), " +
+      s"dl AS (SELECT CASE WHEN max(occ) <= $cap THEN 0 ELSE " +
+      "coalesce((SELECT min(d) FROM generate_series(1, 19) t(d) " +
+      s"WHERE ((SELECT max(occ) FROM oc) >> d) <= $cap), 20) END AS delta FROM oc), " +
+      "io2 AS (SELECT unnest(generate_series(planes, planes + delta - 1)) AS i FROM pl, dl), " +
+      "p2 AS (SELECT vec_id, i, sum(v * CASE WHEN " +
+      "((i * dim + j) * 2654435761) % 4294967296 < 2147483648 " +
+      "THEN 1 ELSE -1 END) AS y FROM x CROSS JOIN io2 GROUP BY vec_id, i), " +
+      "sb AS (SELECT vec_id, CAST(sum(CASE WHEN y >= 0 " +
+      "THEN (CAST(1 AS BIGINT) << (i - (SELECT planes FROM pl))) ELSE 0 END) AS BIGINT) AS sub " +
+      "FROM p2 GROUP BY vec_id), " +
+      "bk2 AS (SELECT b.vec_id, ((b.bucket << (SELECT delta FROM dl)) | " +
+      s"CASE WHEN o.occ > $cap THEN coalesce(s.sub, 0) ELSE 0 END) AS bucket " +
+      "FROM bk b JOIN oc o ON b.bucket = o.bucket LEFT JOIN sb s ON s.vec_id = b.vec_id)"
+  }
+
+  /** The kNN pairing/ranking tail over an adaptive `bk2` (the
+    * [[knnJoinOracleSql]] tail verbatim, with `+ 0` normalizing a
+    * cosine that rounds to zero from below — DuckDB `round` keeps the
+    * IEEE sign bit, Spark's cannot emit −0.0; the m2b lesson applied
+    * up front). `vecSrc` supplies the vectors for exact re-scoring.
+    */
+  private def knnAdaptiveOracleSql(targetBucket: Int, minPlanes: Int,
+                                   splitFactor: Int): String =
+    "WITH " + adaptiveBucketCtes(targetBucket, minPlanes, splitFactor, "embeddings") + ", " +
+      "pr AS (SELECT a.vec_id AS qid, b.vec_id AS nid " +
+      "FROM bk2 a JOIN bk2 b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id), " +
+      "dd AS (SELECT qid, nid, unnest(e1.embedding) AS xx, " +
+      "unnest(e2.embedding) AS yy FROM pr " +
+      "JOIN embeddings e1 ON e1.vec_id = pr.qid " +
+      "JOIN embeddings e2 ON e2.vec_id = pr.nid), " +
+      "sm AS (SELECT qid, nid, " +
+      "sum(CAST(xx AS DOUBLE) * CAST(yy AS DOUBLE)) AS dt, " +
+      "sum(CAST(xx AS DOUBLE) * CAST(xx AS DOUBLE)) AS nx, " +
+      "sum(CAST(yy AS DOUBLE) * CAST(yy AS DOUBLE)) AS ny " +
+      "FROM dd GROUP BY qid, nid), " +
+      "r AS (SELECT qid AS vec_id, nid AS neighbor_id, " +
+      "dt / (sqrt(nx) * sqrt(ny)) AS c, row_number() OVER " +
+      "(PARTITION BY qid ORDER BY dt / (sqrt(nx) * sqrt(ny)) DESC, nid) AS rk " +
+      "FROM sm) " +
+      "SELECT vec_id, neighbor_id, round(c, 6) + 0 AS cos, CAST(rk AS BIGINT) AS rank " +
+      "FROM r WHERE rk <= 3 ORDER BY vec_id, rank"
+
+  /** The semantic-dedup tail over an adaptive `bk2`: within-(post-split)-
+    * bucket pairs, exact cosine ≥ `minCos`, bucket id exposed.
+    */
+  private def semanticDedupAdaptiveOracleSql(targetBucket: Int, minPlanes: Int,
+                                             splitFactor: Int, minCos: Double): String =
+    "WITH " + adaptiveBucketCtes(targetBucket, minPlanes, splitFactor, "embeddings") + ", " +
+      "pr AS (SELECT a.vec_id AS id1, b.vec_id AS id2, a.bucket AS bucket " +
+      "FROM bk2 a JOIN bk2 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id), " +
+      "d AS (SELECT id1, id2, bucket, unnest(e1.embedding) AS xx, " +
+      "unnest(e2.embedding) AS yy FROM pr " +
+      "JOIN embeddings e1 ON e1.vec_id = pr.id1 " +
+      "JOIN embeddings e2 ON e2.vec_id = pr.id2), " +
+      "sm AS (SELECT id1, id2, bucket, " +
+      "sum(CAST(xx AS DOUBLE) * CAST(yy AS DOUBLE)) AS dt, " +
+      "sum(CAST(xx AS DOUBLE) * CAST(xx AS DOUBLE)) AS nx, " +
+      "sum(CAST(yy AS DOUBLE) * CAST(yy AS DOUBLE)) AS ny " +
+      "FROM d GROUP BY id1, id2, bucket) " +
+      "SELECT id1, id2, bucket, round(dt / (sqrt(nx) * sqrt(ny)), 6) + 0 AS cos " +
+      s"FROM sm WHERE dt / (sqrt(nx) * sqrt(ny)) >= $minCos ORDER BY id1, id2"
+
+  /** The min-id-representative collapse CTE shared by the collapsed
+    * oracles: `reps(vec_id, embedding)` one row per distinct vector
+    * value, `mem(id, rep)` every non-null row to its representative
+    * (DuckDB groups/joins on LIST values natively — array equality,
+    * like Spark's groupBy on the array column).
+    */
+  private val collapseCtes: String =
+    "reps AS (SELECT min(vec_id) AS vec_id, embedding FROM embeddings " +
+      "WHERE embedding IS NOT NULL GROUP BY embedding), " +
+      "mem AS (SELECT e.vec_id AS id, r0.vec_id AS rep FROM embeddings e " +
+      "JOIN reps r0 ON e.embedding = r0.embedding)"
+
+  /** [[Similarity.knnJoinCollapsed]] restated: collapse → rep-level
+    * adaptive kNN (k = 3) → fan-out. Neighbor clusters expand to their
+    * k smallest member ids (same cosine, id tie-break — later members
+    * cannot rank), twins enter at literal cos 1.0 for the k+1 smallest
+    * ids per cluster, and the final per-original top-k re-ranks by
+    * (cos DESC, id).
+    */
+  private def knnCollapsedOracleSql(targetBucket: Int, minPlanes: Int,
+                                    splitFactor: Int, k: Int): String =
+    "WITH " + collapseCtes + ", " +
+      adaptiveBucketCtes(targetBucket, minPlanes, splitFactor, "reps") + ", " +
+      "pr AS (SELECT a.vec_id AS qid, b.vec_id AS nid " +
+      "FROM bk2 a JOIN bk2 b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id), " +
+      "dd AS (SELECT qid, nid, unnest(e1.embedding) AS xx, " +
+      "unnest(e2.embedding) AS yy FROM pr " +
+      "JOIN embeddings e1 ON e1.vec_id = pr.qid " +
+      "JOIN embeddings e2 ON e2.vec_id = pr.nid), " +
+      "sm AS (SELECT qid, nid, " +
+      "sum(CAST(xx AS DOUBLE) * CAST(yy AS DOUBLE)) AS dt, " +
+      "sum(CAST(xx AS DOUBLE) * CAST(xx AS DOUBLE)) AS nx, " +
+      "sum(CAST(yy AS DOUBLE) * CAST(yy AS DOUBLE)) AS ny " +
+      "FROM dd GROUP BY qid, nid), " +
+      "tk AS (SELECT qid, nid, c FROM (SELECT qid, nid, " +
+      "dt / (sqrt(nx) * sqrt(ny)) AS c, row_number() OVER " +
+      "(PARTITION BY qid ORDER BY dt / (sqrt(nx) * sqrt(ny)) DESC, nid) AS rk " +
+      s"FROM sm) WHERE rk <= $k), " +
+      "mr AS (SELECT id, rep, row_number() OVER (PARTITION BY rep ORDER BY id) AS mrk FROM mem), " +
+      s"nbm AS (SELECT rep AS nrep, id AS nmem FROM mr WHERE mrk <= $k), " +
+      "ex AS (SELECT m.id AS oid, n.nmem AS neighbor_id, t.c AS cos " +
+      "FROM mem m JOIN tk t ON t.qid = m.rep JOIN nbm n ON n.nrep = t.nid), " +
+      s"twc AS (SELECT rep, id AS twin FROM mr WHERE mrk <= ${k + 1}), " +
+      "tw AS (SELECT m.id AS oid, t.twin AS neighbor_id, CAST(1.0 AS DOUBLE) AS cos " +
+      "FROM mem m JOIN twc t ON t.rep = m.rep WHERE m.id <> t.twin), " +
+      "u AS (SELECT * FROM ex UNION ALL SELECT * FROM tw), " +
+      "f AS (SELECT oid, neighbor_id, cos, row_number() OVER " +
+      "(PARTITION BY oid ORDER BY cos DESC, neighbor_id) AS rk2 FROM u) " +
+      "SELECT oid AS vec_id, neighbor_id, round(cos, 6) + 0 AS cos, " +
+      s"CAST(rk2 AS BIGINT) AS rank FROM f WHERE rk2 <= $k ORDER BY vec_id, rank"
+
+  /** [[Similarity.semanticDedupCollapsed]] restated: rep-level adaptive
+    * pairs (cross-cluster edges) UNION star edges (rep → member,
+    * literal cos 1.0) — the connected-cover contract.
+    */
+  private def semanticDedupCollapsedOracleSql(targetBucket: Int, minPlanes: Int,
+                                              splitFactor: Int, minCos: Double): String =
+    "WITH " + collapseCtes + ", " +
+      adaptiveBucketCtes(targetBucket, minPlanes, splitFactor, "reps") + ", " +
+      "pr AS (SELECT a.vec_id AS id1, b.vec_id AS id2 " +
+      "FROM bk2 a JOIN bk2 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id), " +
+      "d AS (SELECT id1, id2, unnest(e1.embedding) AS xx, " +
+      "unnest(e2.embedding) AS yy FROM pr " +
+      "JOIN embeddings e1 ON e1.vec_id = pr.id1 " +
+      "JOIN embeddings e2 ON e2.vec_id = pr.id2), " +
+      "sm AS (SELECT id1, id2, " +
+      "sum(CAST(xx AS DOUBLE) * CAST(yy AS DOUBLE)) AS dt, " +
+      "sum(CAST(xx AS DOUBLE) * CAST(xx AS DOUBLE)) AS nx, " +
+      "sum(CAST(yy AS DOUBLE) * CAST(yy AS DOUBLE)) AS ny " +
+      "FROM d GROUP BY id1, id2), " +
+      "rp AS (SELECT id1, id2, dt / (sqrt(nx) * sqrt(ny)) AS c FROM sm " +
+      s"WHERE dt / (sqrt(nx) * sqrt(ny)) >= $minCos), " +
+      "st AS (SELECT rep AS id1, id AS id2, CAST(1.0 AS DOUBLE) AS c " +
+      "FROM mem WHERE id <> rep) " +
+      "SELECT id1, id2, round(c, 6) + 0 AS cos " +
+      "FROM (SELECT * FROM rp UNION ALL SELECT * FROM st) u ORDER BY id1, id2"
+
   /** The UNMATERIALIZED plans behind the memoized queries, for the plan
     * audit (ExplainAuditSpec): a memo returns a checkpoint/persisted
     * frame whose audited plan is just a cache scan — a scale
@@ -2467,6 +2637,46 @@ object ExtQueries {
         "SELECT id1, id2, bucket, round(dt / (sqrt(nx) * sqrt(ny)), 6) AS cos " +
         "FROM sm WHERE dt / (sqrt(nx) * sqrt(ny)) >= 0.4 ORDER BY id1, id2")),
 
+    // The ADAPTIVE production form of semantic dedup (r13 — closing the
+    // r12 verdict's gap: semanticDedupAuto shared knnJoinAuto's
+    // sign-cell-skew blow-up, ~200 s at sf10 stress, with no landed
+    // remedy): hot cells sub-split exactly as in x_knn_join_adaptive,
+    // pairs restrict to sub-bucket mates, the emitted bucket is the
+    // post-split id. Degenerate (= auto) at the gate sf; the split
+    // fixture below exercises the other branch under the same gate.
+    Q("x_semantic_dedup_adaptive",
+      (s, d) => Similarity.semanticDedupAdaptive(Tables.embeddings(s, d), "vec_id",
+          "embedding", dIn = queryVec(s, d).length, minCos = 0.4)
+        .select(col("id1"), col("id2"), col("bucket"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("id1", "id2"),
+      Some(semanticDedupAdaptiveOracleSql(64, 6, 4, 0.4))),
+
+    // Split-branch fixture (cap 16 < driver-sf maxOcc 87 → delta 3),
+    // the same skew-exercise as x_knn_join_adaptive_split.
+    Q("x_semantic_dedup_adaptive_split",
+      (s, d) => Similarity.semanticDedupAdaptive(Tables.embeddings(s, d), "vec_id",
+          "embedding", dIn = queryVec(s, d).length, minCos = 0.4,
+          targetBucket = 16L, splitFactor = 1L)
+        .select(col("id1"), col("id2"), col("bucket"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("id1", "id2"),
+      Some(semanticDedupAdaptiveOracleSql(16, 6, 1, 0.4))),
+
+    // semanticDedupAdaptive composed with the exact-twin collapse: the
+    // connected-cover contract — rep-level pairs carry cross-cluster
+    // edges, twin clusters contribute star edges (rep → member, cos
+    // 1.0) instead of their quadratic within-cluster pair sets, and
+    // connected components of the full near-dup graph are preserved
+    // exactly (pinned by SimilaritySpec). No bucket column: star edges
+    // have none.
+    Q("x_semantic_dedup_collapsed",
+      (s, d) => Similarity.semanticDedupCollapsed(Tables.embeddings(s, d), "vec_id",
+          "embedding", dIn = queryVec(s, d).length, minCos = 0.4)
+        .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
+        .orderBy("id1", "id2"),
+      Some(semanticDedupCollapsedOracleSql(64, 6, 4, 0.4))),
+
     // Approximate kNN self-join: top-3 neighbors per vector among
     // same-sign-bucket rows. Same portable JL arithmetic as
     // x_semantic_dedup, so the oracle re-derives bucket, pairing,
@@ -2493,6 +2703,55 @@ object ExtQueries {
           round(col("cos"), 6).as("cos"), col("rank"))
         .orderBy("vec_id", "rank"),
       Some(knnJoinAutoOracleSql)),
+
+    // The ADAPTIVE production path (r13 promotion of the r12 ×100
+    // remedy — `knnJoin` now dispatches here): auto planes PLUS
+    // hot-cell sub-splitting when a sign-cell exceeds
+    // splitFactor·targetBucket rows (measured 8.5× over the auto form
+    // at sf10 clustered; bit-identical below the cap). The oracle
+    // restates the FULL adaptive rule — occupancy histogram, delta,
+    // level-2 sub-signs from the same JL family — so the row is green
+    // whether or not the corpus triggers the split (driver sf0.01
+    // maxOcc 87 < 256: degenerate; the ×10 gapped sweep splits).
+    Q("x_knn_join_adaptive",
+      (s, d) => Similarity.knnJoinAdaptive(Tables.embeddings(s, d), "vec_id",
+          "embedding", dIn = queryVec(s, d).length, k = 3)
+        .select(col("vec_id"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos"), col("rank"))
+        .orderBy("vec_id", "rank"),
+      Some(knnAdaptiveOracleSql(64, 6, 4))),
+
+    // The skew-exercising fixture for the SPLIT branch at the gate sf:
+    // targetBucket 16 / splitFactor 1 puts the cap at 16 while the
+    // driver sf0.01 corpus's hottest sign-cell holds 87 rows (measured,
+    // DESIGN.md ×100 study) → delta = 3 (87 >> 3 = 10 ≤ 16), so the
+    // driver's own hash gate checks the sub-split arithmetic — bucket
+    // shift, hot-cell membership, level-2 signs — not just the
+    // degenerate path.
+    Q("x_knn_join_adaptive_split",
+      (s, d) => Similarity.knnJoinAdaptive(Tables.embeddings(s, d), "vec_id",
+          "embedding", dIn = queryVec(s, d).length, k = 3,
+          targetBucket = 16L, splitFactor = 1L)
+        .select(col("vec_id"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos"), col("rank"))
+        .orderBy("vec_id", "rank"),
+      Some(knnAdaptiveOracleSql(16, 6, 1))),
+
+    // knnJoinAdaptive composed with the exact-twin collapse pre-pass —
+    // the full production ANN recipe for duplicate-heavy corpora (the
+    // r12 chained-stress ×138 finding): reps join, members fan back
+    // through membership, twins re-enter at literal cos 1.0. Driver
+    // tables have no exact-twin vectors, so at the gate sf this equals
+    // the adaptive row with singleton clusters — the twin/star
+    // arithmetic is exercised by the gapped ×10 sweep (replica twins)
+    // and pinned by SimilaritySpec's exact-parity fixture.
+    Q("x_knn_join_collapsed",
+      (s, d) => Similarity.knnJoinCollapsed(Tables.embeddings(s, d), "vec_id",
+          "embedding", dIn = queryVec(s, d).length, k = 3)
+        .select(col("vec_id"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos"), col("rank"))
+        .orderBy("vec_id", "rank"),
+      Some(knnCollapsedOracleSql(64, 6, 4, 3))),
 
     Q("x_random_projection",
       (s, d) => {

@@ -227,6 +227,112 @@ class SimilaritySpec extends SparkSpec {
       s"cluster members lost their near-twins: min=${top.minOption}")
   }
 
+  test("semanticDedupAdaptive: identical to semanticDedupAuto below the cap; subset with high retention above it") {
+    def vec(seed: Int) = Seq.tabulate(16)(i => (new scala.util.Random(seed * 31 + i).nextDouble() - 0.5).toFloat)
+    val spread = (0 until 40).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val auto = graft.ext.Similarity.semanticDedupAuto(spread, "vec_id", "embedding", 16, minCos = 0.2)
+      .collect().map(_.toSeq).toSet
+    val adapt = graft.ext.Similarity.semanticDedupAdaptive(spread, "vec_id", "embedding", 16, minCos = 0.2)
+      .collect().map(_.toSeq).toSet
+    assert(adapt == auto, "degenerate case must reproduce semanticDedupAuto exactly")
+    // skewed corpus (one hot sign-cell): splitting may only DROP pairs
+    // (sub-bucket restriction), never add or change one — and the tight
+    // cluster must retain nearly all of its near-dup pairs
+    val base = Array.tabulate(16)(i => math.sin(i + 1.0))
+    val skewed = ((0 until 600).map { i =>
+      (i.toLong, base.zipWithIndex.map { case (v, j) =>
+        (v + 0.01 * new scala.util.Random(i * 97 + j).nextGaussian()).toFloat }.toSeq)
+    } ++ (600 until 700).map(i => (i.toLong, vec(i)))).toDF("vec_id", "embedding")
+    val autoPairs = graft.ext.Similarity.semanticDedupAuto(skewed, "vec_id", "embedding", 16,
+        minCos = 0.99, targetBucket = 8L, minPlanes = 4)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val adaptPairs = graft.ext.Similarity.semanticDedupAdaptive(skewed, "vec_id", "embedding", 16,
+        minCos = 0.99, targetBucket = 8L, minPlanes = 4, splitFactor = 2L)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(adaptPairs.subsetOf(autoPairs), "split added pairs that do not exist un-split")
+    assert(autoPairs.nonEmpty &&
+      adaptPairs.size.toDouble / autoPairs.size > 0.9,
+      s"split dropped too many near-dup pairs: ${adaptPairs.size}/${autoPairs.size}")
+  }
+
+  test("adaptive forms degrade like the auto forms on empty and all-null inputs") {
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(graft.ext.Similarity.knnJoinAdaptive(empty, "vec_id", "embedding", 16, k = 3).count() == 0)
+    assert(graft.ext.Similarity.semanticDedupAdaptive(empty, "vec_id", "embedding", 16, 0.5).count() == 0)
+    val allNull = Seq((1L, null.asInstanceOf[Seq[Float]]), (2L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    assert(graft.ext.Similarity.knnJoinCollapsed(allNull, "vec_id", "embedding", 16, k = 3).count() == 0)
+    assert(graft.ext.Similarity.semanticDedupCollapsed(allNull, "vec_id", "embedding", 16, 0.5).count() == 0)
+  }
+
+  /** Duplicate-heavy corpus with EXACT float arithmetic: 0/1 vectors
+    * whose squared norms are perfect squares (1 or 4), so every cosine —
+    * including a twin pair's 1.0 — is computed exactly and the collapsed
+    * composites can be checked for BIT parity against the uncollapsed
+    * run under matched bucket geometry (same plane count, no split on
+    * either side).
+    */
+  private lazy val dupFixture = {
+    def unit(j: Int) = Seq.tabulate(16)(i => if (i == j) 1.0f else 0.0f)
+    def quad(js: Set[Int]) = Seq.tabulate(16)(i => if (js(i)) 1.0f else 0.0f)
+    val rows =
+      (0 until 5).map(i => (i.toLong, unit(0))) ++          // 5 exact twins
+      (5 until 8).map(i => (i.toLong, unit(1))) ++          // 3 exact twins
+      Seq((8L, quad(Set(0, 1, 2, 3))), (9L, quad(Set(0, 1, 4, 5))), // overlap pair
+        (10L, unit(7)), (11L, unit(8)), (12L, quad(Set(7, 8, 9, 10))))
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("knnJoinCollapsed: exact parity with the uncollapsed adaptive join under matched geometry") {
+    // same n-regime (both resolve to minPlanes, no split) → candidate
+    // sets match: twins are bucket-mates in the full run, and the
+    // collapsed run re-inserts them at literal cos 1.0 = the kernel's
+    // exact twin cosine on unit/perfect-square vectors
+    val full = graft.ext.Similarity.knnJoinAdaptive(dupFixture, "vec_id", "embedding", 16, k = 3)
+      .collect().map(_.toSeq).toSet
+    val collapsed = graft.ext.Similarity.knnJoinCollapsed(dupFixture, "vec_id", "embedding", 16, k = 3)
+      .collect().map(_.toSeq).toSet
+    assert(collapsed == full,
+      s"missing=${(full -- collapsed).take(5)} extra=${(collapsed -- full).take(5)}")
+    // and on a duplicate-free corpus the composition is the identity
+    def vec(seed: Int) = Seq.tabulate(16)(i => (new scala.util.Random(seed * 31 + i).nextDouble() - 0.5).toFloat)
+    val spread = (0 until 40).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val a = graft.ext.Similarity.knnJoinAdaptive(spread, "vec_id", "embedding", 16, k = 3)
+      .collect().map(_.toSeq).toSet
+    val c = graft.ext.Similarity.knnJoinCollapsed(spread, "vec_id", "embedding", 16, k = 3)
+      .collect().map(_.toSeq).toSet
+    assert(c == a, "collapse over a dup-free corpus must be the identity")
+  }
+
+  test("semanticDedupCollapsed: connected components match the uncollapsed pair graph") {
+    def components(pairs: Set[(Long, Long)], nodes: Set[Long]): Set[Set[Long]] = {
+      val parent = scala.collection.mutable.Map(nodes.map(n => n -> n).toSeq: _*)
+      def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+      nodes.groupBy(find).values.map(_.toSet).toSet
+    }
+    val nodes = dupFixture.select("vec_id").as[Long].collect().toSet
+    val fullPairs = graft.ext.Similarity.semanticDedupAdaptive(dupFixture, "vec_id", "embedding",
+        16, minCos = 0.49)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val cover = graft.ext.Similarity.semanticDedupCollapsed(dupFixture, "vec_id", "embedding",
+        16, minCos = 0.49)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(fullPairs.nonEmpty, "fixture must have cross-cluster near-dups")
+    assert(components(cover, nodes) == components(fullPairs, nodes),
+      "cover must preserve connected components exactly")
+    // star edges replace within-cluster quadratics: the 5-twin cluster
+    // contributes exactly 4 star edges (rep 0 → members), not C(5,2)=10
+    assert(cover.count { case (a, b) => a == 0L } == 4 ||
+      cover.filter(p => Set(p._1, p._2).subsetOf(Set(0L, 1L, 2L, 3L, 4L))).size == 4,
+      s"twin cluster not star-shaped: ${cover.filter(p => p._1 <= 4 && p._2 <= 4)}")
+    // every cover edge is a true near-dup edge (cos >= minCos or a twin)
+    val cosOk = graft.ext.Similarity.semanticDedupCollapsed(dupFixture, "vec_id", "embedding",
+        16, minCos = 0.49)
+      .select("cos").as[Double].collect()
+    assert(cosOk.forall(_ >= 0.49))
+  }
+
   test("banded signatures are deterministic and band-independent") {
     val sigsA = fixture.select(col("vec_id"),
         Similarity.bandedSignatures(col("embedding"), dim, bands = 4, bitsPerBand = 5).as("s"))
