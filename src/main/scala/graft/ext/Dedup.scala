@@ -595,10 +595,17 @@ object Dedup {
     * [[graft.functions.GraftFunctions.splitmix64]]. Used by the
     * `x_simhash_splitmix` oracle twin so the SimHash kernel runs on a
     * hash DuckDB restates; the production lanes keep `xxhash64`.
+    *
+    * Char codes are masked to 8 bits (`% 256`) so the packing is
+    * LANE-SAFE on any corpus: an unmasked codepoint ≥ 256 would carry
+    * into the next lane's bits and, for supplementary-plane characters,
+    * ride the engines' surrogate-vs-codepoint difference into oracle
+    * divergence (r12 advice). ASCII corpora are unaffected (mask is
+    * the identity below 256); the oracle twin applies the same mask.
     */
   def restatableTokenKey(t: Column): Column = {
     def c(i: Int) =
-      when(length(t) >= i, ascii(substring(t, i, 1))).otherwise(lit(0)).cast("long")
+      (when(length(t) >= i, ascii(substring(t, i, 1))).otherwise(lit(0)) % 256).cast("long")
     c(1) + c(2) * 256L + c(3) * 65536L + c(4) * 16777216L +
       length(t).cast("long") * 4294967296L
   }

@@ -119,8 +119,14 @@ object ExtQueries {
     * public formula rather than trusting engine output.
     */
   private def splitmixHyperplaneCtes(nPlanes: Int): String =
-    s"WITH pl AS (SELECT p, i FROM generate_series(0, ${nPlanes - 1}) t1(p), " +
-    "generate_series(0, 63) t2(i)), " +
+    // the component range follows the CORPUS dimensionality (max vector
+    // length), not a hard-coded 64 — the Spark side derives dim from the
+    // query vector the same way, so a non-64-dim corpus restates every
+    // component instead of silently truncating the projection at the
+    // em.i = hp.i join (r12 advice)
+    "WITH dmx AS (SELECT max(len(embedding)) - 1 AS mi FROM embeddings), " +
+    "di AS (SELECT unnest(range(0, mi + 1)) AS i FROM dmx), " +
+    s"pl AS (SELECT p, i FROM generate_series(0, ${nPlanes - 1}) t1(p), di), " +
     "s0 AS (SELECT p, i, (CAST(p AS HUGEINT) * 11400714819323198485 + " +
     "CAST(i AS HUGEINT) * 13787848793156543929 + 10723151780598845931) " +
     "% 18446744073709551616 AS z FROM pl), " +
@@ -189,7 +195,11 @@ object ExtQueries {
     * over a SQL string expression `t`.
     */
   private def tokenKeySql(t: String): String = {
-    def c(i: Int) = s"CASE WHEN length($t) >= $i THEN ord(substr($t, $i, 1)) ELSE 0 END"
+    // `% 256` mirrors the Spark side's 8-bit lane mask (non-ASCII
+    // safety); the OUTER parens are load-bearing — `*` and `%` share
+    // precedence left-assoc, so un-wrapped `256 * x % 256` would zero
+    // the lane
+    def c(i: Int) = s"((CASE WHEN length($t) >= $i THEN ord(substr($t, $i, 1)) ELSE 0 END) % 256)"
     s"${c(1)} + 256 * ${c(2)} + 65536 * ${c(3)} + 16777216 * ${c(4)} + 4294967296 * length($t)"
   }
 

@@ -328,7 +328,7 @@ object StreamParityQueries {
       (s, d) => drained(s, "xs_minhash_pairs",
           StreamingOps.minhashCandidatePairs(docStream(s, d), "ts_doc", "doc_id",
             "text", watermark = "3650 days", maxBucket = 1 << 16,
-            keysFn = Some((t, n) => Dedup.splitmixBandKeys(t, n))).toDF())
+            keysFn = Some((t, n, b, r) => Dedup.splitmixBandKeys(t, n, b, r))).toDF())
         .distinct()
         .orderBy("id1", "id2"),
       Some(ExtQueries.MinhashStreamSplitmixOracle)))

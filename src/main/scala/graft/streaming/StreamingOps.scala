@@ -282,15 +282,17 @@ object StreamingOps {
   def minhashCandidatePairs(stream: DataFrame, tsCol: String, idCol: String, textCol: String,
                             watermark: String, shingleLen: Int = 3, bands: Int = 8,
                             rowsPerBand: Int = 2, maxBucket: Int = 128,
-                            keysFn: Option[(Column, Int) => Column] = None): Dataset[CandidatePair] = {
+                            keysFn: Option[(Column, Int, Int, Int) => Column] = None): Dataset[CandidatePair] = {
     val spark = stream.sparkSession
     import spark.implicits._
     import graft.ext.Dedup
     // keysFn swaps the per-row band-key array for the oracle parity row
     // (splitmix keys DuckDB restates); production stays xxhash64-banded.
-    // It receives shingleLen so the short-doc filter below and the key
-    // computation can never use different shingle lengths.
-    val bandKeys = keysFn.map(_(col(textCol), shingleLen)).getOrElse(
+    // It receives shingleLen AND bands/rowsPerBand so neither the
+    // short-doc filter nor the banding geometry can silently diverge
+    // from the caller's parameters (pre-r13 only shingleLen was
+    // threaded — a non-default banding with a keysFn was dropped).
+    val bandKeys = keysFn.map(_(col(textCol), shingleLen, bands, rowsPerBand)).getOrElse(
       Dedup.bandHashes(
         Dedup.minhashSignatureHashed(col(textCol), shingleLen, bands * rowsPerBand),
         bands, rowsPerBand))

@@ -976,6 +976,23 @@ class EvalFunctionsSpec extends SparkSpec {
     assert(viaSql == viaCol)
   }
 
+  test("ext: restatableTokenKey — 8-bit lane mask keeps non-ASCII codepoints lane-safe") {
+    // 'é' = 233 (< 256, mask is identity); '中' = 20013 → 20013 % 256 =
+    // 45 — unmasked it would carry into the next lane's bits and ride
+    // the engines' surrogate/codepoint difference (r12 advice)
+    val keys = Seq("abcd", "é", "中文ab").toDF("t")
+      .select(graft.ext.Dedup.restatableTokenKey(col("t")).as("k"))
+      .as[Long].collect()
+    def pack(cs: Seq[Int], len: Int): Long =
+      cs.padTo(4, 0).take(4).zipWithIndex.map { case (c, i) =>
+        (c % 256).toLong << (8 * i) }.sum + len.toLong * 4294967296L
+    assert(keys(0) == pack(Seq('a', 'b', 'c', 'd').map(_.toInt), 4))
+    assert(keys(1) == pack(Seq(233), 1))
+    assert(keys(2) == pack(Seq(20013, 25991, 'a'.toInt, 'b'.toInt), 4))
+    // every key stays inside the 52-bit budget regardless of charset
+    assert(keys.forall(k => k >= 0 && k < (1L << 52)))
+  }
+
   test("ext: simhash splitmix twin flags the same near-dup structure as the xxhash production path") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog again and again today"),
