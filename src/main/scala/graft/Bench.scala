@@ -33,6 +33,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try SparkEntry.entry(spark).queryExecution.toRdd.count() catch { case _: Throwable => }
+    // Pre-materialize the shared eventsIdx table in the warmup: it is
+    // written ONCE per (session, dir) and whichever timed query touched
+    // the memo first paid the write — a position-dependent one-time cost
+    // that aliased into round-over-round diffs as operator drift
+    // (m10_fedavg 1.70/0.90/1.60 s across r10-r12 with code unchanged).
+    try graft.core.Tables.eventsIdx(spark, sfDir).queryExecution.toRdd.count()
+    catch { case _: Throwable => }
     def timed(name: String, run: () => Unit): (String, Double) = {
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
