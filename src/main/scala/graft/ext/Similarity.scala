@@ -387,6 +387,13 @@ object Similarity {
     * observable downstream. Fully portable/restatable: plane count,
     * delta, and the hot set are pure integer functions of `count(*)`
     * and the bucket histogram.
+    *
+    * Sub-splitting cannot separate EXACT twins (identical vectors have
+    * identical signs at every level) — on duplicate-heavy corpora this
+    * form stays hot (r13 probe, sf10 chained: auto 193–210 s → adaptive
+    * still 124–132 s, vs [[semanticDedupCollapsed]] 5–7 s). If the
+    * caller can consume a connected-cover instead of the full pair set,
+    * prefer the collapsed form there.
     */
   def semanticDedupAdaptive(df: DataFrame, idCol: String, vecCol: String,
                             dIn: Int, minCos: Double, targetBucket: Long = 64L,
@@ -562,20 +569,24 @@ object Similarity {
     * Output: (idCol, neighbor_id, cos, rank: long), rank 1..k per id by
     * cosine desc (neighbor id breaks exact ties deterministically).
     *
-    * This planes-free form IS the default: it applies the
-    * [[knnJoinAdaptive]] data-scaled plane rule WITH hot-cell
-    * sub-splitting (r13 — previously [[knnJoinAuto]]), so the reachable
-    * API can neither degrade to all-pairs-per-bucket at scale (measured
-    * ×45 wall at ×10 data for a pinned plane count) nor melt on
-    * clustered corpora whose hot sign-cell is 100× the occupancy target
-    * (the r12 ×100 finding: ×116 wall for the non-adaptive auto rule;
-    * the adaptive form measured 8.5× faster at sf10 clustered, 99.6%
-    * rows retained). Below the occupancy cap all three forms agree
-    * bit-for-bit.
+    * This planes-free form IS the default: it applies the full
+    * production recipe — [[collapseExactVectors]] composed with the
+    * [[knnJoinAdaptive]] data-scaled plane rule and hot-cell
+    * sub-splitting ([[knnJoinCollapsed]]) — so the reachable API can
+    * neither degrade to all-pairs-per-bucket at scale (measured ×45
+    * wall at ×10 data for a pinned plane count), nor melt on clustered
+    * corpora whose hot sign-cell is 100× the occupancy target (r13
+    * probe, sf10 one-pass ×100: auto 1 086 s → adaptive 89–122 s), nor
+    * on duplicate-heavy corpora whose exact twins no plane count can
+    * separate (r13 probe, sf10 chained: auto 1 035 s → adaptive still
+    * 498–526 s → collapsed 11 s). On a twin-free corpus the collapse
+    * is an identity pre-pass within measurement noise (93 vs 89 s at
+    * sf10 one-pass) and the result matches [[knnJoinAdaptive]]
+    * row-for-row; below the occupancy cap all forms agree bit-for-bit.
     */
   def knnJoin(df: DataFrame, idCol: String, vecCol: String, dIn: Int,
               k: Int): DataFrame =
-    knnJoinAdaptive(df, idCol, vecCol, dIn, k)
+    knnJoinCollapsed(df, idCol, vecCol, dIn, k)
 
   /** [[knnJoin]] with a CALLER-PINNED plane count. Bucket count is then
     * fixed at `2^planes` regardless of corpus size, so within-bucket

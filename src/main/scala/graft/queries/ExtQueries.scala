@@ -2715,7 +2715,8 @@ object ExtQueries {
       Some(knnJoinAutoOracleSql)),
 
     // The ADAPTIVE production path (r13 promotion of the r12 ×100
-    // remedy — `knnJoin` now dispatches here): auto planes PLUS
+    // remedy; `knnJoin` dispatches to the collapsed composition of
+    // this form since the r13 probe): auto planes PLUS
     // hot-cell sub-splitting when a sign-cell exceeds
     // splitFactor·targetBucket rows (measured 8.5× over the auto form
     // at sf10 clustered; bit-identical below the cap). The oracle
