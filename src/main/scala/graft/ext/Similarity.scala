@@ -203,6 +203,29 @@ object Similarity {
       .select("id1", "id2", "cos")
   }
 
+  /** [[cosineNearDupLsh]] with the DATA-SCALED band width — the same
+    * [[autoPlanes]] occupancy rule the other ANN lanes apply, closing
+    * the one fixed-geometry hole the r12 ×10 sweep flagged (the 16×8
+    * banding pins 256 buckets per band, so per-band candidate fan-out
+    * grows quadratically with the corpus: ×12.3 wall at ×10 data).
+    * `bitsPerBand = autoPlanes(n, targetBucket, minBits)` holds each
+    * band's EXPECTED bucket occupancy at ~`targetBucket` rows
+    * regardless of corpus size; `bands` stays fixed (OR-amplification
+    * is the recall knob, width is the occupancy knob). At or below the
+    * boundary corpus size the rule resolves to `minBits` and the
+    * result is bit-identical to the fixed form (pinned in
+    * SimilaritySpec). Wider bands trade borderline-threshold recall
+    * for linear candidate work — scaled/exact twins keep identical
+    * sign patterns at ANY width, so true-duplicate recall stays ≈ 1
+    * (the dedup-side contract of the fixed row, unchanged).
+    */
+  def cosineNearDupLshAuto(df: DataFrame, idCol: String, vecCol: String,
+                           dim: Int, minCos: Double, bands: Int = 16,
+                           targetBucket: Long = 64L, minBits: Int = 8): DataFrame = {
+    val bits = autoPlanes(df.count(), targetBucket, minBits)
+    cosineNearDupLsh(df, idCol, vecCol, dim, minCos, bands, bits)
+  }
+
   /** IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every
     * vector to one of `nlist` cells; a query probes only its `nprobe`
     * nearest cells and re-ranks exactly inside them. The standard

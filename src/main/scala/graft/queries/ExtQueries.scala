@@ -119,14 +119,26 @@ object ExtQueries {
     * public formula rather than trusting engine output.
     */
   private def splitmixHyperplaneCtes(nPlanes: Int): String =
+    splitmixHyperplaneCtesFrom("", nPlanes.toString)
+
+  /** [[splitmixHyperplaneCtes]] with the plane count as a SQL
+    * expression (optionally referencing `preCtes`, prepended verbatim)
+    * instead of a Scala literal — the auto-banded cosine row derives
+    * its width from `count(*)`, so the plane range has to come from a
+    * scalar subquery. `range(0, <scalar subquery>)` is fine in DuckDB
+    * (it folds to a constant); only LATERAL column bounds are not
+    * (the r12 generate_series finding).
+    */
+  private def splitmixHyperplaneCtesFrom(preCtes: String, planesExpr: String): String =
     // the component range follows the CORPUS dimensionality (max vector
     // length), not a hard-coded 64 — the Spark side derives dim from the
     // query vector the same way, so a non-64-dim corpus restates every
     // component instead of silently truncating the projection at the
     // em.i = hp.i join (r12 advice)
-    "WITH dmx AS (SELECT max(len(embedding)) - 1 AS mi FROM embeddings), " +
+    "WITH " + (if (preCtes.isEmpty) "" else preCtes + ", ") +
+    "dmx AS (SELECT max(len(embedding)) - 1 AS mi FROM embeddings), " +
     "di AS (SELECT unnest(range(0, mi + 1)) AS i FROM dmx), " +
-    s"pl AS (SELECT p, i FROM generate_series(0, ${nPlanes - 1}) t1(p), di), " +
+    s"pl AS (SELECT p, i FROM (SELECT unnest(range(0, $planesExpr)) AS p) tp, di), " +
     "s0 AS (SELECT p, i, (CAST(p AS HUGEINT) * 11400714819323198485 + " +
     "CAST(i AS HUGEINT) * 13787848793156543929 + 10723151780598845931) " +
     "% 18446744073709551616 AS z FROM pl), " +
@@ -154,14 +166,21 @@ object ExtQueries {
     * projections are O(0.1+).
     */
   private val CosineNearDupLshOracle: String =
-    splitmixHyperplaneCtes(128) + ", " +
+    splitmixHyperplaneCtes(128) + ", " + cosineLshPairCtes("p // 8", "p % 8")
+
+  /** The signature-pack → candidate-join → exact-verify tail of the
+    * cosine-LSH oracles, with the band/bit mapping as SQL expressions
+    * over plane `p` so the fixed (16×8) and auto (count-derived width)
+    * rows share one restatement.
+    */
+  private def cosineLshPairCtes(bandExpr: String, bitExpr: String): String =
       "em AS (SELECT vec_id, gi - 1 AS i, CAST(x AS DOUBLE) AS x FROM " +
       "(SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS gi " +
       "FROM embeddings)), " +
       "pv AS (SELECT em.vec_id, hp.p, sum(em.x * hp.h) AS v FROM em " +
       "JOIN hp ON em.i = hp.i GROUP BY 1, 2), " +
-      "sg AS (SELECT vec_id, p // 8 AS band, " +
-      "CAST(sum(CASE WHEN v >= 0 THEN 1 << (p % 8) ELSE 0 END) AS BIGINT) AS sig " +
+      s"sg AS (SELECT vec_id, $bandExpr AS band, " +
+      s"CAST(sum(CASE WHEN v >= 0 THEN CAST(1 AS BIGINT) << ($bitExpr) ELSE 0 END) AS BIGINT) AS sig " +
       "FROM pv GROUP BY 1, 2), " +
       "cp AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2 FROM sg a " +
       "JOIN sg b ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id), " +
@@ -173,6 +192,19 @@ object ExtQueries {
       "sum(CAST(x2 AS DOUBLE) * CAST(x2 AS DOUBLE)) AS n2 FROM pe GROUP BY 1, 2) " +
       "SELECT id1, id2, round(dt / (sqrt(n1) * sqrt(n2)), 6) AS cos FROM cs " +
       "WHERE dt / (sqrt(n1) * sqrt(n2)) > 0.4 ORDER BY id1, id2"
+
+  /** Oracle for `x_cosine_near_dup_lsh_auto`: same pipeline, with the
+    * band width derived from `count(*)` by the shared autoPlanes rule
+    * (min bits ≥ 8 with 2^bits ≥ ceil(n / 64)) and 16 × bits planes
+    * regenerated from the splitmix formula.
+    */
+  private val CosineNearDupLshAutoOracle: String =
+    splitmixHyperplaneCtesFrom(
+      "nn AS (SELECT (count(*) + 63) // 64 AS needed FROM embeddings), " +
+        "bt AS (SELECT min(p) AS bits FROM generate_series(8, 62) t(p), nn " +
+        "WHERE (CAST(1 AS BIGINT) << p) >= nn.needed)",
+      "(SELECT 16 * bits FROM bt)") + ", " +
+      cosineLshPairCtes("p // (SELECT bits FROM bt)", "p % (SELECT bits FROM bt)")
 
   /** Six-CTE splitmix64 finalizer chain on HUGEINT column `z` of CTE
     * `from`, carrying `keep` columns; emits CTEs `<p>a..<p>f` (result in
@@ -3042,6 +3074,21 @@ object ExtQueries {
           .orderBy("id1", "id2")
       },
       Some(CosineNearDupLshOracle)),
+
+    // The data-scaled production form (r13 — closing the ×12.3-at-×10
+    // watch item from the r12 sweep): band width follows count(*) via
+    // the shared autoPlanes rule, holding per-band bucket occupancy at
+    // ~64 rows so candidate work stays linear where the fixed 16×8
+    // geometry goes quadratic. Degenerate (bits = 8, identical to the
+    // fixed row) at the driver sf; the gapped ×10 sweep resolves
+    // bits = 9 and exercises the derived-width branch under the gate.
+    Q("x_cosine_near_dup_lsh_auto",
+      (s, d) => Similarity.cosineNearDupLshAuto(
+          Tables.embeddings(s, d), "vec_id", "embedding", dim = queryVec(s, d).length,
+          minCos = 0.4)
+        .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
+        .orderBy("id1", "id2"),
+      Some(CosineNearDupLshAutoOracle)),
 
     // Cosine-LSH RECALL AUDIT (r10 verdict item 1): the exact truth set
     // at cos > 0.5, left-joined against the banded-LSH pipeline's pairs,

@@ -51,6 +51,38 @@ class SimilaritySpec extends SparkSpec {
       s"missed=${(exact -- composed).take(5)} spurious=${(composed -- exact).take(5)}")
   }
 
+  test("cosineNearDupLshAuto: width follows the occupancy rule; degenerate " +
+    "at minBits; scaled twins survive any width") {
+    // n = 200, targetBucket = 64 → needed = 4 → bits resolves to minBits = 8:
+    // bit-identical to the fixed 16×8 form (the x_cosine_near_dup_lsh_auto
+    // shared-oracle contract at the driver sf)
+    val auto = Similarity.cosineNearDupLshAuto(fixture, "vec_id", "embedding",
+        dim, minCos = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    val fixed = Similarity.cosineNearDupLsh(fixture, "vec_id", "embedding",
+        dim, 0.9, bitsPerBand = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(auto == fixed, "auto diverged from the fixed form below the boundary")
+    // derived width: targetBucket = 8 over 200 rows → needed = 25 → bits = 5
+    val derived = Similarity.cosineNearDupLshAuto(fixture, "vec_id", "embedding",
+        dim, 0.9, targetBucket = 8L, minBits = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    val atFive = Similarity.cosineNearDupLsh(fixture, "vec_id", "embedding",
+        dim, 0.9, bitsPerBand = 5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(derived == atFive, "derived width != the occupancy rule's bit count")
+    // exact-scaled twins keep identical sign patterns at ANY band width —
+    // the dedup-side recall contract the auto form must not weaken
+    val twins = fixture.union(fixture.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000).as("vec_id"),
+        transform(col("embedding"), x => x * 2).as("embedding")))
+    val wide = Similarity.cosineNearDupLshAuto(twins, "vec_id", "embedding",
+        dim, 0.9, targetBucket = 1L, minBits = 12)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    (0L until 5L).foreach(i =>
+      assert(wide.contains((i, i + 1000)), s"scaled twin $i missed at wide bands"))
+  }
+
   test("composed near-dup plan contains no all-pairs (nested-loop) join") {
     val plan = Similarity.cosineNearDupLsh(fixture, "vec_id", "embedding",
         dim = dim, minCos = 0.9)
