@@ -779,15 +779,32 @@ object Similarity {
     */
   private[graft] def signBuckets(df: DataFrame, idCol: String, vecCol: String,
                           dIn: Int, planes: Int): DataFrame = {
-    require(planes > 0 && planes < 63, s"need 0 < planes < 63, got $planes")
     val projected = df.select(col(idCol), col(vecCol).cast("array<double>").as("_v"),
-      graft.functions.GraftFunctions.matvec_product(
-        col(vecCol).cast("array<double>"), jlMatrix(dIn, planes)).as("_proj"))
+      jlProjection(col(vecCol), dIn, planes).as("_proj"))
     projected.select(col(idCol), col("_v"),
-      (0 until planes).map(i =>
-          when(element_at(col("_proj"), i + 1) >= 0, lit(1L << i)).otherwise(lit(0L)))
-        .reduce((a, b) => a.bitwiseOR(b)).as("bucket"))
+      signFold(col("_proj"), planes).as("bucket"))
   }
+
+  /** The JL ±1 projection of a vector column — the per-row kernel under
+    * [[signBuckets]], exposed so the streaming ingest twin
+    * ([[graft.streaming.StreamingOps.signBucketCandidatePairs]]) computes
+    * buckets with the SAME expression and bitwise identity is structural,
+    * not coincidental. Evaluate it through a projection barrier (a
+    * separate select) before folding, so the matvec runs once per row.
+    */
+  private[graft] def jlProjection(vec: Column, dIn: Int, planes: Int): Column = {
+    require(planes > 0 && planes < 63, s"need 0 < planes < 63, got $planes")
+    graft.functions.GraftFunctions.matvec_product(
+      vec.cast("array<double>"), jlMatrix(dIn, planes))
+  }
+
+  /** Pack the signs of a projection array into one long — the other half
+    * of the shared bucket kernel (see [[jlProjection]]).
+    */
+  private[graft] def signFold(proj: Column, planes: Int): Column =
+    (0 until planes).map(i =>
+        when(element_at(proj, i + 1) >= 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
 
   /** Per-group embedding centroid + per-row prototypicality: each row's
     * cosine to its group's MEAN vector, with rows below `minCos` flagged

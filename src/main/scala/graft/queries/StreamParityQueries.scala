@@ -58,6 +58,17 @@ object StreamParityQueries {
       .withColumn("ts_doc", timestamp_seconds(col("doc_id") + 86400L))
   }
 
+  /** embeddings as a finite file-source stream with a synthetic
+    * event-time column `ts_vec` (one vector per second, one day past
+    * the epoch — same rationale as [[docStream]]'s offset).
+    */
+  private def embStream(s: SparkSession, d: String): DataFrame = {
+    val path = s"$d/embeddings.parquet"
+    val schema = s.read.parquet(path).schema
+    s.readStream.schema(schema).parquet(Tables.streamableDir(path))
+      .withColumn("ts_vec", timestamp_seconds(col("vec_id") + 86400L))
+  }
+
   val all: Seq[Q] = Seq(
 
     // A3-streaming under the gate: tumbling 1-hour event-time means of
@@ -331,5 +342,41 @@ object StreamParityQueries {
             keysFn = Some((t, n, b, r) => Dedup.splitmixBandKeys(t, n, b, r))).toDF())
         .distinct()
         .orderBy("id1", "id2"),
-      Some(ExtQueries.MinhashStreamSplitmixOracle)))
+      Some(ExtQueries.MinhashStreamSplitmixOracle)),
+
+    // Sign-bucket SEMANTIC-dedup candidates at INGEST under the gate —
+    // the streaming twin of x_semantic_dedup's bucket join. The JL ±1
+    // planes are deterministic and DuckDB-restatable (the same
+    // (i·dim + j)·2654435761 arithmetic the batch oracle regenerates),
+    // so the stateful op itself is driver-checkable: a drained finite
+    // ingest with a beyond-horizon watermark and an uncapped bucket
+    // emits every (earlier, later) pair per bucket — whose DISTINCT is
+    // exactly the batch candidate set. planes = 6 matches the batch
+    // anchor row; dim follows the corpus. Production sizes planes from
+    // expected corpus magnitude and keeps the capped bucket
+    // (StreamingSpec pins batch parity + the cross-batch state path).
+    Q("xs_stream_semantic_pairs",
+      (s, d) => {
+        val dim = Tables.embeddings(s, d)
+          .select(size(col("embedding"))).head().getInt(0)
+        drained(s, "xs_semantic_pairs",
+            StreamingOps.signBucketCandidatePairs(embStream(s, d), "ts_vec",
+              "vec_id", "embedding", dIn = dim, planes = 6,
+              watermark = "3650 days", maxBucket = 1 << 16).toDF())
+          .distinct()
+          .orderBy("id1", "id2")
+      },
+      Some("WITH x AS (SELECT vec_id, len(embedding) AS dim, " +
+        "CAST(unnest(embedding) AS DOUBLE) AS v, " +
+        "generate_subscripts(embedding, 1) - 1 AS j FROM embeddings), " +
+        "io AS (SELECT unnest(generate_series(0, 5)) AS i), " +
+        "p AS (SELECT vec_id, i, sum(v * CASE WHEN " +
+        "((i * dim + j) * 2654435761) % 4294967296 < 2147483648 " +
+        "THEN 1 ELSE -1 END) / sqrt(6.0) AS y FROM x CROSS JOIN io GROUP BY vec_id, i), " +
+        "bk AS (SELECT vec_id, CAST(sum(CASE WHEN y >= 0 " +
+        "THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS bucket " +
+        "FROM p GROUP BY vec_id) " +
+        "SELECT a.vec_id AS id1, b.vec_id AS id2 FROM bk a " +
+        "JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id " +
+        "ORDER BY id1, id2")))
 }

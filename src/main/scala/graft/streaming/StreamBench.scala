@@ -162,6 +162,27 @@ object StreamBench {
       "stream_minhash_pairs" -> docStream(800, 15)(
         StreamingOps.minhashCandidatePairs(_, "ts", "doc_id", "text",
           watermark = "2 minutes").toDF()),
+      // the semantic twin: 2000 64-dim vectors, ~1 in 6 a scaled copy of
+      // an earlier one (same sign bucket by construction) so the bucket
+      // state does real pair emission; one band vs minhash's 8 → more
+      // docs at similar touch count
+      "stream_semantic_pairs" -> (() => {
+        val input = MemoryStream[(Timestamp, Long, Seq[Double])]
+        val rng = new scala.util.Random(16)
+        val t0 = 1700000000000L
+        val seen = new scala.collection.mutable.ArrayBuffer[Seq[Double]]
+        val rows = (0 until 2000).map { i =>
+          val v =
+            if (seen.nonEmpty && rng.nextInt(6) == 0)
+              seen(rng.nextInt(seen.length)).map(_ * (1.0 + rng.nextInt(3)))
+            else { val f = Seq.fill(64)(rng.nextGaussian()); seen += f; f }
+          (new Timestamp(t0 + i * 200L), i.toLong, v)
+        }
+        val out = StreamingOps.signBucketCandidatePairs(
+          input.toDF().toDF("ts", "vec_id", "embedding"), "ts", "vec_id",
+          "embedding", dIn = 64, planes = 9, watermark = "2 minutes").toDF()
+        drain(spark, input, out, chunked(rows))
+      }),
       // RocksDB twins of two stateful rows: at 100 TB-ingest state
       // (billions of dedup hashes, funnel/retention keys) the default
       // in-heap HDFS-backed store stops fitting executors — RocksDB

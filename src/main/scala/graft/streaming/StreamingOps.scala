@@ -301,6 +301,58 @@ object StreamingOps {
       .select(col(idCol).cast("long").as("id"), col(tsCol).as("eventTs"),
         posexplode(bandKeys).as(Seq("band", "bucket")))
       .as[BandedDoc]
+    bucketPairs(banded, watermark, maxBucket)
+  }
+
+  /** Sign-bucket candidate pairs at INGEST time — the streaming half of
+    * the SEMANTIC dedup lane ([[graft.ext.Similarity.semanticDedup]] is
+    * the batch half), sharing the bounded-bucket pair emitter with
+    * [[minhashCandidatePairs]]. Each arriving embedding computes its
+    * `planes`-bit JL sign bucket per-row with the SAME deterministic
+    * kernel as the batch path (`Similarity.jlProjection`/`signFold` —
+    * bitwise identity is structural: a pair is a streaming candidate iff
+    * the batch bucket join would pair it), and every (known, new) pair in
+    * its bucket is emitted for downstream exact-cosine verification.
+    *
+    * `planes` is CALLER-PINNED: a stream cannot run the batch
+    * auto/adaptive occupancy rules (they key on `count(*)` / the bucket
+    * histogram, which an unbounded ingest never has) — size it from the
+    * expected corpus magnitude with the same formula (`2^planes ≥
+    * n/targetBucket`) and re-shard on regime change. Null vectors are
+    * dropped (no vector, no bucket — the batch convention). State
+    * bounds and timeout semantics are [[minhashCandidatePairs]]'s.
+    */
+  def signBucketCandidatePairs(stream: DataFrame, tsCol: String, idCol: String,
+                               vecCol: String, dIn: Int, planes: Int,
+                               watermark: String,
+                               maxBucket: Int = 128): Dataset[CandidatePair] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    import graft.ext.Similarity
+    val banded = stream.withWatermark(tsCol, watermark)
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(tsCol).as("eventTs"),
+        lit(0).as("band"),
+        Similarity.jlProjection(col(vecCol), dIn, planes).as("_proj"))
+      .select(col("id"), col("eventTs"), col("band"),
+        Similarity.signFold(col("_proj"), planes).as("bucket"))
+      .as[BandedDoc]
+    bucketPairs(banded, watermark, maxBucket)
+  }
+
+  /** The shared bounded-bucket pair emitter under
+    * [[minhashCandidatePairs]] and [[signBucketCandidatePairs]]: per
+    * (band, bucket) key, every (known, new) id pair is emitted once per
+    * batch it appears in; state is a bounded id array (`maxBucket` caps
+    * the pathological hot bucket — a bucket that large is a degenerate
+    * near-identical cluster whose first members already link it for
+    * transitive dedup), and the event-time timeout drops buckets idle
+    * past the watermark horizon so state cannot grow without bound.
+    */
+  private def bucketPairs(banded: Dataset[BandedDoc], watermark: String,
+                          maxBucket: Int): Dataset[CandidatePair] = {
+    val spark = banded.sparkSession
+    import spark.implicits._
     banded.groupByKey(d => (d.band, d.bucket))
       .flatMapGroupsWithState[BucketState, CandidatePair](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {

@@ -179,6 +179,43 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming sign-bucket pairs: cross-batch candidates equal the batch " +
+    "semantic bucket join") {
+    implicit val sqlCtx = spark.sqlContext
+    def vec(seed: Int): Seq[Double] =
+      { val r = new scala.util.Random(seed); Seq.fill(16)(r.nextGaussian()) }
+    // 1 = scaled copy of 0 (identical signs → same bucket at any plane
+    // count), 3 = exact copy of 0, 2 = unrelated
+    val v0 = vec(1)
+    val corpus = Seq((0L, v0), (1L, v0.map(_ * 2.0)), (2L, vec(2)), (3L, v0))
+    val input = MemoryStream[(java.sql.Timestamp, Long, Seq[Double])]
+    val df = input.toDF().toDF("ts", "vec_id", "embedding")
+    val out = StreamingOps.signBucketCandidatePairs(df, "ts", "vec_id",
+      "embedding", dIn = 16, planes = 4, watermark = "1 minute")
+    val query = out.writeStream.format("memory").queryName("sb_out")
+      .outputMode("append").start()
+    try {
+      def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+      // 0 and 2 first; 0's twins only in a LATER batch — the state path
+      input.addData(Seq((ts(1), 0L, corpus(0)._2), (ts(2), 2L, corpus(2)._2)))
+      query.processAllAvailable()
+      input.addData(Seq((ts(10), 1L, corpus(1)._2), (ts(11), 3L, corpus(3)._2)))
+      query.processAllAvailable()
+      val streamed = spark.table("sb_out").select("id1", "id2")
+        .distinct().as[(Long, Long)].collect().toSet
+      val bk = graft.ext.Similarity.signBuckets(
+        corpus.toDF("vec_id", "embedding"), "vec_id", "embedding", 16, 4)
+      val batch = bk.as("a")
+        .join(bk.as("b"), col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id"), col("b.vec_id"))
+        .as[(Long, Long)].collect().toSet
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      assert(streamed.contains((0L, 1L)), "scaled twin missed")
+      assert(streamed.contains((0L, 3L)), "cross-batch exact twin missed")
+    } finally query.stop()
+  }
+
   test("streaming session windows agree with batch sessionize on the same events") {
     implicit val sqlCtx = spark.sqlContext
     // deterministic event times: bursts separated by > gap silences
