@@ -283,6 +283,106 @@ object Similarity {
       idCol, vecCol, query, k)
   }
 
+  /** IVF kNN SELF-JOIN — the all-rows form of [[ivfTopK]] (which serves
+    * one query vector at a time): every row probes its `nprobe` nearest
+    * cells and takes its `k` best cosine neighbors among the rows
+    * ASSIGNED to those cells. The coarse quantizer is the
+    * [[ivfIndex]] spherical KMeans, so cells ADAPT to the corpus's
+    * cluster structure — the complementary scale path to the sign-bucket
+    * lanes, whose fixed hyperplanes the r12 ×100 probe showed piling
+    * clustered corpora into hot cells (the adaptive sub-split remedies
+    * that geometrically; IVF dissolves it by construction when nlist is
+    * sized to the cluster count).
+    *
+    * Scale shape: one MatVecProduct per row against the broadcast
+    * centroid matrix, one id-partitioned rank to pick probes (n·nlist
+    * rows), then a cell EQUI-join — candidate work is
+    * Σ_cells probes(cell)·members(cell), never all-pairs. Membership is
+    * argmax-only, probing is top-nprobe — the standard IVF asymmetry —
+    * so a (query, neighbor) candidate appears at most once. Probe
+    * ranking reproduces the KMeans euclidean rule on the normalized
+    * space exactly: argmin ‖v̂−c‖² = argmax (v̂·c − ‖c‖²/2), ties to the
+    * lower cell index.
+    *
+    * KMeans centroids are engine-specific (seeded MLlib init), so this
+    * form is rows-only checkable; [[ivfKnnJoinPinned]] is its
+    * fully-restatable oracle twin. Output: (idCol, neighbor_id, cos,
+    * rank), rank 1..k per id — null vectors dropped (the IVF convention).
+    */
+  def ivfKnnJoin(df: DataFrame, idCol: String, vecCol: String, nlist: Int,
+                 nprobe: Int, k: Int, seed: Long = 42L): DataFrame = {
+    val (_, km) = ivfIndex(df, vecCol, nlist, seed)
+    val centers = km.clusterCenters.map(_.toArray)
+    val offsets = centers.map(c => c.map(x => x * x).sum / 2)
+    ivfKnnJoinCore(df, idCol, vecCol, centers, offsets, nprobe, k)
+  }
+
+  /** [[ivfKnnJoin]] with PINNED anchor centroids — the gate twin: the
+    * `nlist` smallest-id vectors of the corpus itself, L2-normalized,
+    * serve as the coarse quantizer (deterministic and fully
+    * DuckDB-restatable: `ORDER BY id LIMIT nlist` + the same
+    * dot/rank/join/top-k algebra — no RNG, no engine-specific
+    * clustering). With unit centroids the probe rule degenerates to
+    * plain cosine ranking (equal offsets cancel), which is what the
+    * oracle restates. Anchor quality is corpus-luck rather than KMeans
+    * — a verification fixture, not the production quantizer; the shared
+    * [[ivfKnnJoinCore]] is the code under test.
+    */
+  def ivfKnnJoinPinned(df: DataFrame, idCol: String, vecCol: String,
+                       nlist: Int, nprobe: Int, k: Int): DataFrame = {
+    val anchors = df.filter(col(vecCol).isNotNull)
+      .orderBy(col(idCol)).limit(nlist)
+      .select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val unit = anchors.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      c.map(_ / (if (n == 0) 1.0 else n))
+    }
+    ivfKnnJoinCore(df, idCol, vecCol, unit, unit.map(_ => 0.0), nprobe, k)
+  }
+
+  /** Shared probe/join/rank core of [[ivfKnnJoin]]/[[ivfKnnJoinPinned]]:
+    * rank cells per row by (v̂·c − offset_c) desc (ties → lower cell),
+    * rank 1 is the row's MEMBERSHIP cell, ranks 1..nprobe its probe
+    * list; candidates = probe-list × same-cell members (self excluded),
+    * verified with exact cosine on the ORIGINAL vectors, top-k per
+    * query by (cos desc, neighbor id).
+    */
+  private def ivfKnnJoinCore(df: DataFrame, idCol: String, vecCol: String,
+                             centroids: Array[Array[Double]],
+                             offsets: Array[Double], nprobe: Int,
+                             k: Int): DataFrame = {
+    require(nprobe >= 1 && k >= 1, s"need nprobe/k >= 1, got $nprobe/$k")
+    val vecD = col(vecCol).cast("array<double>")
+    val unitV = transform(vecD, x => x / sqrt(aggregate(
+      zip_with(vecD, vecD, (a, b) => a * b), lit(0.0), (acc, x) => acc + x)))
+    val offArr = array(offsets.map(lit(_)): _*)
+    val rows = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol), vecD.as("_v"),
+        zip_with(
+          graft.functions.GraftFunctions.matvec_product(unitV, centroids),
+          offArr, (d, o) => d - o).as("_score"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("_dot").desc, col("_ci"))
+    val ranked = rows
+      .select(col(idCol), col("_v"), posexplode(col("_score")).as(Seq("_ci", "_dot")))
+      .withColumn("_rk", row_number().over(wc))
+      .filter(col("_rk") <= math.max(nprobe, 1))
+    val members = ranked.filter(col("_rk") === 1)
+      .select(col("_ci").as("_mcell"), col(idCol).as("neighbor_id"),
+        col("_v").as("_nv"))
+    val probes = ranked
+      .select(col(idCol).as("_qid"), col("_v").as("_qv"), col("_ci"))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy("_qid").orderBy(col("cos").desc, col("neighbor_id"))
+    probes.join(members, col("_ci") === col("_mcell"))
+      .filter(col("_qid") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("_qv"), col("_nv")))
+      .withColumn("rank", row_number().over(wk).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("_qid").as(idCol), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above `minCos`, restricted to a
     * candidate id range (all-pairs within the range — the exact
     * verification shape; candidate generation at scale comes from

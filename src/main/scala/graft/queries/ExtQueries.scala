@@ -193,6 +193,51 @@ object ExtQueries {
       "SELECT id1, id2, round(dt / (sqrt(n1) * sqrt(n2)), 6) AS cos FROM cs " +
       "WHERE dt / (sqrt(n1) * sqrt(n2)) > 0.4 ORDER BY id1, id2"
 
+  /** Oracle for `x_ivf_knn_join_pinned` (nlist 8, nprobe 2, k 3): the
+    * full pinned-anchor IVF join restated — anchors are the 8
+    * smallest-id vectors L2-normalized; each row's anchor dots rank
+    * (dot desc, cell asc); rank 1 assigns membership, ranks ≤ 2 the
+    * probe list; candidates join probe→member cells (self excluded)
+    * and the exact cosine top-3 per query ranks (cos desc, neighbor).
+    * Row vectors are normalized INSIDE the dot (x/‖v‖ per element,
+    * mirroring the Spark `transform` then MatVecProduct shape).
+    */
+  private val IvfKnnJoinPinnedOracle: String =
+    "WITH cn AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, embedding " +
+      "FROM (SELECT vec_id, embedding FROM embeddings " +
+      "WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 8)), " +
+      "cc AS (SELECT ci, generate_subscripts(embedding, 1) - 1 AS j, " +
+      "CAST(unnest(embedding) AS DOUBLE) AS x FROM cn), " +
+      "cno AS (SELECT ci, sqrt(sum(x * x)) AS nrm FROM cc GROUP BY ci), " +
+      "ccn AS (SELECT cc.ci, cc.j, cc.x / cno.nrm AS x " +
+      "FROM cc JOIN cno ON cc.ci = cno.ci), " +
+      "ve AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j, " +
+      "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings " +
+      "WHERE embedding IS NOT NULL), " +
+      "vno AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ve GROUP BY vec_id), " +
+      "dt AS (SELECT ve.vec_id, ccn.ci, sum(ve.x / vno.nrm * ccn.x) AS dot " +
+      "FROM ve JOIN vno ON ve.vec_id = vno.vec_id " +
+      "JOIN ccn ON ve.j = ccn.j GROUP BY 1, 2), " +
+      "pr AS (SELECT vec_id, ci, row_number() OVER " +
+      "(PARTITION BY vec_id ORDER BY dot DESC, ci) AS rk FROM dt), " +
+      "mem AS (SELECT vec_id, ci FROM pr WHERE rk = 1), " +
+      "prob AS (SELECT vec_id, ci FROM pr WHERE rk <= 2), " +
+      "cand AS (SELECT p.vec_id AS qid, m.vec_id AS nid FROM prob p " +
+      "JOIN mem m ON p.ci = m.ci AND p.vec_id <> m.vec_id), " +
+      "pe AS (SELECT cand.qid, cand.nid, unnest(e1.embedding) AS x1, " +
+      "unnest(e2.embedding) AS x2 FROM cand " +
+      "JOIN embeddings e1 ON e1.vec_id = cand.qid " +
+      "JOIN embeddings e2 ON e2.vec_id = cand.nid), " +
+      "cs AS (SELECT qid, nid, " +
+      "sum(CAST(x1 AS DOUBLE) * CAST(x2 AS DOUBLE)) AS dt2, " +
+      "sum(CAST(x1 AS DOUBLE) * CAST(x1 AS DOUBLE)) AS n1, " +
+      "sum(CAST(x2 AS DOUBLE) * CAST(x2 AS DOUBLE)) AS n2 FROM pe GROUP BY 1, 2), " +
+      "rnk AS (SELECT qid, nid, dt2 / (sqrt(n1) * sqrt(n2)) AS cos, " +
+      "row_number() OVER (PARTITION BY qid " +
+      "ORDER BY dt2 / (sqrt(n1) * sqrt(n2)) DESC, nid) AS rank FROM cs) " +
+      "SELECT qid AS vec_id, nid AS neighbor_id, round(cos, 6) AS cos, rank " +
+      "FROM rnk WHERE rank <= 3 ORDER BY vec_id, rank"
+
   /** Oracle for `x_cosine_near_dup_lsh_auto`: same pipeline, with the
     * band width derived from `count(*)` by the shared autoPlanes rule
     * (min bits ≥ 8 with 2^bits ≥ ceil(n / 64)) and 16 × bits planes
@@ -3181,6 +3226,37 @@ object ExtQueries {
           .select(col("vec_id"), round(col("cos"), 6).as("cos"))
       },
       Some(BruteForceTopKSql)),
+
+    // IVF kNN SELF-JOIN (r13): the all-rows form of the IVF lane —
+    // x_ann_ivf serves one query vector; this probes nprobe cells PER
+    // ROW and joins on the cell id. The production quantizer is the
+    // ivfIndex spherical KMeans (engine-specific seeded centroids →
+    // rows-only), with the ENTIRE probe/membership/join/top-k algebra
+    // under the gate via the pinned twin below (shared ivfKnnJoinCore —
+    // only the centroid source differs).
+    Q("x_ivf_knn_join",
+      (s, d) => Similarity.ivfKnnJoin(Tables.embeddings(s, d), "vec_id",
+          "embedding", nlist = 8, nprobe = 2, k = 3)
+        .select(col("vec_id"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos"), col("rank"))
+        .orderBy("vec_id", "rank"),
+      None),
+
+    // The gate twin: pinned anchor centroids (the nlist smallest-id
+    // vectors, L2-normalized — ORDER BY id LIMIT nlist, no RNG), so the
+    // oracle restates the quantizer itself: normalized-anchor dots,
+    // (dot desc, cell) probe ranking, rank-1 membership, the cell
+    // equi-join with self exclusion, exact cosine, and the (cos desc,
+    // neighbor) top-k. Cross-engine exposure is rank flips between
+    // near-equal dots/cosines — the documented knnJoinOracleSql class
+    // (distinct values sit far above fp noise on this corpus).
+    Q("x_ivf_knn_join_pinned",
+      (s, d) => Similarity.ivfKnnJoinPinned(Tables.embeddings(s, d), "vec_id",
+          "embedding", nlist = 8, nprobe = 2, k = 3)
+        .select(col("vec_id"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos"), col("rank"))
+        .orderBy("vec_id", "rank"),
+      Some(IvfKnnJoinPinnedOracle)),
 
     // M3 — FFT magnitude per sliding window (native Catalyst expression).
     // DuckDB has no FFT, but the REPORTED bins are low-order DFT

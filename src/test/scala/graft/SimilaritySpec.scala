@@ -51,6 +51,40 @@ class SimilaritySpec extends SparkSpec {
       s"missed=${(exact -- composed).take(5)} spurious=${(composed -- exact).take(5)}")
   }
 
+  test("ivfKnnJoin: full-probe pinned join degenerates to exact top-k; " +
+    "KMeans form returns n·k rows with real recall") {
+    val k = 5
+    val vecs = fixture.as[(Long, Seq[Double])].collect().toMap
+    def cosD(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum) / math.sqrt(b.map(x => x * x).sum)
+    }
+    val exact = vecs.keys.map { q =>
+      q -> vecs.keys.filter(_ != q).toSeq
+        .map(n => (n, cosD(vecs(q), vecs(n))))
+        .sortBy { case (n, c) => (-c, n) }.take(k).map(_._1)
+    }.toMap
+    // probing ALL cells reaches every member exactly once → the exact
+    // directed top-k, whatever the anchors are (the x_ann_ivf_full_probe
+    // audit, at the join shape)
+    val got = Similarity.ivfKnnJoinPinned(fixture, "vec_id", "embedding",
+        nlist = 4, nprobe = 4, k = k)
+      .select("vec_id", "neighbor_id", "rank").as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._3).map(_._2).toSeq }
+    assert(got.keySet == exact.keySet, "some query lost its neighbor list")
+    got.foreach { case (q, ns) =>
+      assert(ns == exact(q), s"query $q: $ns vs exact ${exact(q)}") }
+    // the production KMeans form at nprobe < nlist: one row per (query,
+    // rank), and the probed-cells recall trade still finds most top-1s
+    val prod = Similarity.ivfKnnJoin(fixture, "vec_id", "embedding",
+        nlist = 8, nprobe = 2, k = 1)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(prod.size == vecs.size, s"expected ${vecs.size} rows, got ${prod.size}")
+    val hit = prod.count { case (q, n) => exact(q).headOption.contains(n) }
+    assert(hit.toDouble / vecs.size >= 0.5,
+      s"top-1 recall ${hit.toDouble / vecs.size} < 0.5")
+  }
+
   test("cosineNearDupLshAuto: width follows the occupancy rule; degenerate " +
     "at minBits; scaled twins survive any width") {
     // n = 200, targetBucket = 64 → needed = 4 → bits resolves to minBits = 8:
