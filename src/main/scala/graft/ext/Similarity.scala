@@ -249,9 +249,15 @@ object Similarity {
   private[graft] def ivfFitInput(df: DataFrame, vecCol: String): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
     val vecD = col(vecCol).cast("array<double>")
-    val unit = transform(vecD, v => v / sqrt(aggregate(
-      zip_with(vecD, vecD, (a, b) => a * b), lit(0.0), (acc, x) => acc + x)))
-    df.filter(col(vecCol).isNotNull).withColumn("_ivf_v", array_to_vector(unit))
+    // norm once (a per-element lambda aggregate would re-evaluate it d
+    // times — O(d²)/row); zero-norm rows dropped like nulls: they have
+    // no direction, and 0/0 would feed NaN features into KMeans.fit
+    df.filter(col(vecCol).isNotNull)
+      .withColumn("_ivf_nrm", sqrt(aggregate(
+        zip_with(vecD, vecD, (a, b) => a * b), lit(0.0), (acc, x) => acc + x)))
+      .filter(col("_ivf_nrm") > 0)
+      .withColumn("_ivf_v", array_to_vector(transform(vecD, v => v / col("_ivf_nrm"))))
+      .drop("_ivf_nrm")
   }
 
   def ivfIndex(df: DataFrame, vecCol: String, nlist: Int, seed: Long = 42L):
@@ -348,13 +354,18 @@ object Similarity {
     */
   def ivfKnnJoinPinned(df: DataFrame, idCol: String, vecCol: String,
                        nlist: Int, nprobe: Int, k: Int): DataFrame = {
+    val vecD = col(vecCol).cast("array<double>")
+    // zero-norm rows can't anchor a cell (no direction) — same exclusion
+    // the core applies to query/member rows, mirrored in the oracle
     val anchors = df.filter(col(vecCol).isNotNull)
+      .filter(aggregate(zip_with(vecD, vecD, (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x) > 0)
       .orderBy(col(idCol)).limit(nlist)
-      .select(col(vecCol).cast("array<double>")).collect()
+      .select(vecD).collect()
       .map(_.getSeq[Double](0).toArray)
     val unit = anchors.map { c =>
       val n = math.sqrt(c.map(x => x * x).sum)
-      c.map(_ / (if (n == 0) 1.0 else n))
+      c.map(_ / n)
     }
     ivfKnnJoinCore(df, idCol, vecCol, unit, unit.map(_ => 0.0), nprobe, k)
   }
@@ -372,14 +383,29 @@ object Similarity {
                              k: Int): DataFrame = {
     require(nprobe >= 1 && k >= 1, s"need nprobe/k >= 1, got $nprobe/$k")
     val vecD = col(vecCol).cast("array<double>")
-    val unitV = transform(vecD, x => x / sqrt(aggregate(
-      zip_with(vecD, vecD, (a, b) => a * b), lit(0.0), (acc, x) => acc + x)))
     val offArr = array(offsets.map(lit(_)): _*)
+    // (v̂·c) = (v·c)/‖v‖ — matvec the RAW vector and divide the dots by a
+    // ONCE-computed norm column: normalizing inside a transform lambda
+    // re-evaluates the norm aggregate per array element (O(d²) per row,
+    // the r13-advice finding). Zero-norm vectors are dropped alongside
+    // nulls — a zero vector has no direction, hence no probe cell and no
+    // cosine (NaN under the old path); the pinned oracle filters the
+    // same rows, and [[ivfKnnJoinPinned]] excludes them as anchors.
     val rows = df.filter(col(vecCol).isNotNull)
       .select(col(idCol), vecD.as("_v"),
+        sqrt(aggregate(zip_with(vecD, vecD, (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x)).as("_nrm"))
+      .filter(col("_nrm") > 0)
+      // reciprocal-multiply, not divide: projection collapse fuses this
+      // select with the filter above, and under ANSI mode the fused
+      // division would throw on the zero-norm row the filter is about
+      // to drop (evaluation order inside one stage is not the filter's)
+      .select(col(idCol), col("_v"),
+        when(col("_nrm") > 0, lit(1.0) / col("_nrm")).otherwise(lit(0.0)).as("_inv"))
+      .select(col(idCol), col("_v"),
         zip_with(
-          graft.functions.GraftFunctions.matvec_product(unitV, centroids),
-          offArr, (d, o) => d - o).as("_score"))
+          graft.functions.GraftFunctions.matvec_product(col("_v"), centroids),
+          offArr, (d, o) => d * col("_inv") - o).as("_score"))
     val wc = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy(col("_dot").desc, col("_ci"))
     val ranked = rows
@@ -640,12 +666,17 @@ object Similarity {
     * every pair: cross-cluster edges are the rep-level adaptive pairs
     * (members share their representative's cosines), and each twin
     * cluster contributes STAR edges (rep → member, literal cos = 1.0)
-    * instead of its m·(m−1)/2 within-cluster pairs. Any two rows
-    * near-dup-connected in the full graph are connected through their
-    * representatives in the cover and vice versa — so connected
-    * components (the thing a dedup pass consumes) are EXACTLY
-    * preserved while output and pair work stay linear in duplicate
-    * multiplicity instead of quadratic. The `bucket` column is dropped:
+    * instead of its m·(m−1)/2 within-cluster pairs. The guarantee is
+    * ONE-directional: every connection the uncollapsed adaptive pair
+    * graph makes survives in the cover (members connect through their
+    * representatives), so no component ever splits — but collapsing
+    * shrinks the bucket-occupancy histogram, so fewer cells cross the
+    * sub-split cap, and the cover can keep true near-dup edges the
+    * uncollapsed run's extra split planes would have dropped: the
+    * cover may MERGE components the adaptive form keeps separate
+    * (always via genuine cos ≥ minCos edges — recall strictly gains).
+    * Output and pair work stay linear in duplicate multiplicity
+    * instead of quadratic. The `bucket` column is dropped:
     * star edges have no bucket, and the post-split rep bucket is an
     * internal detail ([[semanticDedupAdaptive]] still exposes it).
     *

@@ -199,13 +199,28 @@ object ExtQueries {
     * (dot desc, cell asc); rank 1 assigns membership, ranks ≤ 2 the
     * probe list; candidates join probe→member cells (self excluded)
     * and the exact cosine top-3 per query ranks (cos desc, neighbor).
-    * Row vectors are normalized INSIDE the dot (x/‖v‖ per element,
-    * mirroring the Spark `transform` then MatVecProduct shape).
+    * Row vectors are normalized INSIDE the dot (dot/‖v‖, mirroring the
+    * Spark matvec-then-divide shape). Zero-norm vectors are excluded on
+    * BOTH sides — as anchors and as query/member rows — mirroring the
+    * engine's guard (r13 advice: an unguarded zero norm diverges to
+    * NaN in Spark and to a division error here).
     */
   private val IvfKnnJoinPinnedOracle: String =
-    "WITH cn AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, embedding " +
+    ivfKnnJoinPinnedOracleSql("8", "2", "3")
+
+  /** The pinned-anchor IVF oracle with anchor count / probe width /
+    * top-k as SQL expressions, shared by the fixed (nlist 8) and
+    * count-derived (`x_ivf_knn_join_auto_pinned`) rows. `nlistExpr`
+    * may reference CTEs prepended by the caller via `preCtes`.
+    */
+  private def ivfKnnJoinPinnedOracleSql(nlistExpr: String, nprobeExpr: String,
+                                        kExpr: String, preCtes: String = ""): String =
+    "WITH " + (if (preCtes.isEmpty) "" else preCtes + ", ") +
+      "cn AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, embedding " +
       "FROM (SELECT vec_id, embedding FROM embeddings " +
-      "WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 8)), " +
+      "WHERE embedding IS NOT NULL AND " +
+      "list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0 " +
+      s"ORDER BY vec_id LIMIT $nlistExpr)), " +
       "cc AS (SELECT ci, generate_subscripts(embedding, 1) - 1 AS j, " +
       "CAST(unnest(embedding) AS DOUBLE) AS x FROM cn), " +
       "cno AS (SELECT ci, sqrt(sum(x * x)) AS nrm FROM cc GROUP BY ci), " +
@@ -217,11 +232,11 @@ object ExtQueries {
       "vno AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ve GROUP BY vec_id), " +
       "dt AS (SELECT ve.vec_id, ccn.ci, sum(ve.x / vno.nrm * ccn.x) AS dot " +
       "FROM ve JOIN vno ON ve.vec_id = vno.vec_id " +
-      "JOIN ccn ON ve.j = ccn.j GROUP BY 1, 2), " +
+      "JOIN ccn ON ve.j = ccn.j WHERE vno.nrm > 0 GROUP BY 1, 2), " +
       "pr AS (SELECT vec_id, ci, row_number() OVER " +
       "(PARTITION BY vec_id ORDER BY dot DESC, ci) AS rk FROM dt), " +
       "mem AS (SELECT vec_id, ci FROM pr WHERE rk = 1), " +
-      "prob AS (SELECT vec_id, ci FROM pr WHERE rk <= 2), " +
+      s"prob AS (SELECT vec_id, ci FROM pr WHERE rk <= $nprobeExpr), " +
       "cand AS (SELECT p.vec_id AS qid, m.vec_id AS nid FROM prob p " +
       "JOIN mem m ON p.ci = m.ci AND p.vec_id <> m.vec_id), " +
       "pe AS (SELECT cand.qid, cand.nid, unnest(e1.embedding) AS x1, " +
@@ -236,7 +251,7 @@ object ExtQueries {
       "row_number() OVER (PARTITION BY qid " +
       "ORDER BY dt2 / (sqrt(n1) * sqrt(n2)) DESC, nid) AS rank FROM cs) " +
       "SELECT qid AS vec_id, nid AS neighbor_id, round(cos, 6) AS cos, rank " +
-      "FROM rnk WHERE rank <= 3 ORDER BY vec_id, rank"
+      s"FROM rnk WHERE rank <= $kExpr ORDER BY vec_id, rank"
 
   /** Oracle for `x_cosine_near_dup_lsh_auto`: same pipeline, with the
     * band width derived from `count(*)` by the shared autoPlanes rule
@@ -2754,9 +2769,10 @@ object ExtQueries {
     // connected-cover contract — rep-level pairs carry cross-cluster
     // edges, twin clusters contribute star edges (rep → member, cos
     // 1.0) instead of their quadratic within-cluster pair sets, and
-    // connected components of the full near-dup graph are preserved
-    // exactly (pinned by SimilaritySpec). No bucket column: star edges
-    // have none.
+    // every connection of the uncollapsed pair graph survives in the
+    // cover (one-directional — see the scaladoc; component parity on
+    // this corpus pinned by SimilaritySpec). No bucket column: star
+    // edges have none.
     Q("x_semantic_dedup_collapsed",
       (s, d) => Similarity.semanticDedupCollapsed(Tables.embeddings(s, d), "vec_id",
           "embedding", dIn = queryVec(s, d).length, minCos = 0.4)

@@ -85,6 +85,27 @@ class SimilaritySpec extends SparkSpec {
       s"top-1 recall ${hit.toDouble / vecs.size} < 0.5")
   }
 
+  test("ivfKnnJoin pinned: zero-norm vectors are excluded as anchors and rows " +
+    "(no NaN, result identical to the zero-free corpus)") {
+    // the zero vector takes the SMALLEST id, so an unguarded anchor
+    // selection would seat it as cell 0 and its 0/0 dots would NaN every
+    // probe ranking (the r13 advice scenario)
+    val withZero = fixture.union(
+      Seq((-1L, Seq.fill(dim)(0.0))).toDF("vec_id", "embedding"))
+    val got = Similarity.ivfKnnJoinPinned(withZero, "vec_id", "embedding",
+        nlist = 4, nprobe = 2, k = 3)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(got.nonEmpty)
+    assert(!got.exists(r => r._1 == -1L || r._2 == -1L),
+      "zero-norm vector must not appear as query or neighbor")
+    assert(!got.exists(_._3.isNaN), "NaN cosine leaked through the guard")
+    val clean = Similarity.ivfKnnJoinPinned(fixture, "vec_id", "embedding",
+        nlist = 4, nprobe = 2, k = 3)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(got.toSet == clean.toSet,
+      "a zero-norm row must be a no-op for everyone else's neighbors")
+  }
+
   test("cosineNearDupLshAuto: width follows the occupancy rule; degenerate " +
     "at minBits; scaled twins survive any width") {
     // n = 200, targetBucket = 64 → needed = 4 → bits resolves to minBits = 8:
