@@ -301,8 +301,9 @@ object Similarity {
     * sized to the cluster count).
     *
     * Scale shape: one MatVecProduct per row against the broadcast
-    * centroid matrix, one id-partitioned rank to pick probes (n·nlist
-    * rows), then a cell EQUI-join — candidate work is
+    * centroid matrix, an IN-ROW sort of the nlist scores to pick the
+    * probe list (no explode, no shuffle — n rows stay n rows until the
+    * join), then a cell EQUI-join — candidate work is
     * Σ_cells probes(cell)·members(cell), never all-pairs. Membership is
     * argmax-only, probing is top-nprobe — the standard IVF asymmetry —
     * so a (query, neighbor) candidate appears at most once. Probe
@@ -310,12 +311,19 @@ object Similarity {
     * space exactly: argmin ‖v̂−c‖² = argmax (v̂·c − ‖c‖²/2), ties to the
     * lower cell index.
     *
-    * `nlist` is the scale dial: expected candidate work is
-    * n·nprobe·(n/nlist), so hold n/nlist at a target cell size (the
-    * [[autoPlanes]] discipline — e.g. nlist = n/64) or the join goes
-    * quadratic exactly like a pinned plane count. The registry row pins
-    * nlist = 8 for restatability at the gate sf — a verification
-    * fixture choice, not production guidance.
+    * `nlist` is the scale dial, and it has TWO quadratics to dodge, not
+    * one: candidate verification is n·nprobe·(n/nlist) (explodes when
+    * nlist is pinned), but assignment + probe ranking is n·nlist rows
+    * (explodes when nlist chases a fixed cell size, n/targetCell — that
+    * rule just moves the quadratic one stage earlier). The product of
+    * the two terms is n²·nprobe regardless, so their SUM is minimized
+    * where they balance: nlist = √(n·nprobe) — total work ∝ n^1.5, the
+    * standard IVF sizing (FAISS's nlist ≈ √n guidance). That is what
+    * [[ivfKnnJoinAuto]] (and the nlist-free overload of this method)
+    * derives via [[autoNlist]]; prefer those unless a stored oracle
+    * pins the geometry. The registry row pins nlist = 8 for
+    * restatability at the gate sf — a verification fixture choice, not
+    * production guidance.
     *
     * KMeans centroids are engine-specific (seeded MLlib init), so this
     * form is rows-only checkable; [[ivfKnnJoinPinned]] is its
@@ -326,6 +334,61 @@ object Similarity {
                  nprobe: Int, k: Int, seed: Long = 42L): DataFrame =
     ivfKnnJoinFromModel(df, idCol, vecCol, ivfIndex(df, vecCol, nlist, seed)._2,
       nprobe, k)
+
+  /** The nlist-free form IS the default ([[knnJoin]]'s planes-free
+    * precedent): `nlist` follows the corpus size via [[autoNlist]], so
+    * the reachable API cannot ship the pinned-geometry quadratic the
+    * r13 sweep caught on every fixed-dial ANN lane. Delegates to
+    * [[ivfKnnJoinAuto]].
+    */
+  def ivfKnnJoin(df: DataFrame, idCol: String, vecCol: String,
+                 nprobe: Int, k: Int): DataFrame =
+    ivfKnnJoinAuto(df, idCol, vecCol, nprobe, k)
+
+  /** [[ivfKnnJoin]] with `nlist` derived from the corpus by the
+    * balance rule (one cheap `count()`, the [[knnJoinAuto]] pattern):
+    * the smallest integer ≥ `minList` with nlist² ≥ n·nprobe — the
+    * point where the two stage costs cross (assignment/probe ranking
+    * n·nlist vs candidate verification n·nprobe·(n/nlist)), so total
+    * work grows as n^1.5 instead of n² whichever stage a fixed dial
+    * would have pinned. See the [[ivfKnnJoin]] scaladoc for the
+    * derivation; [[autoNlist]] keeps the arithmetic integer-exact so
+    * an external engine (the `x_ivf_knn_join_auto_pinned` oracle)
+    * re-derives the same nlist from `count(*)` alone.
+    */
+  def ivfKnnJoinAuto(df: DataFrame, idCol: String, vecCol: String,
+                     nprobe: Int, k: Int, minList: Int = 8,
+                     seed: Long = 42L): DataFrame =
+    ivfKnnJoin(df, idCol, vecCol, autoNlist(df.count(), nprobe, minList),
+      nprobe, k, seed)
+
+  /** [[ivfKnnJoinPinned]] with the [[autoNlist]] count-derived anchor
+    * count — the gate twin of [[ivfKnnJoinAuto]]: same deterministic
+    * smallest-id anchors, but `nlist` follows `count(*)` by the same
+    * integer rule the production form applies, so the oracle restates
+    * BOTH the join algebra and the scale dial (the rule is exercised,
+    * not hard-coded, at every corpus size the gate runs).
+    */
+  def ivfKnnJoinPinnedAuto(df: DataFrame, idCol: String, vecCol: String,
+                           nprobe: Int, k: Int, minList: Int = 8): DataFrame =
+    ivfKnnJoinPinned(df, idCol, vecCol, autoNlist(df.count(), nprobe, minList),
+      nprobe, k)
+
+  /** The [[ivfKnnJoinAuto]] nlist rule — pure so the boundary
+    * arithmetic is unit-testable: smallest `nlist >= minList` with
+    * `nlist² >= n·nprobe` (integer-exact — a floating `ceil(sqrt(…))`
+    * can land on either side of a perfect square across engines, the
+    * [[autoPlanes]] precedent).
+    */
+  private[graft] def autoNlist(n: Long, nprobe: Int, minList: Int): Int = {
+    require(n >= 0 && nprobe >= 1 && minList >= 1,
+      s"need n >= 0, nprobe/minList >= 1, got $n/$nprobe/$minList")
+    val target = n * nprobe
+    var m = math.max(minList.toLong, math.sqrt(target.toDouble).toLong)
+    while (m > minList && (m - 1) * (m - 1) >= target) m -= 1
+    while (m * m < target) m += 1
+    math.min(m, Int.MaxValue.toLong).toInt
+  }
 
   /** [[ivfKnnJoin]] against an ALREADY-FITTED quantizer — the
     * build-once/join-many lifecycle (the [[ivfIndex]] fit is the
@@ -382,6 +445,7 @@ object Similarity {
                              offsets: Array[Double], nprobe: Int,
                              k: Int): DataFrame = {
     require(nprobe >= 1 && k >= 1, s"need nprobe/k >= 1, got $nprobe/$k")
+    require(centroids.nonEmpty, "need at least one centroid")
     val vecD = col(vecCol).cast("array<double>")
     val offArr = array(offsets.map(lit(_)): _*)
     // (v̂·c) = (v·c)/‖v‖ — matvec the RAW vector and divide the dots by a
@@ -406,17 +470,24 @@ object Similarity {
         zip_with(
           graft.functions.GraftFunctions.matvec_product(col("_v"), centroids),
           offArr, (d, o) => d * col("_inv") - o).as("_score"))
-    val wc = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol).orderBy(col("_dot").desc, col("_ci"))
-    val ranked = rows
-      .select(col(idCol), col("_v"), posexplode(col("_score")).as(Seq("_ci", "_dot")))
-      .withColumn("_rk", row_number().over(wc))
-      .filter(col("_rk") <= math.max(nprobe, 1))
-    val members = ranked.filter(col("_rk") === 1)
-      .select(col("_ci").as("_mcell"), col(idCol).as("neighbor_id"),
-        col("_v").as("_nv"))
-    val probes = ranked
-      .select(col(idCol).as("_qid"), col("_v").as("_qv"), col("_ci"))
+    // Probe selection is per-row arithmetic, so keep it IN the row: sort
+    // (−score, ci) structs and slice the first nprobe — the same (dot
+    // desc, ties → lower cell) order the spec pins. The r13 shape
+    // posexploded n·nlist rows through a partitioned rank window first;
+    // with the balance-rule nlist = √(n·nprobe) that explode is an
+    // n^1.5-row SHUFFLE (126 M rows at the ×10 sweep) for a decision
+    // each row can make alone. Now nothing data-sized moves until the
+    // cell equi-join, and only n·nprobe probe rows enter it.
+    val probed = rows.withColumn("_probes", slice(array_sort(
+        zip_with(col("_score"), sequence(lit(0), lit(centroids.length - 1)),
+          (s, i) => struct((s * lit(-1.0)).as("ns"), i.as("ci")))),
+      1, math.max(nprobe, 1)))
+    val members = probed
+      .select(element_at(col("_probes"), 1).getField("ci").as("_mcell"),
+        col(idCol).as("neighbor_id"), col("_v").as("_nv"))
+    val probes = probed
+      .select(col(idCol).as("_qid"), col("_v").as("_qv"),
+        explode(col("_probes").getField("ci")).as("_ci"))
     val wk = org.apache.spark.sql.expressions.Window
       .partitionBy("_qid").orderBy(col("cos").desc, col("neighbor_id"))
     probes.join(members, col("_ci") === col("_mcell"))
@@ -505,6 +576,30 @@ object Similarity {
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String, dIn: Int,
                     planes: Int, minCos: Double): DataFrame =
     pairCos(signBuckets(df, idCol, vecCol, dIn, planes), idCol, minCos)
+
+  /** The planes-free form IS the default ([[knnJoin]]'s precedent), and
+    * it dispatches to [[semanticDedupCollapsed]] — the one composition
+    * that survives both measured scale failure modes (data-scaled +
+    * sub-split planes for clustered skew, exact-twin collapse for
+    * duplicate mass; r13 probe: 193–210 s auto → 5–7 s collapsed on the
+    * duplicate-heavy ×100 corpus, identity-cost without twins).
+    *
+    * OUTPUT CONTRACT — read before switching from a pinned form: this
+    * returns a CONNECTED-COVER `(id1, id2, cos)` of the near-duplicate
+    * graph, NOT the full within-bucket pair set, and carries NO
+    * `bucket` column. Twin clusters appear as rep→member star edges
+    * (cos = 1.0) instead of all m·(m−1)/2 pairs; connected components
+    * — what a keep-one-representative dedup pass consumes — never
+    * split versus the pair-set forms (see [[semanticDedupCollapsed]]
+    * for the one-directional fine print). Callers that need every
+    * individual pair (or the bucket id) should use
+    * [[semanticDedupAdaptive]] (full pairs, hot on duplicate mass) or
+    * [[semanticDedupAuto]] (full pairs, hot on clustered skew) and
+    * accept their documented scale trades.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String, dIn: Int,
+                    minCos: Double): DataFrame =
+    semanticDedupCollapsed(df, idCol, vecCol, dIn, minCos)
 
   /** The pairing half of semantic dedup over an already-bucketed frame
     * (idCol, bucket, _v): within-bucket candidates via the bucket
@@ -899,6 +994,17 @@ object Similarity {
     * for planes = 6) are IDENTICAL to `knnJoin(…, planes = 6, …)`
     * below that size, and the plane count starts growing exactly when
     * the data does.
+    *
+    * STEER (r13 ×10 sweep, the pinned-overload precedent at
+    * [[knnJoin]]): this mid-tier form holds AVERAGE occupancy only —
+    * on real corpora the hot sign-cell still grows superlinearly
+    * (measured ×13.0 wall at ×10 data vs ×6.6 adaptive / ×2.7
+    * collapsed on the same corpus). It remains public solely as the
+    * oracle-continuity anchor for the `x_knn_join_auto` registry row
+    * and as the below-cap reference semantics; new callers should use
+    * the planes-free [[knnJoin]] (the full collapsed+adaptive
+    * composition) or [[knnJoinAdaptive]] when the full per-pair output
+    * of this form is required.
     */
   def knnJoinAuto(df: DataFrame, idCol: String, vecCol: String, dIn: Int,
                   k: Int, targetBucket: Long = 64L, minPlanes: Int = 6): DataFrame =

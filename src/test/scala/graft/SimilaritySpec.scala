@@ -85,6 +85,43 @@ class SimilaritySpec extends SparkSpec {
       s"top-1 recall ${hit.toDouble / vecs.size} < 0.5")
   }
 
+  test("autoNlist: integer balance-rule boundaries (smallest nlist >= minList " +
+    "with nlist^2 >= n*nprobe)") {
+    import Similarity.autoNlist
+    assert(autoNlist(0, 2, 8) == 8, "empty corpus resolves to minList")
+    assert(autoNlist(31, 2, 8) == 8, "below minList^2/nprobe the floor holds")
+    assert(autoNlist(32, 2, 8) == 8, "exact boundary: 8^2 = 64 = 32*2")
+    assert(autoNlist(33, 2, 8) == 9, "one row past the boundary steps up")
+    assert(autoNlist(128, 2, 8) == 16, "perfect square lands exactly (16^2 = 256)")
+    assert(autoNlist(100, 2, 8) == 15, "15^2 = 225 >= 200 > 14^2 = 196")
+    assert(autoNlist(200000, 2, 8) == 633, "the gapped-sf1 sweep size")
+  }
+
+  test("ivfKnnJoinAuto: pinned-auto twin equals the pinned form at the derived " +
+    "nlist; nlist-free default equals the auto form") {
+    // n = 200, nprobe = 2 -> smallest m with m^2 >= 400 is exactly 20
+    val derived = Similarity.autoNlist(200L, 2, 8)
+    assert(derived == 20)
+    val pinnedAuto = Similarity.ivfKnnJoinPinnedAuto(fixture, "vec_id", "embedding",
+        nprobe = 2, k = 3)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val pinnedExplicit = Similarity.ivfKnnJoinPinned(fixture, "vec_id", "embedding",
+        nlist = derived, nprobe = 2, k = 3)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(pinnedAuto == pinnedExplicit, "auto twin must equal pinned at the derived nlist")
+    // the nlist-free default overload dispatches to the auto (KMeans)
+    // form — same seeded fit, so the result is identical
+    val default = Similarity.ivfKnnJoin(fixture, "vec_id", "embedding",
+        nprobe = 2, k = 3)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val auto = Similarity.ivfKnnJoinAuto(fixture, "vec_id", "embedding",
+        nprobe = 2, k = 3)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(default == auto, "nlist-free ivfKnnJoin must dispatch to the auto form")
+    assert(default.map(_._1) == fixture.as[(Long, Seq[Double])].collect()
+      .map(_._1).toSet, "every row keeps a neighbor list")
+  }
+
   test("ivfKnnJoin pinned: zero-norm vectors are excluded as anchors and rows " +
     "(no NaN, result identical to the zero-free corpus)") {
     // the zero vector takes the SMALLEST id, so an unguarded anchor
@@ -408,6 +445,15 @@ class SimilaritySpec extends SparkSpec {
     assert(fullPairs.nonEmpty, "fixture must have cross-cluster near-dups")
     assert(components(cover, nodes) == components(fullPairs, nodes),
       "cover must preserve connected components exactly")
+    // the planes-free DEFAULT overload dispatches to this collapsed
+    // composition — same rows, same component structure (r14: the safe
+    // default the r13 verdict asked for)
+    val default = graft.ext.Similarity.semanticDedup(dupFixture, "vec_id", "embedding",
+        16, minCos = 0.49)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(default == cover, "planes-free default must equal the collapsed cover")
+    assert(components(default, nodes) == components(fullPairs, nodes),
+      "default path must preserve the components of the full pair graph")
     // star edges replace within-cluster quadratics: the 5-twin cluster
     // contributes exactly 4 star edges (rep 0 → members), not C(5,2)=10
     assert(cover.count { case (a, b) => a == 0L } == 4 ||
