@@ -27,6 +27,12 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // stream rows get more reps by default: their 2-4.5 s micro-batch
+    // floor is scheduling-dominated, and at 3 reps the medians moved
+    // ±20-35% round-over-round with no code change (r13 verdict item 6)
+    // — two of them topped the suite on wobble alone. 5 reps costs
+    // ~+30 s wall (medians, so the reported totals are unaffected).
+    val streamReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAM_REPS", "5").toInt.max(1)
     val spark = graft.core.GraftSession.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus))
@@ -40,8 +46,8 @@ object Bench {
     // (m10_fedavg 1.70/0.90/1.60 s across r10-r12 with code unchanged).
     try graft.core.Tables.eventsIdx(spark, sfDir).queryExecution.toRdd.count()
     catch { case _: Throwable => }
-    def timed(name: String, run: () => Unit): (String, Double) = {
-      val times = (1 to reps).map { _ =>
+    def timed(name: String, run: () => Unit, nReps: Int = reps): (String, Double) = {
+      val times = (1 to nReps).map { _ =>
         val t0 = System.nanoTime()
         try { run(); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
@@ -64,8 +70,16 @@ object Bench {
     // operators the dedicated stream_* cases below already price under
     // controlled micro-batch runs — through a driver-memory sink the
     // production path never uses — so they are excluded here.
+    // m10_fedavg runs ~40 tiny driver-synchronous jobs (per-client
+    // epochs + weight collects per round), so its warm reps are
+    // bimodal 1.6-2.6 s in ONE process (r14 isolated profile, 8 reps)
+    // — a 3-rep median lands anywhere in that band and aliased as
+    // round-over-round drift three rounds running. More reps, same
+    // remedy as the stream rows; the median converges to ~1.9 s.
+    val noisyRows = Set("m10_fedavg")
     val batchResults = SparkEntry.registry.filterNot(_.name.startsWith("xs_")).map { q =>
-      timed(q.name, () => { q.fn(spark, sfDir).queryExecution.toRdd.count(); () })
+      timed(q.name, () => { q.fn(spark, sfDir).queryExecution.toRdd.count(); () },
+        if (noisyRows(q.name)) streamReps else reps)
     }
     // streaming ingest surface: full micro-batch runs over seeded synthetic
     // streams (see StreamBench) — wall seconds per complete ingest, so
@@ -74,7 +88,7 @@ object Bench {
     val streamResults =
       if (sys.env.get("SPARK_GRAFT_BENCH_STREAMING").contains("0")) Nil
       else graft.streaming.StreamBench.cases(spark).map {
-        case (name, run) => timed(name, run)
+        case (name, run) => timed(name, run, streamReps)
       }
     val results = batchResults ++ streamResults
     val failed = results.collect { case (n, t) if t < 0 => "\"" + n + "\"" }
@@ -82,7 +96,8 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failed":${failed.mkString("[", ",", "]")},"reps":$reps,"sf":"$sfDir"}"""
+      s""""failed":${failed.mkString("[", ",", "]")},"reps":$reps,""" +
+      s""""stream_reps":$streamReps,"sf":"$sfDir"}"""
     println(line)
     // The driver's BENCH_r{N}.json wrapper keeps only a 2,000-char tail of
     // stdout, which truncated ~130/190 rows in r9/r10 and left bench_diff
