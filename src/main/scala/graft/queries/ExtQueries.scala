@@ -3350,8 +3350,8 @@ object ExtQueries {
     // (the x_ivf_knn_join_pinned algebra) with the anchor COUNT derived
     // from count(*) by the same integer rule the production form
     // applies — so the scale dial, not just the join algebra, is
-    // oracle-checked at every corpus size the gate runs (nlist = 64 at
-    // the sf0.01 gate, 633 at the gapped sf1 sweep).
+    // oracle-checked at every corpus size the gate runs (nlist = 32 at
+    // the sf0.01 gate, n = 500; 200 at the gapped sf1 sweep, n = 20000).
     Q("x_ivf_knn_join_auto_pinned",
       (s, d) => Similarity.ivfKnnJoinPinnedAuto(Tables.embeddings(s, d), "vec_id",
           "embedding", nprobe = 2, k = 3)

@@ -94,7 +94,8 @@ class SimilaritySpec extends SparkSpec {
     assert(autoNlist(33, 2, 8) == 9, "one row past the boundary steps up")
     assert(autoNlist(128, 2, 8) == 16, "perfect square lands exactly (16^2 = 256)")
     assert(autoNlist(100, 2, 8) == 15, "15^2 = 225 >= 200 > 14^2 = 196")
-    assert(autoNlist(200000, 2, 8) == 633, "the gapped-sf1 sweep size")
+    assert(autoNlist(20000, 2, 8) == 200, "the gapped-sf1 corpus (200^2 = 40000 exactly)")
+    assert(autoNlist(200000, 2, 8) == 633, "the x100 probe corpus (633^2 = 400689)")
   }
 
   test("ivfKnnJoinAuto: pinned-auto twin equals the pinned form at the derived " +
