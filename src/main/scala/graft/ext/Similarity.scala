@@ -447,47 +447,34 @@ object Similarity {
     require(nprobe >= 1 && k >= 1, s"need nprobe/k >= 1, got $nprobe/$k")
     require(centroids.nonEmpty, "need at least one centroid")
     val vecD = col(vecCol).cast("array<double>")
-    val offArr = array(offsets.map(lit(_)): _*)
-    // (v̂·c) = (v·c)/‖v‖ — matvec the RAW vector and divide the dots by a
-    // ONCE-computed norm column: normalizing inside a transform lambda
-    // re-evaluates the norm aggregate per array element (O(d²) per row,
-    // the r13-advice finding). Zero-norm vectors are dropped alongside
-    // nulls — a zero vector has no direction, hence no probe cell and no
-    // cosine (NaN under the old path); the pinned oracle filters the
-    // same rows, and [[ivfKnnJoinPinned]] excludes them as anchors.
-    val rows = df.filter(col(vecCol).isNotNull)
+    // The ENTIRE per-row quantizer decision (norm → dots → top-nprobe) is
+    // one codegen'd kernel, [[graft.functions.IvfProbes]]. Composing it
+    // from a norm column + matvec + score lambda + array_sort was the r13
+    // shape's successor and still melted at the ×10 sweep — not on flops
+    // but on the PLAN: CollapseProject inlined the norm column into the
+    // per-centroid score lambda, and join-side filter inference then
+    // duplicated that interpreted tree into pushed Filters on BOTH join
+    // inputs (~4 boxed-lambda evaluations per row, 117 s of a 126 s row).
+    // A single expression gives Catalyst nothing to inline into and
+    // costs O(d·nlist) primitive work per (possibly duplicated) call.
+    // Zero-norm vectors come back null and are dropped alongside null
+    // vectors — no direction, hence no probe cell and no cosine; the
+    // pinned oracle filters the same rows, and [[ivfKnnJoinPinned]]
+    // excludes them as anchors. Probe selection stays IN the row (no
+    // explode-then-rank-window: that was an n·nlist-row shuffle — 126 M
+    // rows at the ×10 sweep — for a decision each row makes alone); only
+    // n·nprobe probe rows enter the cell equi-join.
+    val probed = df.filter(col(vecCol).isNotNull)
       .select(col(idCol), vecD.as("_v"),
-        sqrt(aggregate(zip_with(vecD, vecD, (a, b) => a * b),
-          lit(0.0), (acc, x) => acc + x)).as("_nrm"))
-      .filter(col("_nrm") > 0)
-      // reciprocal-multiply, not divide: projection collapse fuses this
-      // select with the filter above, and under ANSI mode the fused
-      // division would throw on the zero-norm row the filter is about
-      // to drop (evaluation order inside one stage is not the filter's)
-      .select(col(idCol), col("_v"),
-        when(col("_nrm") > 0, lit(1.0) / col("_nrm")).otherwise(lit(0.0)).as("_inv"))
-      .select(col(idCol), col("_v"),
-        zip_with(
-          graft.functions.GraftFunctions.matvec_product(col("_v"), centroids),
-          offArr, (d, o) => d * col("_inv") - o).as("_score"))
-    // Probe selection is per-row arithmetic, so keep it IN the row: sort
-    // (−score, ci) structs and slice the first nprobe — the same (dot
-    // desc, ties → lower cell) order the spec pins. The r13 shape
-    // posexploded n·nlist rows through a partitioned rank window first;
-    // with the balance-rule nlist = √(n·nprobe) that explode is an
-    // n^1.5-row SHUFFLE (126 M rows at the ×10 sweep) for a decision
-    // each row can make alone. Now nothing data-sized moves until the
-    // cell equi-join, and only n·nprobe probe rows enter it.
-    val probed = rows.withColumn("_probes", slice(array_sort(
-        zip_with(col("_score"), sequence(lit(0), lit(centroids.length - 1)),
-          (s, i) => struct((s * lit(-1.0)).as("ns"), i.as("ci")))),
-      1, math.max(nprobe, 1)))
+        graft.functions.GraftFunctions.ivf_probes(
+          vecD, centroids, offsets, nprobe).as("_probes"))
+      .filter(col("_probes").isNotNull)
     val members = probed
-      .select(element_at(col("_probes"), 1).getField("ci").as("_mcell"),
+      .select(element_at(col("_probes"), 1).as("_mcell"),
         col(idCol).as("neighbor_id"), col("_v").as("_nv"))
     val probes = probed
       .select(col(idCol).as("_qid"), col("_v").as("_qv"),
-        explode(col("_probes").getField("ci")).as("_ci"))
+        explode(col("_probes")).as("_ci"))
     val wk = org.apache.spark.sql.expressions.Window
       .partitionBy("_qid").orderBy(col("cos").desc, col("neighbor_id"))
     probes.join(members, col("_ci") === col("_mcell"))

@@ -129,6 +129,15 @@ object GraftFunctions {
   def matvec_product(v: Column, matrix: Array[Array[Double]]): Column =
     toColumn(MatVecProduct(toExpression(v), matrix))
 
+  /** Codegen'd IVF probe selection: top-`nprobe` coarse-quantizer cells
+    * of a raw array<double> vector, rank order (element 1 = membership
+    * cell); null on null/zero-norm/dim-mismatch rows (see [[IvfProbes]]
+    * for the arithmetic contract and why this must be ONE expression).
+    */
+  def ivf_probes(v: Column, centroids: Array[Array[Double]],
+                 offsets: Array[Double], nprobe: Int): Column =
+    toColumn(IvfProbes(toExpression(v), centroids, offsets, nprobe))
+
   /** Codegen'd binary-search membership of a bigint column in a
     * plan-constant SORTED long array (caller owns sortedness).
     */

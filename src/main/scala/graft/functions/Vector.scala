@@ -179,6 +179,127 @@ case class MatVecProduct(child: Expression, matrix: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** IVF probe selection — the whole per-row coarse-quantizer decision of
+  * [[graft.ext.Similarity.ivfKnnJoin]] as ONE native expression: raw
+  * `array<double>` vector in, the row's `nprobe` probe-cell indices out
+  * (rank order: element 1 is the membership cell). Computes
+  * ‖v‖ → (v·c_p)/‖v‖ − offset_p for every centroid → top-`nprobe` by
+  * (score desc, ties → lower cell), all in primitive loops.
+  *
+  * This replaces the composed form (`sqrt(aggregate(zip_with(...)))`
+  * norm column + [[MatVecProduct]] + `zip_with` score lambda +
+  * `array_sort`/`slice`), which was semantically right but melted at
+  * scale for a PLAN reason, not a flop reason: CollapseProject inlined
+  * the norm column into the per-element score lambda (re-evaluating the
+  * O(d) norm aggregate per centroid — the O(d·nlist) blowup the r13
+  * advice flagged in its first form), and join-side filter inference
+  * (`InferFiltersFromGenerate` + equi-key null filters) then DUPLICATED
+  * that interpreted expression tree into pushed Filter conditions on
+  * BOTH join inputs — ~4 full evaluations per row, every one of them
+  * boxed-lambda interpreted because higher-order functions don't
+  * codegen. Measured at the ×10 sweep: 117 s in the candidate join
+  * stage of a 40k-probe × 20k-member input that yields only 4 M
+  * candidate rows. A single codegen'd kernel is immune to collapse
+  * (nothing to inline into) and cheap even when Catalyst duplicates it
+  * into filters: O(d·nlist + nlist·nprobe) primitive work per call.
+  *
+  * Arithmetic contract (bitwise vs the composed form, which the green
+  * `x_ivf_knn_join_pinned` oracle restates): norm = sequential-fold
+  * Σx², score = dot·(1/√Σx²) − offset with the dot a sequential fold in
+  * centroid-element order, selection by strict `>` over ascending cell
+  * index = (score desc, ties → lower cell). Null on: null input, null
+  * element, length ≠ centroid dim, or zero norm (a zero vector has no
+  * direction, hence no probe cell — callers drop these rows, the IVF
+  * convention the oracle mirrors).
+  */
+case class IvfProbes(child: Expression, centroids: Array[Array[Double]],
+                     offsets: Array[Double], nprobe: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "ivf_probes"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<double>, got ${other.sql}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    IvfKernel.probes(input.asInstanceOf[ArrayData], centroids, offsets, nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("ivfCentroids", centroids, "double[][]")
+    val oRef = ctx.addReferenceObj("ivfOffsets", offsets, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      // one static call per row (the WinnowSelect precedent): the kernel
+      // is primitive loops, so splicing it as raw Java buys nothing
+      s"""
+        |${ev.value} = graft.functions.IvfKernel.probes($a, $cRef, $oRef, $nprobe);
+        |${ev.isNull} = (${ev.value} == null);
+      """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfProbes =
+    copy(child = newChild)
+}
+
+/** The static IVF probe kernel — a plain object so generated code calls
+  * it through the Scala static forwarder; [[IvfProbes.nullSafeEval]]
+  * shares it so interpreted and codegen paths cannot diverge.
+  */
+object IvfKernel {
+  def probes(a: ArrayData, centroids: Array[Array[Double]],
+             offsets: Array[Double], nprobe: Int): GenericArrayData = {
+    val nlist = centroids.length
+    val d = if (nlist == 0) 0 else centroids(0).length
+    if (a.numElements() != d) return null
+    var ss = 0.0
+    var i = 0
+    while (i < d) {
+      if (a.isNullAt(i)) return null
+      val x = a.getDouble(i)
+      ss += x * x
+      i += 1
+    }
+    if (!(ss > 0.0)) return null // zero norm (or NaN): no direction
+    val inv = 1.0 / math.sqrt(ss)
+    val scores = new Array[Double](nlist)
+    var p = 0
+    while (p < nlist) {
+      val c = centroids(p)
+      var s = 0.0
+      var j = 0
+      while (j < d) { s += a.getDouble(j) * c(j); j += 1 }
+      scores(p) = s * inv - offsets(p)
+      p += 1
+    }
+    val m = math.min(nprobe, nlist)
+    val out = new Array[Int](m)
+    val taken = new Array[Boolean](nlist)
+    var r = 0
+    while (r < m) {
+      var best = -1
+      var bs = 0.0
+      var q = 0
+      while (q < nlist) {
+        if (!taken(q) && (best < 0 || scores(q) > bs)) { best = q; bs = scores(q) }
+        q += 1
+      }
+      taken(best) = true
+      out(r) = best
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Membership probe of a `bigint` column against a PLAN-CONSTANT sorted
   * long array (the stored-gram-table literal of the streaming scrub):
   * one binary search per probe — O(log m) against the O(m) linear scan

@@ -304,6 +304,67 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IvfProbes kernel: parity with the composed norm+matvec+sort probe selection; " +
+    "null contract on zero-norm/dim-mismatch/null-element rows") {
+    val nlist = 7; val nprobe = 3
+    // deliberately NON-unit centroids with the KMeans offsets ‖c‖²/2 so
+    // the offset subtraction and the 1/‖v‖ scaling are both exercised
+    val cents = Array.tabulate(nlist, dim)((p, i) => ((p * 17 + i * 5) % 11) * 0.07 - 0.3)
+    val offs = cents.map(c => c.map(x => x * x).sum / 2)
+    val vecD = col("embedding").cast("array<double>")
+    val kernel = fixture.select(col("vec_id"),
+        graft.functions.GraftFunctions.ivf_probes(vecD, cents, offs, nprobe).as("_p"))
+      .orderBy("vec_id").as[(Long, Seq[Int])].collect()
+    // the pre-r14 composed formulation, verbatim (the shape CollapseProject
+    // melted at scale — kept here as the semantic reference)
+    val offArr = array(offs.map(lit(_)): _*)
+    val composed = fixture
+      .select(col("vec_id"), vecD.as("_v"),
+        sqrt(aggregate(zip_with(vecD, vecD, (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x)).as("_nrm"))
+      .filter(col("_nrm") > 0)
+      .select(col("vec_id"), col("_v"),
+        (lit(1.0) / col("_nrm")).as("_inv"))
+      .select(col("vec_id"),
+        zip_with(
+          graft.functions.GraftFunctions.matvec_product(col("_v"), cents),
+          offArr, (d, o) => d * col("_inv") - o).as("_score"))
+      .select(col("vec_id"), slice(array_sort(
+        zip_with(col("_score"), sequence(lit(0), lit(nlist - 1)),
+          (s, i) => struct((s * lit(-1.0)).as("ns"), i.as("ci")))),
+        1, nprobe).getField("ci").as("_p"))
+      .orderBy("vec_id").as[(Long, Seq[Int])].collect()
+    assert(kernel.length == composed.length && kernel.length == 200)
+    kernel.zip(composed).foreach { case ((idK, pk), (idC, pc)) =>
+      assert(idK == idC && pk == pc, s"id=$idK kernel=$pk composed=$pc")
+    }
+    // contract rows: zero norm, dim mismatch, null element -> null;
+    // nprobe > nlist truncates to all cells in rank order
+    val edge = Seq(
+      (1L, Seq.fill(dim)(0.0)),                          // zero norm
+      (2L, Seq(1.0, 2.0)),                               // dim mismatch
+      (3L, Seq.tabulate(dim)(i => i * 0.1))              // healthy
+    ).toDF("vec_id", "v")
+      .withColumn("v", when(col("vec_id") === 2, array(lit(1.0), lit(2.0)))
+        .otherwise(col("v")))
+    val edgeOut = edge.select(col("vec_id"),
+        graft.functions.GraftFunctions.ivf_probes(col("v"), cents, offs, nprobe).as("_p"))
+      .as[(Long, Option[Seq[Int]])].collect().toMap
+    assert(edgeOut(1L).isEmpty, "zero-norm vector must be null")
+    assert(edgeOut(2L).isEmpty, "dim-mismatched vector must be null")
+    assert(edgeOut(3L).exists(_.length == nprobe))
+    val nullElem = Seq(Tuple1(Seq[java.lang.Double](1.0, null))).toDF("v")
+      .select(graft.functions.GraftFunctions.ivf_probes(
+        concat(col("v"), array(Seq.fill(dim - 2)(lit(0.5)): _*)), cents, offs, nprobe).as("_p"))
+      .as[Option[Seq[Int]]].head()
+    assert(nullElem.isEmpty, "a null element must null the row")
+    val truncated = fixture.limit(1).select(
+        graft.functions.GraftFunctions.ivf_probes(vecD, cents, offs, nlist + 5).as("_p"))
+      .as[Seq[Int]].head()
+    assert(truncated.length == nlist && truncated.toSet == (0 until nlist).toSet,
+      "nprobe > nlist returns every cell exactly once, rank-ordered")
+  }
+
   test("collapseExactVectors: min-id representatives, full membership, twins found via rep fan-out") {
     val df = Seq(
       (5L, Seq(1.0f, 0.0f, 0.0f)), (2L, Seq(1.0f, 0.0f, 0.0f)), (9L, Seq(1.0f, 0.0f, 0.0f)),
