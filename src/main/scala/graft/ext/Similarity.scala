@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`array<float>`).
@@ -417,20 +417,87 @@ object Similarity {
     */
   def ivfKnnJoinPinned(df: DataFrame, idCol: String, vecCol: String,
                        nlist: Int, nprobe: Int, k: Int): DataFrame = {
+    val unit = pinnedUnitAnchors(df, idCol, vecCol, nlist)
+    ivfKnnJoinCore(df, idCol, vecCol, unit, unit.map(_ => 0.0), nprobe, k)
+  }
+
+  /** The deterministic anchor rule shared by [[ivfKnnJoinPinned]] and
+    * [[ivfPinnedQuantizerRows]]: the `nlist` smallest-id vectors,
+    * L2-normalized, as a driver-side matrix (nlist rows — the bounded
+    * collect class). Zero-norm rows can't anchor a cell (no direction) —
+    * same exclusion the core applies to query/member rows, mirrored in
+    * the oracle.
+    */
+  private def pinnedUnitAnchors(df: DataFrame, idCol: String, vecCol: String,
+                                nlist: Int): Array[Array[Double]] = {
     val vecD = col(vecCol).cast("array<double>")
-    // zero-norm rows can't anchor a cell (no direction) — same exclusion
-    // the core applies to query/member rows, mirrored in the oracle
     val anchors = df.filter(col(vecCol).isNotNull)
       .filter(aggregate(zip_with(vecD, vecD, (a, b) => a * b),
         lit(0.0), (acc, x) => acc + x) > 0)
       .orderBy(col(idCol)).limit(nlist)
       .select(vecD).collect()
       .map(_.getSeq[Double](0).toArray)
-    val unit = anchors.map { c =>
+    anchors.map { c =>
       val n = math.sqrt(c.map(x => x * x).sum)
       c.map(_ / n)
     }
-    ivfKnnJoinCore(df, idCol, vecCol, unit, unit.map(_ => 0.0), nprobe, k)
+  }
+
+  /** The coarse quantizer as a PERSISTABLE frame — `(ivf_cell INT,
+    * centroid ARRAY<DOUBLE>, offset DOUBLE)`, one row per cell, cell ids
+    * dense 0..nlist−1 in probe-rank tie order. This is the write side of
+    * the build-once/join-many lifecycle ACROSS SESSIONS (the
+    * session-memoized [[ivfIndex]] model covers within-session reuse;
+    * the `_stored` lanes' parquet tables are the cross-session form):
+    * fit per corpus version, write once, every later run joins via
+    * [[ivfKnnJoinFromStored]] without refitting. This overload stores
+    * the deterministic pinned anchors (offset 0 — unit centroids);
+    * KMeans callers persist their fitted model the same way via the
+    * (centroids, offsets) overload.
+    */
+  def ivfPinnedQuantizerRows(df: DataFrame, idCol: String, vecCol: String,
+                             nlist: Int): DataFrame =
+    ivfQuantizerRows(df.sparkSession,
+      pinnedUnitAnchors(df, idCol, vecCol, nlist))
+
+  /** [[ivfPinnedQuantizerRows]] for an arbitrary quantizer — e.g.
+    * `km.clusterCenters` with the KMeans offsets ‖c‖²/2 (defaulted).
+    */
+  def ivfQuantizerRows(spark: SparkSession, centroids: Array[Array[Double]],
+                       offsets: Array[Double] = null): DataFrame = {
+    val offs = if (offsets != null) offsets
+               else centroids.map(c => c.map(x => x * x).sum / 2)
+    require(offs.length == centroids.length,
+      s"need one offset per centroid, got ${offs.length}/${centroids.length}")
+    import spark.implicits._
+    centroids.zip(offs).zipWithIndex
+      .map { case ((c, o), i) => (i, c.toSeq, o) }.toSeq
+      .toDF("ivf_cell", "centroid", "offset")
+  }
+
+  /** [[ivfKnnJoin]] against a RELOADED quantizer table (the
+    * [[ivfQuantizerRows]] schema) — the read side of the cross-session
+    * lifecycle: the quantizer is nlist rows (collected — the bounded
+    * driver-artifact class, same as the pinned anchor fetch), the corpus
+    * never is. Storage round-tripping must not change a single output
+    * row versus the in-memory form — the `x_ivf_knn_join_stored`
+    * registry row pins that under the same DuckDB oracle as the inline
+    * auto-pinned leg (the `x_cosine_near_dup_lsh_stored` precedent).
+    */
+  def ivfKnnJoinFromStored(df: DataFrame, idCol: String, vecCol: String,
+                           quantizer: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val rows = quantizer
+      .select(col("ivf_cell").cast("int"),
+        col("centroid").cast("array<double>"), col("offset").cast("double"))
+      .orderBy("ivf_cell").collect()
+    require(rows.nonEmpty, "stored quantizer is empty")
+    rows.iterator.zipWithIndex.foreach { case (r, i) =>
+      require(r.getInt(0) == i,
+        s"stored quantizer cells must be dense 0..n-1, found ${r.getInt(0)} at $i")
+    }
+    val centroids = rows.map(_.getSeq[Double](1).toArray)
+    val offsets = rows.map(_.getDouble(2))
+    ivfKnnJoinCore(df, idCol, vecCol, centroids, offsets, nprobe, k)
   }
 
   /** Shared probe/join/rank core of [[ivfKnnJoin]]/[[ivfKnnJoinPinned]]:

@@ -77,6 +77,30 @@ object ExtQueries {
       (cached, km)
     })
 
+  /** Stored IVF quantizer table, written once per (session, sf dir) —
+    * the CROSS-SESSION leg of the build-once/join-many lifecycle (the
+    * [[ivfFor]]/[[ivfForAuto]] memos cover within-session reuse):
+    * pinned-auto anchors ([[graft.ext.Similarity.ivfPinnedQuantizerRows]]
+    * at the [[graft.ext.Similarity.autoNlist]] count) persisted as an
+    * `(ivf_cell, centroid, offset)` parquet table that
+    * `x_ivf_knn_join_stored` reloads and joins from. Returns the table
+    * name.
+    */
+  private val ivfQuantCache = scala.collection.concurrent.TrieMap[
+    (org.apache.spark.sql.SparkSession, String), String]()
+
+  private def ivfQuantTableFor(s: org.apache.spark.sql.SparkSession,
+                               d: String): String =
+    ivfQuantCache.getOrElseUpdate((s, d), {
+      evictStale(ivfQuantCache)(_._1 ne s)(_ => ()) // value is a table name; no blocks
+      val table = "graft_ivf_quant_auto_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val emb = Tables.embeddings(s, d)
+      val quant = Similarity.ivfPinnedQuantizerRows(emb, "vec_id", "embedding",
+        Similarity.autoNlist(emb.count(), nprobe = 2, minList = 8))
+      graft.core.Layout.writeBucketed(quant, table, buckets = 1, "ivf_cell")
+      table
+    })
+
   /** Shared winnowing oracle prefix at the registry parameters
     * (k = 4, w = 5): restates `TextAnalysis.winnowFingerprints`'
     * portable arithmetic — char-code token polynomials, 4-gram hash
@@ -3358,6 +3382,26 @@ object ExtQueries {
         .select(col("vec_id"), col("neighbor_id"),
           round(col("cos"), 6).as("cos"), col("rank"))
         .orderBy("vec_id", "rank"),
+      Some(IvfKnnJoinAutoPinnedOracle)),
+
+    // The stored-quantizer leg of the IVF lifecycle: the pinned-auto
+    // anchors are WRITTEN once per (session, sf) as an (ivf_cell,
+    // centroid, offset) parquet table and the join verifies from the
+    // RELOADED table — the cross-session build-once/join-many form (fit
+    // per corpus version, amortize over every later run; nlist rows
+    // move, the corpus never does). Same oracle as the inline
+    // auto-pinned leg: storage round-tripping must not change a single
+    // row, and the driver checks that (the x_cosine_near_dup_lsh_stored
+    // precedent).
+    Q("x_ivf_knn_join_stored",
+      (s, d) => {
+        val table = ivfQuantTableFor(s, d)
+        Similarity.ivfKnnJoinFromStored(Tables.embeddings(s, d), "vec_id",
+            "embedding", s.table(table), nprobe = 2, k = 3)
+          .select(col("vec_id"), col("neighbor_id"),
+            round(col("cos"), 6).as("cos"), col("rank"))
+          .orderBy("vec_id", "rank")
+      },
       Some(IvfKnnJoinAutoPinnedOracle)),
 
     // M3 — FFT magnitude per sliding window (native Catalyst expression).

@@ -304,6 +304,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfKnnJoinFromStored: parquet round-trip of the quantizer changes no row; " +
+    "non-dense cell ids are rejected") {
+    val derived = Similarity.autoNlist(200L, 2, 8)
+    val quant = Similarity.ivfPinnedQuantizerRows(fixture, "vec_id", "embedding", derived)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_quant_").toString
+    quant.write.mode("overwrite").parquet(dir)
+    val stored = Similarity.ivfKnnJoinFromStored(fixture, "vec_id", "embedding",
+        spark.read.parquet(dir), nprobe = 2, k = 3)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val inline = Similarity.ivfKnnJoinPinnedAuto(fixture, "vec_id", "embedding",
+        nprobe = 2, k = 3)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(stored == inline, "storage round-trip must not change a single row")
+    // offsets are honored, not assumed zero: KMeans-style centroids with
+    // their ‖c‖²/2 offsets round-trip to the same result as FromModel
+    val (_, km) = Similarity.ivfIndex(fixture, "embedding", nlist = 4)
+    val kmQuant = Similarity.ivfQuantizerRows(spark, km.clusterCenters.map(_.toArray))
+    val kmStored = Similarity.ivfKnnJoinFromStored(fixture, "vec_id", "embedding",
+        kmQuant, nprobe = 2, k = 3).as[(Long, Long, Double, Long)].collect().toSet
+    val kmInline = Similarity.ivfKnnJoinFromModel(fixture, "vec_id", "embedding",
+        km, nprobe = 2, k = 3).as[(Long, Long, Double, Long)].collect().toSet
+    assert(kmStored == kmInline, "KMeans quantizer must round-trip through the table form")
+    val gapped = quant.filter(col("ivf_cell") =!= 3)
+    val err = intercept[IllegalArgumentException] {
+      Similarity.ivfKnnJoinFromStored(fixture, "vec_id", "embedding", gapped, 2, 3)
+    }
+    assert(err.getMessage.contains("dense"), s"wrong error: ${err.getMessage}")
+  }
+
   test("IvfProbes kernel: parity with the composed norm+matvec+sort probe selection; " +
     "null contract on zero-norm/dim-mismatch/null-element rows") {
     val nlist = 7; val nprobe = 3
