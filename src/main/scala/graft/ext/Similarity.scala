@@ -428,8 +428,8 @@ object Similarity {
     * same exclusion the core applies to query/member rows, mirrored in
     * the oracle.
     */
-  private def pinnedUnitAnchors(df: DataFrame, idCol: String, vecCol: String,
-                                nlist: Int): Array[Array[Double]] = {
+  private[graft] def pinnedUnitAnchors(df: DataFrame, idCol: String, vecCol: String,
+                                       nlist: Int): Array[Array[Double]] = {
     val vecD = col(vecCol).cast("array<double>")
     val anchors = df.filter(col(vecCol).isNotNull)
       .filter(aggregate(zip_with(vecD, vecD, (a, b) => a * b),

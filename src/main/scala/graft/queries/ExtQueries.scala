@@ -259,7 +259,31 @@ object ExtQueries {
     */
   private def ivfKnnJoinPinnedOracleSql(nlistExpr: String, nprobeExpr: String,
                                         kExpr: String, preCtes: String = ""): String =
-    "WITH " + (if (preCtes.isEmpty) "" else preCtes + ", ") +
+    "WITH " + ivfMembershipCtes(nlistExpr, preCtes) + ", " +
+      s"prob AS (SELECT vec_id, ci FROM pr WHERE rk <= $nprobeExpr), " +
+      "cand AS (SELECT p.vec_id AS qid, m.vec_id AS nid FROM prob p " +
+      "JOIN mem m ON p.ci = m.ci AND p.vec_id <> m.vec_id), " +
+      "pe AS (SELECT cand.qid, cand.nid, unnest(e1.embedding) AS x1, " +
+      "unnest(e2.embedding) AS x2 FROM cand " +
+      "JOIN embeddings e1 ON e1.vec_id = cand.qid " +
+      "JOIN embeddings e2 ON e2.vec_id = cand.nid), " +
+      "cs AS (SELECT qid, nid, " +
+      "sum(CAST(x1 AS DOUBLE) * CAST(x2 AS DOUBLE)) AS dt2, " +
+      "sum(CAST(x1 AS DOUBLE) * CAST(x1 AS DOUBLE)) AS n1, " +
+      "sum(CAST(x2 AS DOUBLE) * CAST(x2 AS DOUBLE)) AS n2 FROM pe GROUP BY 1, 2), " +
+      "rnk AS (SELECT qid, nid, dt2 / (sqrt(n1) * sqrt(n2)) AS cos, " +
+      "row_number() OVER (PARTITION BY qid " +
+      "ORDER BY dt2 / (sqrt(n1) * sqrt(n2)) DESC, nid) AS rank FROM cs) " +
+      "SELECT qid AS vec_id, nid AS neighbor_id, round(cos, 6) AS cos, rank " +
+      s"FROM rnk WHERE rank <= $kExpr ORDER BY vec_id, rank"
+
+  /** The membership half of the pinned-anchor IVF restatement, shared
+    * by [[ivfKnnJoinPinnedOracleSql]] and the streaming ingest twin's
+    * oracle: anchors (CTE `cn`..`ccn`), per-row normalized dots (`dt`),
+    * probe ranking (`pr`), and rank-1 membership (`mem`).
+    */
+  private def ivfMembershipCtes(nlistExpr: String, preCtes: String = ""): String =
+    (if (preCtes.isEmpty) "" else preCtes + ", ") +
       "cn AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, embedding " +
       "FROM (SELECT vec_id, embedding FROM embeddings " +
       "WHERE embedding IS NOT NULL AND " +
@@ -279,23 +303,21 @@ object ExtQueries {
       "JOIN ccn ON ve.j = ccn.j WHERE vno.nrm > 0 GROUP BY 1, 2), " +
       "pr AS (SELECT vec_id, ci, row_number() OVER " +
       "(PARTITION BY vec_id ORDER BY dot DESC, ci) AS rk FROM dt), " +
-      "mem AS (SELECT vec_id, ci FROM pr WHERE rk = 1), " +
-      s"prob AS (SELECT vec_id, ci FROM pr WHERE rk <= $nprobeExpr), " +
-      "cand AS (SELECT p.vec_id AS qid, m.vec_id AS nid FROM prob p " +
-      "JOIN mem m ON p.ci = m.ci AND p.vec_id <> m.vec_id), " +
-      "pe AS (SELECT cand.qid, cand.nid, unnest(e1.embedding) AS x1, " +
-      "unnest(e2.embedding) AS x2 FROM cand " +
-      "JOIN embeddings e1 ON e1.vec_id = cand.qid " +
-      "JOIN embeddings e2 ON e2.vec_id = cand.nid), " +
-      "cs AS (SELECT qid, nid, " +
-      "sum(CAST(x1 AS DOUBLE) * CAST(x2 AS DOUBLE)) AS dt2, " +
-      "sum(CAST(x1 AS DOUBLE) * CAST(x1 AS DOUBLE)) AS n1, " +
-      "sum(CAST(x2 AS DOUBLE) * CAST(x2 AS DOUBLE)) AS n2 FROM pe GROUP BY 1, 2), " +
-      "rnk AS (SELECT qid, nid, dt2 / (sqrt(n1) * sqrt(n2)) AS cos, " +
-      "row_number() OVER (PARTITION BY qid " +
-      "ORDER BY dt2 / (sqrt(n1) * sqrt(n2)) DESC, nid) AS rank FROM cs) " +
-      "SELECT qid AS vec_id, nid AS neighbor_id, round(cos, 6) AS cos, rank " +
-      s"FROM rnk WHERE rank <= $kExpr ORDER BY vec_id, rank"
+      "mem AS (SELECT vec_id, ci FROM pr WHERE rk = 1)"
+
+  /** Oracle for `xs_stream_ivf_pairs`: same-membership-cell pairs under
+    * the count-derived pinned-auto anchors — the batch restatement of
+    * the ingest twin's candidate set (the drained stream's DISTINCT is
+    * exactly this join; nprobe = 1 slices the [[IvfKnnJoinPinnedOracle]]
+    * algebra down to `mem` ⋈ `mem`).
+    */
+  val IvfStreamMembershipOracle: String =
+    "WITH " + ivfMembershipCtes("(SELECT nlist FROM nl)",
+      "nn AS (SELECT count(*) * 2 AS target FROM embeddings), " +
+        "nl AS (SELECT min(m) AS nlist FROM generate_series(8, 100000) t(m), nn " +
+        "WHERE CAST(m AS HUGEINT) * m >= nn.target)") +
+      " SELECT a.vec_id AS id1, b.vec_id AS id2 FROM mem a " +
+      "JOIN mem b ON a.ci = b.ci AND a.vec_id < b.vec_id ORDER BY id1, id2"
 
   /** Oracle for `x_ivf_knn_join_auto_pinned`: the pinned-anchor IVF
     * restatement with the anchor count derived from `count(*)` by the

@@ -378,5 +378,32 @@ object StreamParityQueries {
         "FROM p GROUP BY vec_id) " +
         "SELECT a.vec_id AS id1, b.vec_id AS id2 FROM bk a " +
         "JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id " +
-        "ORDER BY id1, id2")))
+        "ORDER BY id1, id2")),
+
+    // IVF membership-cell candidates at INGEST under the gate — the
+    // streaming twin of the IVF kNN lane's cell join. The quantizer is
+    // the deterministic pinned-auto anchors (count-derived nlist, the
+    // x_ivf_knn_join_auto_pinned geometry), so the stateful op itself is
+    // driver-checkable: a drained finite ingest with a beyond-horizon
+    // watermark and an uncapped bucket emits every (earlier, later) pair
+    // per membership cell — whose DISTINCT is exactly the mem ⋈ mem
+    // slice of the batch oracle algebra (nprobe = 1; batch probing at
+    // nprobe > 1 widens recall over the same cells and stays batch-side).
+    // Cell assignment runs the SAME IvfProbes kernel as the batch join.
+    // Production callers pin nlist from expected corpus magnitude and
+    // keep the capped bucket (StreamingSpec pins batch parity + the
+    // cross-batch state path).
+    Q("xs_stream_ivf_pairs",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val unit = graft.ext.Similarity.pinnedUnitAnchors(emb, "vec_id", "embedding",
+          graft.ext.Similarity.autoNlist(emb.count(), nprobe = 2, minList = 8))
+        drained(s, "xs_ivf_pairs",
+            StreamingOps.ivfCellCandidatePairs(embStream(s, d), "ts_vec",
+              "vec_id", "embedding", unit, unit.map(_ => 0.0),
+              watermark = "3650 days", maxBucket = 1 << 16).toDF())
+          .distinct()
+          .orderBy("id1", "id2")
+      },
+      Some(ExtQueries.IvfStreamMembershipOracle)))
 }

@@ -340,6 +340,48 @@ object StreamingOps {
     bucketPairs(banded, watermark, maxBucket)
   }
 
+  /** IVF membership-cell candidate pairs at INGEST time — the streaming
+    * half of the IVF kNN lane ([[graft.ext.Similarity.ivfKnnJoin]] is
+    * the batch half), sharing the bounded-bucket pair emitter with the
+    * minhash/sign-bucket twins. Each arriving embedding computes its
+    * MEMBERSHIP cell with the SAME codegen'd kernel as the batch path
+    * ([[graft.functions.IvfProbes]] at nprobe = 1 — element 1 is the
+    * rank-1 cell), so identity is structural: two rows pair here iff
+    * the batch cell join pairs them at nprobe = 1. Batch probing at
+    * nprobe > 1 is a recall widener over the SAME membership cells —
+    * it needs the full corpus's assignments and stays a batch concern;
+    * the ingest twin is the membership slice, which is exactly the
+    * candidate set a keep-first streaming dedup consumes.
+    *
+    * The quantizer is CALLER-PINNED (centroids + offsets, e.g. reloaded
+    * from an [[graft.ext.Similarity.ivfQuantizerRows]] table): a stream
+    * cannot run the batch [[graft.ext.Similarity.autoNlist]] rule (it
+    * keys on `count(*)`, which an unbounded ingest never has) — size
+    * `nlist` from the expected corpus magnitude (nlist² ≈ n·nprobe) and
+    * re-shard on regime change, the sign-bucket lane's convention.
+    * Null and zero-norm vectors are dropped (no direction, no cell —
+    * the batch convention). State bounds and timeout semantics are
+    * [[minhashCandidatePairs]]'s.
+    */
+  def ivfCellCandidatePairs(stream: DataFrame, tsCol: String, idCol: String,
+                            vecCol: String, centroids: Array[Array[Double]],
+                            offsets: Array[Double], watermark: String,
+                            maxBucket: Int = 128): Dataset[CandidatePair] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val banded = stream.withWatermark(tsCol, watermark)
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(tsCol).as("eventTs"),
+        lit(0).as("band"),
+        graft.functions.GraftFunctions.ivf_probes(
+          col(vecCol).cast("array<double>"), centroids, offsets, 1).as("_p"))
+      .filter(col("_p").isNotNull)
+      .select(col("id"), col("eventTs"), col("band"),
+        element_at(col("_p"), 1).cast("long").as("bucket"))
+      .as[BandedDoc]
+    bucketPairs(banded, watermark, maxBucket)
+  }
+
   /** The shared bounded-bucket pair emitter under
     * [[minhashCandidatePairs]] and [[signBucketCandidatePairs]]: per
     * (band, bucket) key, every (known, new) id pair is emitted once per

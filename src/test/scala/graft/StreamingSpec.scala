@@ -216,6 +216,53 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming IVF cell pairs: cross-batch candidates equal the batch " +
+    "membership-cell join; zero-norm rows dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    def vec(seed: Int): Seq[Double] =
+      { val r = new scala.util.Random(seed); Seq.fill(16)(r.nextGaussian()) }
+    val v0 = vec(1)
+    // 1 = scaled copy of 0 (same direction → same membership cell),
+    // 3 = exact copy of 0, 2 = unrelated, 4 = zero-norm (must vanish)
+    val corpus = Seq((0L, v0), (1L, v0.map(_ * 2.0)), (2L, vec(2)), (3L, v0),
+      (4L, Seq.fill(16)(0.0)))
+    val unit = graft.ext.Similarity.pinnedUnitAnchors(
+      corpus.toDF("vec_id", "embedding"), "vec_id", "embedding", 3)
+    val offs = unit.map(_ => 0.0)
+    val input = MemoryStream[(java.sql.Timestamp, Long, Seq[Double])]
+    val df = input.toDF().toDF("ts", "vec_id", "embedding")
+    val out = StreamingOps.ivfCellCandidatePairs(df, "ts", "vec_id",
+      "embedding", unit, offs, watermark = "1 minute")
+    val query = out.writeStream.format("memory").queryName("ivf_sb_out")
+      .outputMode("append").start()
+    try {
+      def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+      // 0 and 2 first; 0's twins only in LATER batches — the state path
+      input.addData(Seq((ts(1), 0L, corpus(0)._2), (ts(2), 2L, corpus(2)._2)))
+      query.processAllAvailable()
+      input.addData(Seq((ts(10), 1L, corpus(1)._2), (ts(11), 3L, corpus(3)._2),
+        (ts(12), 4L, corpus(4)._2)))
+      query.processAllAvailable()
+      val streamed = spark.table("ivf_sb_out").select("id1", "id2")
+        .distinct().as[(Long, Long)].collect().toSet
+      // batch membership via the SAME kernel at nprobe = 1, cell equi-join
+      val mem = corpus.toDF("vec_id", "embedding")
+        .select(col("vec_id"), element_at(graft.functions.GraftFunctions.ivf_probes(
+          col("embedding").cast("array<double>"), unit, offs, 1), 1).as("cell"))
+        .filter(col("cell").isNotNull)
+      val batch = mem.as("a")
+        .join(mem.as("b"), col("a.cell") === col("b.cell") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id"), col("b.vec_id"))
+        .as[(Long, Long)].collect().toSet
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      assert(streamed.contains((0L, 1L)), "scaled twin missed")
+      assert(streamed.contains((0L, 3L)), "cross-batch exact twin missed")
+      assert(!streamed.exists(p => p._1 == 4L || p._2 == 4L),
+        "zero-norm row must have no cell, hence no pair")
+    } finally query.stop()
+  }
+
   test("streaming session windows agree with batch sessionize on the same events") {
     implicit val sqlCtx = spark.sqlContext
     // deterministic event times: bursts separated by > gap silences
