@@ -552,6 +552,36 @@ object Similarity {
       .select(col("_qid").as(idCol), col("neighbor_id"), col("cos"), col("rank"))
   }
 
+  /** Exact directed kNN self-join — the ALL-PAIRS truth baseline of the
+    * kNN join family (the join-shaped sibling of [[bruteForceTopK]]):
+    * every row's top-`k` cosine neighbors, ranked (cos desc, neighbor
+    * id), null and zero-norm rows excluded on both sides (the IVF
+    * convention, so audits compare like universes). QUADRATIC BY
+    * DEFINITION — this is the recall-audit anchor (`x_ivf_recall`
+    * bounds it to an id slice, the `x_cosine_lsh_recall` precedent),
+    * never a production path: the scale forms are [[knnJoin]]'s
+    * collapsed/adaptive composition and [[ivfKnnJoin]].
+    * Output: (idCol, neighbor_id, cos, rank) — the [[ivfKnnJoin]]
+    * contract, so the two drop into the same comparison.
+    */
+  def exactKnnJoin(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val vecD = col(vecCol).cast("array<double>")
+    val base = df.filter(col(vecCol).isNotNull)
+      .filter(aggregate(zip_with(vecD, vecD, (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x) > 0)
+      .select(col(idCol), vecD.as("_v"))
+    val a = base.select(col(idCol).as("_qid"), col("_v").as("_qv"))
+    val b = base.select(col(idCol).as("neighbor_id"), col("_v").as("_nv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_qid").orderBy(col("cos").desc, col("neighbor_id"))
+    a.join(b, col("_qid") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("_qv"), col("_nv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("_qid").as(idCol), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above `minCos`, restricted to a
     * candidate id range (all-pairs within the range — the exact
     * verification shape; candidate generation at scale comes from

@@ -259,33 +259,47 @@ object ExtQueries {
     */
   private def ivfKnnJoinPinnedOracleSql(nlistExpr: String, nprobeExpr: String,
                                         kExpr: String, preCtes: String = ""): String =
-    "WITH " + ivfMembershipCtes(nlistExpr, preCtes) + ", " +
+    "WITH " + ivfJoinCtes(nlistExpr, nprobeExpr, preCtes) + " " +
+      "SELECT qid AS vec_id, nid AS neighbor_id, round(cos, 6) AS cos, rank " +
+      s"FROM rnk WHERE rank <= $kExpr ORDER BY vec_id, rank"
+
+  /** The full pinned-anchor IVF join restatement as a CTE chain ending
+    * at `rnk` (qid, nid, cos, rank) — [[ivfMembershipCtes]] + probe
+    * fan-out, cell candidates, exact cosine, per-query rank. Shared by
+    * [[ivfKnnJoinPinnedOracleSql]] (which just adds the final SELECT)
+    * and composite audits ([[IvfRecallOracle]]) that join `rnk` against
+    * another derivation. `src` swaps the corpus table, e.g. for a
+    * bounded audit slice.
+    */
+  private def ivfJoinCtes(nlistExpr: String, nprobeExpr: String,
+                          preCtes: String = "",
+                          src: String = "embeddings"): String =
+    ivfMembershipCtes(nlistExpr, preCtes, src) + ", " +
       s"prob AS (SELECT vec_id, ci FROM pr WHERE rk <= $nprobeExpr), " +
       "cand AS (SELECT p.vec_id AS qid, m.vec_id AS nid FROM prob p " +
       "JOIN mem m ON p.ci = m.ci AND p.vec_id <> m.vec_id), " +
       "pe AS (SELECT cand.qid, cand.nid, unnest(e1.embedding) AS x1, " +
       "unnest(e2.embedding) AS x2 FROM cand " +
-      "JOIN embeddings e1 ON e1.vec_id = cand.qid " +
-      "JOIN embeddings e2 ON e2.vec_id = cand.nid), " +
+      s"JOIN $src e1 ON e1.vec_id = cand.qid " +
+      s"JOIN $src e2 ON e2.vec_id = cand.nid), " +
       "cs AS (SELECT qid, nid, " +
       "sum(CAST(x1 AS DOUBLE) * CAST(x2 AS DOUBLE)) AS dt2, " +
       "sum(CAST(x1 AS DOUBLE) * CAST(x1 AS DOUBLE)) AS n1, " +
       "sum(CAST(x2 AS DOUBLE) * CAST(x2 AS DOUBLE)) AS n2 FROM pe GROUP BY 1, 2), " +
       "rnk AS (SELECT qid, nid, dt2 / (sqrt(n1) * sqrt(n2)) AS cos, " +
       "row_number() OVER (PARTITION BY qid " +
-      "ORDER BY dt2 / (sqrt(n1) * sqrt(n2)) DESC, nid) AS rank FROM cs) " +
-      "SELECT qid AS vec_id, nid AS neighbor_id, round(cos, 6) AS cos, rank " +
-      s"FROM rnk WHERE rank <= $kExpr ORDER BY vec_id, rank"
+      "ORDER BY dt2 / (sqrt(n1) * sqrt(n2)) DESC, nid) AS rank FROM cs)"
 
   /** The membership half of the pinned-anchor IVF restatement, shared
     * by [[ivfKnnJoinPinnedOracleSql]] and the streaming ingest twin's
     * oracle: anchors (CTE `cn`..`ccn`), per-row normalized dots (`dt`),
     * probe ranking (`pr`), and rank-1 membership (`mem`).
     */
-  private def ivfMembershipCtes(nlistExpr: String, preCtes: String = ""): String =
+  private def ivfMembershipCtes(nlistExpr: String, preCtes: String = "",
+                                src: String = "embeddings"): String =
     (if (preCtes.isEmpty) "" else preCtes + ", ") +
       "cn AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, embedding " +
-      "FROM (SELECT vec_id, embedding FROM embeddings " +
+      s"FROM (SELECT vec_id, embedding FROM $src " +
       "WHERE embedding IS NOT NULL AND " +
       "list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0 " +
       s"ORDER BY vec_id LIMIT $nlistExpr)), " +
@@ -295,7 +309,7 @@ object ExtQueries {
       "ccn AS (SELECT cc.ci, cc.j, cc.x / cno.nrm AS x " +
       "FROM cc JOIN cno ON cc.ci = cno.ci), " +
       "ve AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j, " +
-      "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings " +
+      s"CAST(unnest(embedding) AS DOUBLE) AS x FROM $src " +
       "WHERE embedding IS NOT NULL), " +
       "vno AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ve GROUP BY vec_id), " +
       "dt AS (SELECT ve.vec_id, ccn.ci, sum(ve.x / vno.nrm * ccn.x) AS dot " +
@@ -331,6 +345,36 @@ object ExtQueries {
       "nn AS (SELECT count(*) * 2 AS target FROM embeddings), " +
         "nl AS (SELECT min(m) AS nlist FROM generate_series(8, 100000) t(m), nn " +
         "WHERE CAST(m AS HUGEINT) * m >= nn.target)")
+
+  /** Oracle for `x_ivf_recall`: BOTH sides of the recall audit restated
+    * — the exact top-1 neighbor per query (all-pairs within the bounded
+    * id slice, the `x_cosine_lsh_recall` truth-side convention) LEFT
+    * JOINed against the pinned-auto IVF join's top-k on the SAME slice
+    * (the [[ivfJoinCtes]] algebra with `src` = the slice, nlist from the
+    * slice count), so `recovered` is derived, not pinned: a divergence
+    * in EITHER pipeline — quantizer ranking, cell join, top-k, or the
+    * exact baseline — flips a flag and reds the row. The exact side
+    * reuses the slice's `ve`/`vno` unnest CTEs.
+    */
+  private val IvfRecallOracle: String =
+    "WITH " + ivfJoinCtes("(SELECT nlist FROM nl)", "2",
+      "sl AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500), " +
+        "nn AS (SELECT count(*) * 2 AS target FROM sl), " +
+        "nl AS (SELECT min(m) AS nlist FROM generate_series(8, 100000) t(m), nn " +
+        "WHERE CAST(m AS HUGEINT) * m >= nn.target)", src = "sl") + ", " +
+      "exd AS (SELECT a.vec_id AS qid, b.vec_id AS nid, sum(a.x * b.x) AS dt3 " +
+      "FROM ve a JOIN ve b ON a.j = b.j AND a.vec_id <> b.vec_id GROUP BY 1, 2), " +
+      "exc AS (SELECT exd.qid, exd.nid, exd.dt3 / (va.nrm * vb.nrm) AS cos " +
+      "FROM exd JOIN vno va ON va.vec_id = exd.qid " +
+      "JOIN vno vb ON vb.vec_id = exd.nid WHERE va.nrm > 0 AND vb.nrm > 0), " +
+      "ext AS (SELECT qid, nid, cos, row_number() OVER " +
+      "(PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM exc), " +
+      "t1 AS (SELECT qid, nid, cos FROM ext WHERE rk = 1), " +
+      "ivfk AS (SELECT qid, nid FROM rnk WHERE rank <= 3) " +
+      "SELECT t1.qid AS vec_id, t1.nid AS top1_id, round(t1.cos, 6) AS cos, " +
+      "(ivfk.nid IS NOT NULL) AS recovered FROM t1 " +
+      "LEFT JOIN ivfk ON t1.qid = ivfk.qid AND t1.nid = ivfk.nid " +
+      "ORDER BY vec_id"
 
   /** Oracle for `x_cosine_near_dup_lsh_auto`: same pipeline, with the
     * band width derived from `count(*)` by the shared autoPlanes rule
@@ -3405,6 +3449,44 @@ object ExtQueries {
           round(col("cos"), 6).as("cos"), col("rank"))
         .orderBy("vec_id", "rank"),
       Some(IvfKnnJoinAutoPinnedOracle)),
+
+    // IVF RECALL AUDIT (the x_cosine_lsh_recall convention, extended to
+    // a DERIVED flag): each query's exact top-1 neighbor — the all-pairs
+    // truth anchor, BOUNDED to the vec_id < 500 slice on BOTH sides so
+    // the truth quadratic never touches the full corpus — carries a
+    // `recovered` flag saying whether the pinned-auto IVF join's top-3
+    // on the same slice contains it. Unlike the LSH audit the oracle
+    // does NOT pin recovered = true (nprobe = 2 trades recall for probe
+    // work by design): DuckDB re-derives BOTH pipelines — the exact
+    // baseline AND the full IVF quantizer/join algebra — and computes
+    // the same flag, so a rank flip, a probe-rule drift, or a baseline
+    // bug each red the row. ExplainAudit-exempt for the truth side's
+    // non-equi join, same rationale as the LSH audit; the IVF side under
+    // audit is the production equi-join shape. NOTE the rate itself
+    // (~27% at the gate sf) is a property of the FIXTURE quantizer —
+    // smallest-id anchors are corpus-luck, and nprobe = 2 of nlist = 32
+    // probes ~6% of the corpus — not of the lane: the production KMeans
+    // quantizer places cells at cluster centers (SimilaritySpec pins
+    // ≥ 50% top-1 recall for it), and nprobe is the caller's recall
+    // dial (nprobe = nlist degenerates to exact, the full-probe row).
+    // The row's VALUE is that the flag is derived identically by two
+    // engines, whatever the rate.
+    Q("x_ivf_recall",
+      (s, d) => {
+        val slice = Tables.embeddings(s, d).filter(col("vec_id") < 500)
+        val truth = Similarity.exactKnnJoin(slice, "vec_id", "embedding", k = 1)
+          .select(col("vec_id"), col("neighbor_id").as("top1_id"),
+            round(col("cos"), 6).as("cos"))
+        val hit = Similarity.ivfKnnJoinPinnedAuto(slice, "vec_id", "embedding",
+            nprobe = 2, k = 3)
+          .select(col("vec_id"), col("neighbor_id").as("top1_id"),
+            lit(true).as("_hit"))
+        truth.join(hit, Seq("vec_id", "top1_id"), "left")
+          .select(col("vec_id"), col("top1_id"), col("cos"),
+            coalesce(col("_hit"), lit(false)).as("recovered"))
+          .orderBy("vec_id")
+      },
+      Some(IvfRecallOracle)),
 
     // The stored-quantizer leg of the IVF lifecycle: the pinned-auto
     // anchors are WRITTEN once per (session, sf) as an (ivf_cell,

@@ -304,6 +304,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("exactKnnJoin: identical to the full-probe pinned IVF join (both are the " +
+    "exact directed top-k); zero-norm rows excluded from both sides") {
+    val exact = Similarity.exactKnnJoin(fixture, "vec_id", "embedding", k = 5)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    // probing ALL cells reaches every member exactly once -> exact top-k
+    // (pinned by the full-probe test above), so the two must be EQUAL
+    val fullProbe = Similarity.ivfKnnJoinPinned(fixture, "vec_id", "embedding",
+        nlist = 4, nprobe = 4, k = 5)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(exact == fullProbe, "exactKnnJoin must equal the full-probe IVF join")
+    // zero-norm exclusion: a zero vector neither queries nor serves
+    val withZero = fixture.union(Seq((999L, Seq.fill(dim)(0.0))).toDF("vec_id", "embedding"))
+    val z = Similarity.exactKnnJoin(withZero, "vec_id", "embedding", k = 1)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(!z.exists(r => r._1 == 999L || r._2 == 999L), "zero-norm row leaked")
+  }
+
   test("ivfKnnJoinFromStored: parquet round-trip of the quantizer changes no row; " +
     "non-dense cell ids are rejected") {
     val derived = Similarity.autoNlist(200L, 2, 8)
