@@ -260,19 +260,52 @@ object Similarity {
       .drop("_ivf_nrm")
   }
 
+  /** The quantizer-fit train-set cap (FAISS's train-on-sample heuristic:
+    * clustering quality saturates at a few hundred points per centroid,
+    * so feeding KMeans more buys iterations, not better cells). Pure so
+    * the boundary arithmetic is unit-testable.
+    */
+  private[graft] def ivfFitCap(nlist: Int): Long =
+    math.max(256L * nlist, 1000000L)
+
   def ivfIndex(df: DataFrame, vecCol: String, nlist: Int, seed: Long = 42L):
+      (DataFrame, org.apache.spark.ml.clustering.KMeansModel) =
+    ivfIndexWithCap(df, vecCol, nlist, seed, ivfFitCap(nlist))
+
+  /** [[ivfIndex]] with the fit cap injectable — the cap arithmetic is
+    * [[ivfFitCap]]'s job; this split exists so the SAMPLE path is
+    * testable at fixture scale (a functional test of the 1M default
+    * would need a 1M-row corpus).
+    */
+  private[graft] def ivfIndexWithCap(df: DataFrame, vecCol: String, nlist: Int,
+                                     seed: Long, cap: Long):
       (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = {
-    val withVec = ivfFitInput(df, vecCol)
+    val fitInput = ivfFitInput(df, vecCol)
+    // BOUNDED fit (r14's one remaining unbounded stage): KMeans iterates
+    // over its train set many times, so the train set — not the corpus —
+    // must be the thing that is persisted and re-scanned. Above the cap,
+    // train on a uniform sample of ~max(256·nlist, 1M) rows; ASSIGNMENT
+    // stays full-corpus (one narrow normalize+predict pass, nothing
+    // persisted). The sample fraction derives from the corpus row count
+    // (an upper bound on fit rows — null/zero-norm rows are excluded
+    // downstream, so the realized sample lands at or slightly under the
+    // cap; the cap is a heuristic, not a contract). Below the cap the
+    // train set IS the fit input — bit-identical centroids to the
+    // pre-cap form, which is what keeps the gate-sf registry rows green.
+    val n = df.count()
+    val train = (if (n > cap)
+      fitInput.sample(withReplacement = false, cap.toDouble / n, seed)
+    else fitInput)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setK(nlist).setSeed(seed).setFeaturesCol("_ivf_v").setPredictionCol("ivf_cell")
-      .fit(withVec)
-    val assigned = km.transform(withVec).drop("_ivf_v")
+      .fit(train)
+    val assigned = km.transform(fitInput).drop("_ivf_v")
     // The cache exists to feed the KMeans iterations; after fit it is dead
     // weight (callers persist the *assigned* frame for probing). Async
     // unpersist: a caller materializing `assigned` right away recomputes
     // one narrow normalize pass instead of holding a second copy forever.
-    withVec.unpersist(blocking = false)
+    train.unpersist(blocking = false)
     (assigned, km)
   }
 
@@ -497,6 +530,20 @@ object Similarity {
     }
     val centroids = rows.map(_.getSeq[Double](1).toArray)
     val offsets = rows.map(_.getDouble(2))
+    // Shape/value validation (r14 advice): a dimension mismatch with the
+    // corpus makes the probe kernel return null for EVERY row — a silent
+    // 0-row join instead of a loud failure — and ragged or NaN centroids
+    // can throw in executors / seat a NaN probe score. Fail here, with
+    // the cell id, while the quantizer is still a driver-side artifact.
+    val dim = centroids(0).length
+    centroids.iterator.zipWithIndex.foreach { case (c, i) =>
+      require(c.nonEmpty, s"stored quantizer cell $i has an empty centroid")
+      require(c.length == dim,
+        s"stored quantizer centroids must share one dimension: " +
+          s"cell $i has ${c.length}, cell 0 has $dim")
+      require(!c.exists(_.isNaN), s"stored quantizer cell $i contains NaN")
+    }
+    require(!offsets.exists(_.isNaN), "stored quantizer offsets contain NaN")
     ivfKnnJoinCore(df, idCol, vecCol, centroids, offsets, nprobe, k)
   }
 

@@ -289,9 +289,18 @@ object IvfKernel {
       var bs = 0.0
       var q = 0
       while (q < nlist) {
-        if (!taken(q) && (best < 0 || scores(q) > bs)) { best = q; bs = scores(q) }
+        // A NaN score (reachable only through a corrupt quantizer — NaN
+        // inputs already returned null above) must never seat a cell: the
+        // first-untaken pick would lock it in, since `score > NaN` is
+        // false for every later candidate (r14 advice). Skip it; if every
+        // remaining cell is NaN the row is rejected like a NaN input.
+        val s = scores(q)
+        if (!taken(q) && !java.lang.Double.isNaN(s) && (best < 0 || s > bs)) {
+          best = q; bs = s
+        }
         q += 1
       }
+      if (best < 0) return null
       taken(best) = true
       out(r) = best
       r += 1

@@ -243,8 +243,10 @@ object ExtQueries {
     * (dot desc, cell asc); rank 1 assigns membership, ranks ≤ 2 the
     * probe list; candidates join probe→member cells (self excluded)
     * and the exact cosine top-3 per query ranks (cos desc, neighbor).
-    * Row vectors are normalized INSIDE the dot (dot/‖v‖, mirroring the
-    * Spark matvec-then-divide shape). Zero-norm vectors are excluded on
+    * Row vectors divide by ‖v‖ AFTER the sum (`sum(x·c)/‖v‖`,
+    * mirroring the [[graft.functions.IvfKernel]] dot-then-scale order —
+    * the r14 advice: a per-element `x/‖v‖·c` sum rounds differently and
+    * can flip a near-tie probe cell). Zero-norm vectors are excluded on
     * BOTH sides — as anchors and as query/member rows — mirroring the
     * engine's guard (r13 advice: an unguarded zero norm diverges to
     * NaN in Spark and to a division error here).
@@ -312,7 +314,8 @@ object ExtQueries {
       s"CAST(unnest(embedding) AS DOUBLE) AS x FROM $src " +
       "WHERE embedding IS NOT NULL), " +
       "vno AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ve GROUP BY vec_id), " +
-      "dt AS (SELECT ve.vec_id, ccn.ci, sum(ve.x / vno.nrm * ccn.x) AS dot " +
+      "dt AS (SELECT ve.vec_id, ccn.ci, " +
+      "sum(ve.x * ccn.x) / any_value(vno.nrm) AS dot " +
       "FROM ve JOIN vno ON ve.vec_id = vno.vec_id " +
       "JOIN ccn ON ve.j = ccn.j WHERE vno.nrm > 0 GROUP BY 1, 2), " +
       "pr AS (SELECT vec_id, ci, row_number() OVER " +

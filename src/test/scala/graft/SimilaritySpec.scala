@@ -350,6 +350,80 @@ class SimilaritySpec extends SparkSpec {
     assert(err.getMessage.contains("dense"), s"wrong error: ${err.getMessage}")
   }
 
+  test("ivfKnnJoinFromStored: corrupt quantizers fail loudly, not with 0 rows " +
+    "(dim mismatch / ragged / NaN centroid / NaN offset)") {
+    def quantOf(cells: Seq[(Int, Seq[Double], Double)]) =
+      cells.toDF("ivf_cell", "centroid", "offset")
+    val good = Seq(0.2, 0.1, 0.3)
+    // a RAGGED table must fail at load, before any executor can throw an
+    // ArrayIndexOutOfBounds on the short row (r14 advice)
+    val ragged = quantOf(Seq((0, good, 0.0), (1, Seq(1.0, 0.0), 0.0)))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.ivfKnnJoinFromStored(fixture, "vec_id", "embedding", ragged, 1, 2)
+    }
+    assert(e2.getMessage.contains("share one dimension"), s"wrong error: ${e2.getMessage}")
+    val nanCent = quantOf(Seq((0, good, 0.0), (1, Seq(0.1, Double.NaN, 0.2), 0.0)))
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.ivfKnnJoinFromStored(fixture, "vec_id", "embedding", nanCent, 1, 2)
+    }
+    assert(e3.getMessage.contains("NaN"), s"wrong error: ${e3.getMessage}")
+    val nanOff = quantOf(Seq((0, good, 0.0), (1, good.reverse, Double.NaN)))
+    val e4 = intercept[IllegalArgumentException] {
+      Similarity.ivfKnnJoinFromStored(fixture, "vec_id", "embedding", nanOff, 1, 2)
+    }
+    assert(e4.getMessage.contains("NaN"), s"wrong error: ${e4.getMessage}")
+    val empty = quantOf(Seq((0, Seq.empty[Double], 0.0)))
+    val e5 = intercept[IllegalArgumentException] {
+      Similarity.ivfKnnJoinFromStored(fixture, "vec_id", "embedding", empty, 1, 2)
+    }
+    assert(e5.getMessage.contains("empty"), s"wrong error: ${e5.getMessage}")
+  }
+
+  test("IvfKernel: a NaN probe score is never seated; all-NaN scores reject the row") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val v = new GenericArrayData(Array(1.0, 0.0, 0.0))
+    // cell 0 scores NaN (NaN centroid element); cells 1 and 2 are healthy.
+    // Pre-r15 the first-untaken pick seated cell 0 and `score > NaN` kept
+    // it there — the row's membership cell became the corrupt one.
+    val cents = Array(
+      Array(Double.NaN, 0.0, 0.0), Array(0.8, 0.1, 0.0), Array(0.0, 0.9, 0.1))
+    val offs = Array(0.0, 0.0, 0.0)
+    val got = graft.functions.IvfKernel.probes(v, cents, offs, 2)
+    assert(got != null && got.toIntArray().toSeq == Seq(1, 2),
+      s"NaN cell must be skipped: ${Option(got).map(_.toIntArray().toSeq)}")
+    // all scores NaN -> rejected like a NaN input
+    val allNan = Array(
+      Array(Double.NaN, 0.0, 0.0), Array(0.0, Double.NaN, 0.0))
+    assert(graft.functions.IvfKernel.probes(v, allNan, Array(0.0, 0.0), 1) == null,
+      "all-NaN scores must null the row")
+  }
+
+  test("ivfIndex bounded fit: above the cap KMeans trains on a sample but " +
+    "ASSIGNMENT stays full-corpus; ivfFitCap boundaries") {
+    import Similarity.{ivfFitCap, ivfIndexWithCap}
+    assert(ivfFitCap(8) == 1000000L, "small nlist floors at 1M")
+    assert(ivfFitCap(3906) == 1000000L, "256*3906 = 999936 still floors")
+    assert(ivfFitCap(3907) == 1000192L, "256 rows per centroid past the floor")
+    assert(ivfFitCap(100000) == 25600000L)
+    // cap injected below the 200-row fixture: the fit sees a ~60-row
+    // sample, yet every corpus row still gets a cell
+    val (assigned, km) = ivfIndexWithCap(fixture, "embedding", nlist = 4,
+      seed = 42L, cap = 60L)
+    assert(km.clusterCenters.length == 4)
+    assert(assigned.count() == 200L,
+      "assignment must cover the full corpus, not the fit sample")
+    val cells = assigned.select("ivf_cell").as[Int].collect()
+    assert(cells.forall(c => c >= 0 && c < 4))
+    // and the sampled-fit model still quantizes usefully: full-probe
+    // top-k through it equals the exact join (nprobe = nlist degenerates
+    // to exact whatever the centroids are)
+    val full = Similarity.ivfKnnJoinFromModel(fixture, "vec_id", "embedding",
+      km, nprobe = 4, k = 2).as[(Long, Long, Double, Long)].collect().toSet
+    val exact = Similarity.exactKnnJoin(fixture, "vec_id", "embedding", k = 2)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(full == exact)
+  }
+
   test("IvfProbes kernel: parity with the composed norm+matvec+sort probe selection; " +
     "null contract on zero-norm/dim-mismatch/null-element rows") {
     val nlist = 7; val nprobe = 3
