@@ -578,10 +578,19 @@ object Similarity {
     // explode-then-rank-window: that was an n·nlist-row shuffle — 126 M
     // rows at the ×10 sweep — for a decision each row makes alone); only
     // n·nprobe probe rows enter the cell equi-join.
+    //
+    // The quantizer rides a BROADCAST, not a plan-constant reference:
+    // this expression sits in BOTH join subplans (probe + member), so a
+    // plan-constant matrix would serialize with every stage's task
+    // binary — 7.2 MB at autoNlist for a 10⁸-row dim-64 corpus, 72 MB
+    // at 10¹⁰ (r14 task: measured sizes in IvfProbesBroadcast's doc /
+    // DESIGN.md). Broadcast moves it once per executor.
+    val bc = df.sparkSession.sparkContext.broadcast(
+      graft.functions.IvfQuantizer(centroids, offsets))
     val probed = df.filter(col(vecCol).isNotNull)
       .select(col(idCol), vecD.as("_v"),
-        graft.functions.GraftFunctions.ivf_probes(
-          vecD, centroids, offsets, nprobe).as("_probes"))
+        graft.functions.GraftFunctions.ivf_probes_bc(
+          vecD, bc, nprobe).as("_probes"))
       .filter(col("_probes").isNotNull)
     val members = probed
       .select(element_at(col("_probes"), 1).as("_mcell"),

@@ -138,6 +138,16 @@ object GraftFunctions {
                  offsets: Array[Double], nprobe: Int): Column =
     toColumn(IvfProbes(toExpression(v), centroids, offsets, nprobe))
 
+  /** [[ivf_probes]] with the quantizer behind a broadcast handle — the
+    * production-join form: the centroid matrix ships once per executor
+    * instead of with every stage's task binary (see
+    * [[IvfProbesBroadcast]] for the measured sizes at autoNlist scale).
+    */
+  def ivf_probes_bc(v: Column,
+                    bc: org.apache.spark.broadcast.Broadcast[IvfQuantizer],
+                    nprobe: Int): Column =
+    toColumn(IvfProbesBroadcast(toExpression(v), bc, nprobe))
+
   /** Codegen'd binary-search membership of a bigint column in a
     * plan-constant SORTED long array (caller owns sortedness).
     */

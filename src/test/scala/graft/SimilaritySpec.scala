@@ -485,6 +485,28 @@ class SimilaritySpec extends SparkSpec {
       "nprobe > nlist returns every cell exactly once, rank-ordered")
   }
 
+  test("IvfProbesBroadcast: bitwise parity with the plan-constant form " +
+    "(same kernel, different shipping) and identical null contract") {
+    val nlist = 7; val nprobe = 3
+    val cents = Array.tabulate(nlist, dim)((p, i) => ((p * 17 + i * 5) % 11) * 0.07 - 0.3)
+    val offs = cents.map(c => c.map(x => x * x).sum / 2)
+    val bc = spark.sparkContext.broadcast(graft.functions.IvfQuantizer(cents, offs))
+    val vecD = col("embedding").cast("array<double>")
+    val viaBc = fixture.select(col("vec_id"),
+        graft.functions.GraftFunctions.ivf_probes_bc(vecD, bc, nprobe).as("_p"))
+      .orderBy("vec_id").as[(Long, Seq[Int])].collect()
+    val viaConst = fixture.select(col("vec_id"),
+        graft.functions.GraftFunctions.ivf_probes(vecD, cents, offs, nprobe).as("_p"))
+      .orderBy("vec_id").as[(Long, Seq[Int])].collect()
+    assert(viaBc.sameElements(viaConst), "broadcast and plan-constant forms diverged")
+    // null contract rides through the shared kernel: zero-norm -> null
+    val zero = Seq((1L, Seq.fill(dim)(0.0))).toDF("vec_id", "v")
+      .select(graft.functions.GraftFunctions.ivf_probes_bc(col("v"), bc, nprobe).as("_p"))
+      .as[Option[Seq[Int]]].head()
+    assert(zero.isEmpty)
+    bc.destroy()
+  }
+
   test("collapseExactVectors: min-id representatives, full membership, twins found via rep fan-out") {
     val df = Seq(
       (5L, Seq(1.0f, 0.0f, 0.0f)), (2L, Seq(1.0f, 0.0f, 0.0f)), (9L, Seq(1.0f, 0.0f, 0.0f)),
