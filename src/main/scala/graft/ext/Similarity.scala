@@ -608,6 +608,137 @@ object Similarity {
       .select(col("_qid").as(idCol), col("neighbor_id"), col("cos"), col("rank"))
   }
 
+  /** Corpus-wide per-dimension (lo, hi) quantization stats, collected to
+    * the driver — `dim` rows, the bounded driver-artifact class (the
+    * nlist-row quantizer-fetch precedent). Same stats pass as
+    * [[quantizeInt8]] (posexplode + dim-keyed min/max, map-side
+    * combined), collected instead of broadcast-joined because the PQ
+    * kernels want plan-constant arrays.
+    */
+  private[graft] def ivfPqStats(df: DataFrame, vecCol: String): (Array[Double], Array[Double]) = {
+    val v = col(vecCol).cast("array<double>")
+    val rows = df.select(posexplode(v).as(Seq("_dim", "_x")))
+      .groupBy("_dim").agg(min(col("_x")).as("_lo"), max(col("_x")).as("_hi"))
+      .orderBy("_dim").collect()
+    require(rows.nonEmpty, "quantization stats: corpus has no non-null vectors")
+    (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+  }
+
+  /** IVF-PQ-lite kNN self-join — [[ivfKnnJoin]] with the CANDIDATE
+    * stage running on COMPRESSED vectors: every row quantizes to packed
+    * uint8 binary codes (one byte per dimension —
+    * [[graft.functions.QuantizeUint8]], the [[quantizeInt8]] affine
+    * formula), the cell equi-join ships ONLY codes on both sides (8×
+    * less shuffle than raw `array<double>` — the memory-bounded ANN
+    * shape at 100 TB, where the candidate join is the dominant shuffle),
+    * candidates rank by the cosine of their affine RECONSTRUCTIONS
+    * ([[graft.functions.QuantCosine]]), and only the top-`kPrime`
+    * survivors per query re-join their RAW vectors (two id equi-joins of
+    * n·kPrime rows — linear) for the exact cosine top-`k` re-rank.
+    *
+    * Recall decomposes as (cell recall) × (survivor recall): the first
+    * is [[ivfKnnJoin]]'s nprobe trade unchanged; the second is the
+    * probability a true top-k neighbor ranks in the quantized top-kPrime
+    * — int8 reconstruction error is small (the `x_quantize_int8` mse
+    * column prices it per vector), so modest kPrime/k ratios (4–8×)
+    * recover it; `kPrime` ≥ the per-query candidate count makes the
+    * survivor stage pass-through and the result equals [[ivfKnnJoin]]
+    * exactly (pinned in SimilaritySpec).
+    *
+    * NaN reconstruction cosines (a vector whose reconstruction is
+    * all-zero — degenerate stats) are filtered before ranking: NaN
+    * orders ABOVE every real score in Spark's desc sort and would
+    * occupy survivor slots with garbage.
+    *
+    * Output: (idCol, neighbor_id, cos, rank), rank 1..k per id — `cos`
+    * is always the EXACT cosine (codes never appear in the output).
+    */
+  def ivfPqKnnJoin(df: DataFrame, idCol: String, vecCol: String,
+                   nprobe: Int, k: Int, kPrime: Int,
+                   minList: Int = 8, seed: Long = 42L): DataFrame = {
+    val nlist = autoNlist(df.count(), nprobe, minList)
+    val km = ivfIndex(df, vecCol, nlist, seed)._2
+    ivfPqKnnJoinFromModel(df, idCol, vecCol, km, nprobe, k, kPrime)
+  }
+
+  /** [[ivfPqKnnJoin]] with the PINNED-AUTO quantizer — the oracle twin
+    * (the [[ivfKnnJoinPinnedAuto]] pattern): smallest-id unit anchors at
+    * the count-derived [[autoNlist]], so every stage — membership,
+    * probes, integer code values, reconstruction cosines, survivor
+    * ranks, exact top-k — is restatable by DuckDB from the formulas
+    * alone.
+    */
+  def ivfPqKnnJoinPinnedAuto(df: DataFrame, idCol: String, vecCol: String,
+                             nprobe: Int, k: Int, kPrime: Int,
+                             minList: Int = 8): DataFrame = {
+    val unit = pinnedUnitAnchors(df, idCol, vecCol,
+      autoNlist(df.count(), nprobe, minList))
+    ivfPqKnnJoinCore(df, idCol, vecCol, unit, unit.map(_ => 0.0), nprobe, k, kPrime)
+  }
+
+  /** [[ivfPqKnnJoin]] against an ALREADY-FITTED quantizer — the
+    * build-once/join-many lifecycle ([[ivfKnnJoinFromModel]]'s PQ
+    * sibling).
+    */
+  def ivfPqKnnJoinFromModel(df: DataFrame, idCol: String, vecCol: String,
+                            km: org.apache.spark.ml.clustering.KMeansModel,
+                            nprobe: Int, k: Int, kPrime: Int): DataFrame = {
+    val centers = km.clusterCenters.map(_.toArray)
+    val offsets = centers.map(c => c.map(x => x * x).sum / 2)
+    ivfPqKnnJoinCore(df, idCol, vecCol, centers, offsets, nprobe, k, kPrime)
+  }
+
+  /** Shared candidate/survivor/re-rank core of the PQ join — the
+    * [[ivfKnnJoinCore]] algebra with the exact-cosine verify split into
+    * quantized-rank + survivor-re-rank (see [[ivfPqKnnJoin]]).
+    */
+  private def ivfPqKnnJoinCore(df: DataFrame, idCol: String, vecCol: String,
+                               centroids: Array[Array[Double]],
+                               offsets: Array[Double], nprobe: Int,
+                               k: Int, kPrime: Int): DataFrame = {
+    require(nprobe >= 1 && k >= 1, s"need nprobe/k >= 1, got $nprobe/$k")
+    require(kPrime >= k, s"need kPrime >= k, got $kPrime < $k")
+    require(centroids.nonEmpty, "need at least one centroid")
+    val (lo, hi) = ivfPqStats(df, vecCol)
+    val vecD = col(vecCol).cast("array<double>")
+    val bc = df.sparkSession.sparkContext.broadcast(
+      graft.functions.IvfQuantizer(centroids, offsets))
+    // probes + codes in ONE narrow pass; the raw vector is NOT selected —
+    // column pruning keeps it out of the candidate shuffle entirely
+    val probed = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol),
+        graft.functions.GraftFunctions.ivf_probes_bc(vecD, bc, nprobe).as("_probes"),
+        graft.functions.GraftFunctions.quantize_uint8(vecD, lo, hi).as("_codes"))
+      .filter(col("_probes").isNotNull && col("_codes").isNotNull)
+    val members = probed
+      .select(element_at(col("_probes"), 1).as("_mcell"),
+        col(idCol).as("neighbor_id"), col("_codes").as("_ncodes"))
+    val probes = probed
+      .select(col(idCol).as("_qid"), col("_codes").as("_qcodes"),
+        explode(col("_probes")).as("_ci"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("_qid").orderBy(col("_qcos").desc, col("neighbor_id"))
+    val survivors = probes.join(members, col("_ci") === col("_mcell"))
+      .filter(col("_qid") =!= col("neighbor_id"))
+      .withColumn("_qcos", graft.functions.GraftFunctions.quant_cosine(
+        col("_qcodes"), col("_ncodes"), lo, hi))
+      .filter(!isnan(col("_qcos")))
+      .withColumn("_qrk", row_number().over(wq))
+      .filter(col("_qrk") <= kPrime)
+      .select("_qid", "neighbor_id")
+    // raw vectors re-enter only for the n·kPrime survivor rows
+    val base = df.filter(col(vecCol).isNotNull).select(col(idCol), vecD.as("_v"))
+    val qv = base.select(col(idCol).as("_qid"), col("_v").as("_qv"))
+    val nv = base.select(col(idCol).as("neighbor_id"), col("_v").as("_nv"))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy("_qid").orderBy(col("cos").desc, col("neighbor_id"))
+    survivors.join(qv, "_qid").join(nv, "neighbor_id")
+      .withColumn("cos", cosine(col("_qv"), col("_nv")))
+      .withColumn("rank", row_number().over(wk).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("_qid").as(idCol), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
   /** Exact directed kNN self-join — the ALL-PAIRS truth baseline of the
     * kNN join family (the join-shaped sibling of [[bruteForceTopK]]):
     * every row's top-`k` cosine neighbors, ranked (cos desc, neighbor

@@ -148,6 +148,20 @@ object GraftFunctions {
                     nprobe: Int): Column =
     toColumn(IvfProbesBroadcast(toExpression(v), bc, nprobe))
 
+  /** Codegen'd uint8 quantization of an array<double> to packed binary
+    * codes against plan-constant per-dim (lo, hi) stats — the
+    * compressed-vector leg of the IVF-PQ-lite join.
+    */
+  def quantize_uint8(v: Column, lo: Array[Double], hi: Array[Double]): Column =
+    toColumn(QuantizeUint8(toExpression(v), lo, hi))
+
+  /** Codegen'd cosine of the affine reconstructions of two
+    * [[quantize_uint8]] code blobs (see [[QuantCosine]] for the exact
+    * float order the DuckDB oracle mirrors).
+    */
+  def quant_cosine(a: Column, b: Column, lo: Array[Double], hi: Array[Double]): Column =
+    toColumn(QuantCosine(toExpression(a), toExpression(b), lo, hi))
+
   /** Codegen'd binary-search membership of a bigint column in a
     * plan-constant SORTED long array (caller owns sortedness).
     */

@@ -377,6 +377,146 @@ object IvfKernel {
   }
 }
 
+/** Scalar uint8 quantization of an `array<double>` vector to PACKED
+  * BINARY codes — the compressed-vector leg of the IVF-PQ-lite join
+  * ([[graft.ext.Similarity.ivfPqKnnJoin]]): one byte per dimension, so
+  * the candidate cell join shuffles 8× less than raw doubles (and 4×
+  * less than the `array<int>` codes of
+  * [[graft.ext.Similarity.quantizeInt8]], whose affine formula this
+  * reuses verbatim: `clamp(floor((x−lo_i)/(hi_i−lo_i)·255 + 0.5))`,
+  * `hi = lo → 0`). `lo`/`hi` are the corpus-wide per-dimension stats,
+  * dim-length driver arrays riding as reference objects (tiny — the
+  * centroid-matrix shipping concern does not apply at d ≤ a few
+  * thousand).
+  *
+  * Null on: null input, null element, or length ≠ stats length (the
+  * stats arrays are exactly as long as the corpus's uniform
+  * dimensionality; a ragged row has no stats tail to quantize against —
+  * the quantizeInt8 guard, hardened to null the row instead of
+  * truncating).
+  */
+case class QuantizeUint8(child: Expression, lo: Array[Double], hi: Array[Double])
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "quantize_uint8"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<double>, got ${other.sql}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    QuantKernel.encode(input.asInstanceOf[ArrayData], lo, hi)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val loRef = ctx.addReferenceObj("quantLo", lo, "double[]")
+    val hiRef = ctx.addReferenceObj("quantHi", hi, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+        |${ev.value} = graft.functions.QuantKernel.encode($a, $loRef, $hiRef);
+        |${ev.isNull} = (${ev.value} == null);
+      """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeUint8 =
+    copy(child = newChild)
+}
+
+/** Cosine similarity of the AFFINE RECONSTRUCTIONS of two
+  * [[QuantizeUint8]] code blobs — the approximate scoring kernel of the
+  * IVF-PQ-lite candidate stage: `r_i = lo_i + c_i/255·(hi_i−lo_i)`
+  * (literally that float order — divide by 255.0 first, then scale —
+  * so a DuckDB restatement `lo + code/255.0*(hi-lo)` is bit-identical;
+  * the r14 probe-dot advice precedent), then the [[CosineSim]]
+  * sequential dot/norm fold over the reconstructions. A zero-norm
+  * reconstruction divides to NaN exactly like [[CosineSim]] — callers
+  * filter NaN before ranking. Null on null inputs or length mismatches
+  * (with each other or the stats).
+  */
+case class QuantCosine(left: Expression, right: Expression,
+                       lo: Array[Double], hi: Array[Double])
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "quant_cosine"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t == org.apache.spark.sql.types.BinaryType
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two binary arguments, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    QuantKernel.cosine(l.asInstanceOf[Array[Byte]], r.asInstanceOf[Array[Byte]], lo, hi)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val loRef = ctx.addReferenceObj("quantLo", lo, "double[]")
+    val hiRef = ctx.addReferenceObj("quantHi", hi, "double[]")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val v = ctx.freshName("qc")
+      s"""
+        |Double $v = graft.functions.QuantKernel.cosine($a, $b, $loRef, $hiRef);
+        |if ($v == null) { ${ev.isNull} = true; } else { ${ev.value} = $v.doubleValue(); }
+      """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): QuantCosine =
+    copy(left = newLeft, right = newRight)
+}
+
+/** The static uint8-quantization kernels — shared by interpreted and
+  * codegen paths (the [[IvfKernel]] convention).
+  */
+object QuantKernel {
+  def encode(a: ArrayData, lo: Array[Double], hi: Array[Double]): Array[Byte] = {
+    val d = lo.length
+    if (a.numElements() != d) return null
+    val out = new Array[Byte](d)
+    var i = 0
+    while (i < d) {
+      if (a.isNullAt(i)) return null
+      val l = lo(i); val h = hi(i)
+      val c = if (h == l) 0.0
+        else {
+          val raw = math.floor((a.getDouble(i) - l) / (h - l) * 255.0 + 0.5)
+          math.min(math.max(raw, 0.0), 255.0)
+        }
+      out(i) = c.toInt.toByte
+      i += 1
+    }
+    out
+  }
+
+  def cosine(a: Array[Byte], b: Array[Byte], lo: Array[Double],
+             hi: Array[Double]): java.lang.Double = {
+    val d = lo.length
+    if (a.length != d || b.length != d) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < d) {
+      val l = lo(i); val s = hi(i) - l
+      val x = l + (a(i) & 0xFF) / 255.0 * s
+      val y = l + (b(i) & 0xFF) / 255.0 * s
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
 /** Membership probe of a `bigint` column against a PLAN-CONSTANT sorted
   * long array (the stored-gram-table literal of the streaming scrub):
   * one binary search per probe — O(log m) against the O(m) linear scan

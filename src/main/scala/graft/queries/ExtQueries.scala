@@ -292,6 +292,83 @@ object ExtQueries {
       "row_number() OVER (PARTITION BY qid " +
       "ORDER BY dt2 / (sqrt(n1) * sqrt(n2)) DESC, nid) AS rank FROM cs)"
 
+  /** The IVF-PQ-lite join restatement as a CTE chain ending at `rnk2`
+    * (qid, nid, cos, rank) — [[ivfMembershipCtes]] + probe fan-out +
+    * cell candidates, then the PQ split: per-dim (lo, hi) stats over the
+    * unnested corpus (`st`), affine uint8 RECONSTRUCTIONS
+    * `lo + clamp(floor((x−lo)/(hi−lo)·255 + .5))/255.0·(hi−lo)` (`rc` —
+    * literally that float order, the [[graft.functions.QuantCosine]]
+    * kernel contract), reconstruction-cosine survivor ranks bounded to
+    * `kPrimeExpr` (`sv`, NaN filtered like the engine), and the exact
+    * cosine top-k re-rank over survivors only (`cs2`/`rnk2`).
+    */
+  private def ivfPqJoinCtes(nlistExpr: String, nprobeExpr: String,
+                            kPrimeExpr: String, preCtes: String = "",
+                            src: String = "embeddings"): String =
+    ivfMembershipCtes(nlistExpr, preCtes, src) + ", " +
+      s"prob AS (SELECT vec_id, ci FROM pr WHERE rk <= $nprobeExpr), " +
+      "cand AS (SELECT p.vec_id AS qid, m.vec_id AS nid FROM prob p " +
+      "JOIN mem m ON p.ci = m.ci AND p.vec_id <> m.vec_id), " +
+      "st AS (SELECT j, min(x) AS lo, max(x) AS hi FROM ve GROUP BY j), " +
+      "rc AS (SELECT ve.vec_id, ve.j, st.lo + (CASE WHEN st.hi = st.lo THEN 0.0 " +
+      "ELSE least(greatest(floor((ve.x - st.lo) / (st.hi - st.lo) * 255.0 + 0.5), " +
+      "0.0), 255.0) END) / 255.0 * (st.hi - st.lo) AS r " +
+      "FROM ve JOIN st ON ve.j = st.j), " +
+      "qcd AS (SELECT cand.qid, cand.nid, sum(r1.r * r2.r) AS dtq, " +
+      "sum(r1.r * r1.r) AS nq1, sum(r2.r * r2.r) AS nq2 FROM cand " +
+      "JOIN rc r1 ON r1.vec_id = cand.qid " +
+      "JOIN rc r2 ON r2.vec_id = cand.nid AND r1.j = r2.j GROUP BY 1, 2), " +
+      "sv AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid " +
+      "ORDER BY dtq / (sqrt(nq1) * sqrt(nq2)) DESC, nid) AS qrk FROM qcd " +
+      "WHERE NOT isnan(dtq / (sqrt(nq1) * sqrt(nq2)))), " +
+      s"cs2 AS (SELECT sv.qid, sv.nid, sum(v1.x * v2.x) AS dt2, " +
+      "sum(v1.x * v1.x) AS n1, sum(v2.x * v2.x) AS n2 FROM sv " +
+      "JOIN ve v1 ON v1.vec_id = sv.qid " +
+      s"JOIN ve v2 ON v2.vec_id = sv.nid AND v1.j = v2.j " +
+      s"WHERE sv.qrk <= $kPrimeExpr GROUP BY 1, 2), " +
+      "rnk2 AS (SELECT qid, nid, dt2 / (sqrt(n1) * sqrt(n2)) AS cos, " +
+      "row_number() OVER (PARTITION BY qid " +
+      "ORDER BY dt2 / (sqrt(n1) * sqrt(n2)) DESC, nid) AS rank FROM cs2)"
+
+  /** Oracle for `x_ivf_pq_knn_join_pinned` (pinned-auto anchors,
+    * nprobe 2, kPrime 8, k 3): every PQ stage restated — the integer
+    * code values, the reconstruction cosines, the survivor cut, and the
+    * exact re-rank (see [[ivfPqJoinCtes]]).
+    */
+  private val IvfPqKnnJoinPinnedOracle: String =
+    "WITH " + ivfPqJoinCtes("(SELECT nlist FROM nl)", "2", "8",
+      "nn AS (SELECT count(*) * 2 AS target FROM embeddings), " +
+        "nl AS (SELECT min(m) AS nlist FROM generate_series(8, 100000) t(m), nn " +
+        "WHERE CAST(m AS HUGEINT) * m >= nn.target)") + " " +
+      "SELECT qid AS vec_id, nid AS neighbor_id, round(cos, 6) AS cos, rank " +
+      "FROM rnk2 WHERE rank <= 3 ORDER BY vec_id, rank"
+
+  /** Oracle for `x_ivf_pq_recall`: the [[IvfRecallOracle]] convention
+    * over the PQ lane — exact top-1 on the bounded slice LEFT JOINed
+    * against the PQ join's top-k on the same slice, `recovered` derived
+    * by both engines (a drift in the quantization arithmetic, the
+    * survivor cut, or the re-rank flips a flag and reds the row).
+    */
+  private val IvfPqRecallOracle: String =
+    "WITH " + ivfPqJoinCtes("(SELECT nlist FROM nl)", "2", "8",
+      "sl AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500), " +
+        "nn AS (SELECT count(*) * 2 AS target FROM sl), " +
+        "nl AS (SELECT min(m) AS nlist FROM generate_series(8, 100000) t(m), nn " +
+        "WHERE CAST(m AS HUGEINT) * m >= nn.target)", src = "sl") + ", " +
+      "exd AS (SELECT a.vec_id AS qid, b.vec_id AS nid, sum(a.x * b.x) AS dt3 " +
+      "FROM ve a JOIN ve b ON a.j = b.j AND a.vec_id <> b.vec_id GROUP BY 1, 2), " +
+      "exc AS (SELECT exd.qid, exd.nid, exd.dt3 / (va.nrm * vb.nrm) AS cos " +
+      "FROM exd JOIN vno va ON va.vec_id = exd.qid " +
+      "JOIN vno vb ON vb.vec_id = exd.nid WHERE va.nrm > 0 AND vb.nrm > 0), " +
+      "ext AS (SELECT qid, nid, cos, row_number() OVER " +
+      "(PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM exc), " +
+      "t1 AS (SELECT qid, nid, cos FROM ext WHERE rk = 1), " +
+      "pqk AS (SELECT qid, nid FROM rnk2 WHERE rank <= 3) " +
+      "SELECT t1.qid AS vec_id, t1.nid AS top1_id, round(t1.cos, 6) AS cos, " +
+      "(pqk.nid IS NOT NULL) AS recovered FROM t1 " +
+      "LEFT JOIN pqk ON t1.qid = pqk.qid AND t1.nid = pqk.nid " +
+      "ORDER BY vec_id"
+
   /** The membership half of the pinned-anchor IVF restatement, shared
     * by [[ivfKnnJoinPinnedOracleSql]] and the streaming ingest twin's
     * oracle: anchors (CTE `cn`..`ccn`), per-row normalized dots (`dt`),
@@ -3510,6 +3587,61 @@ object ExtQueries {
           .orderBy("vec_id", "rank")
       },
       Some(IvfKnnJoinAutoPinnedOracle)),
+
+    // IVF-PQ-lite (r15 — VERDICT r14 task 5): the candidate cell join
+    // ships PACKED UINT8 BINARY codes (1 byte/dim — 8× less shuffle
+    // than raw array<double>), candidates rank by reconstruction
+    // cosine, and only the top-kPrime survivors per query re-join raw
+    // vectors for the exact top-k — the standard memory-bounded ANN
+    // shape at 100 TB. Production form: session-memoized KMeans
+    // quantizer at the autoNlist balance rule (engine-seeded → rows
+    // only); the _pinned twin puts EVERY stage under the oracle.
+    Q("x_ivf_pq_knn_join",
+      (s, d) => {
+        val (_, km) = ivfForAuto(s, d)
+        Similarity.ivfPqKnnJoinFromModel(Tables.embeddings(s, d), "vec_id",
+            "embedding", km, nprobe = 2, k = 3, kPrime = 8)
+          .select(col("vec_id"), col("neighbor_id"),
+            round(col("cos"), 6).as("cos"), col("rank"))
+          .orderBy("vec_id", "rank")
+      },
+      None),
+
+    // Gate twin: pinned-auto anchors, so DuckDB restates the integer
+    // code values (the quantizeInt8 affine formula is integer-exact),
+    // the reconstruction cosines in the kernel's dot-then-scale float
+    // order, the kPrime survivor cut, and the exact re-rank.
+    Q("x_ivf_pq_knn_join_pinned",
+      (s, d) => Similarity.ivfPqKnnJoinPinnedAuto(Tables.embeddings(s, d),
+          "vec_id", "embedding", nprobe = 2, k = 3, kPrime = 8)
+        .select(col("vec_id"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos"), col("rank"))
+        .orderBy("vec_id", "rank"),
+      Some(IvfPqKnnJoinPinnedOracle)),
+
+    // PQ RECALL AUDIT (the x_ivf_recall convention): exact top-1 on the
+    // bounded slice vs the PQ join's top-3 on the same slice, recovered
+    // derived by BOTH engines. Prices the quantized-survivor recall
+    // trade on top of the cell recall the plain-IVF audit prices (the
+    // delta between the two rows' rates IS the int8 cost, near zero —
+    // kPrime = 8 survivor slots recover reconstruction-error rank
+    // flips around the top-3 boundary).
+    Q("x_ivf_pq_recall",
+      (s, d) => {
+        val slice = Tables.embeddings(s, d).filter(col("vec_id") < 500)
+        val truth = Similarity.exactKnnJoin(slice, "vec_id", "embedding", k = 1)
+          .select(col("vec_id"), col("neighbor_id").as("top1_id"),
+            round(col("cos"), 6).as("cos"))
+        val hit = Similarity.ivfPqKnnJoinPinnedAuto(slice, "vec_id", "embedding",
+            nprobe = 2, k = 3, kPrime = 8)
+          .select(col("vec_id"), col("neighbor_id").as("top1_id"),
+            lit(true).as("_hit"))
+        truth.join(hit, Seq("vec_id", "top1_id"), "left")
+          .select(col("vec_id"), col("top1_id"), col("cos"),
+            coalesce(col("_hit"), lit(false)).as("recovered"))
+          .orderBy("vec_id")
+      },
+      Some(IvfPqRecallOracle)),
 
     // M3 — FFT magnitude per sliding window (native Catalyst expression).
     // DuckDB has no FFT, but the REPORTED bins are low-order DFT

@@ -507,6 +507,91 @@ class SimilaritySpec extends SparkSpec {
     bc.destroy()
   }
 
+  test("QuantizeUint8/QuantCosine: byte codes match quantizeInt8's int codes; " +
+    "reconstruction cosine matches a hand-computed reference; null contract") {
+    val (lo, hi) = Similarity.ivfPqStats(fixture, "embedding")
+    assert(lo.length == dim && hi.length == dim)
+    val byteCodes = fixture.select(col("vec_id"),
+        graft.functions.GraftFunctions.quantize_uint8(
+          col("embedding").cast("array<double>"), lo, hi).as("_b"))
+      .as[(Long, Array[Byte])].collect().toMap
+    val intCodes = Similarity.quantizeInt8(fixture, "vec_id", "embedding")
+      .select("vec_id", "codes").as[(Long, Seq[Int])].collect().toMap
+    assert(byteCodes.keySet == intCodes.keySet)
+    byteCodes.foreach { case (id, b) =>
+      assert(b.map(_ & 0xFF).toSeq == intCodes(id),
+        s"vec $id: binary codes diverge from quantizeInt8")
+    }
+    // reconstruction cosine vs a driver-side reference on two rows
+    val twoVecs = fixture.filter(col("vec_id").isin(0L, 1L))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def recon(v: Seq[Double]): Array[Double] = v.indices.map { i =>
+      val c = if (hi(i) == lo(i)) 0.0
+        else math.min(math.max(math.floor((v(i) - lo(i)) / (hi(i) - lo(i)) * 255.0 + 0.5), 0.0), 255.0)
+      lo(i) + c / 255.0 * (hi(i) - lo(i))
+    }.toArray
+    val (r0, r1) = (recon(twoVecs(0L)), recon(twoVecs(1L)))
+    val expect = {
+      var dt = 0.0; var n0 = 0.0; var n1 = 0.0
+      r0.indices.foreach { i => dt += r0(i) * r1(i); n0 += r0(i) * r0(i); n1 += r1(i) * r1(i) }
+      dt / (math.sqrt(n0) * math.sqrt(n1))
+    }
+    val got = fixture.filter(col("vec_id") === 0L)
+      .select(graft.functions.GraftFunctions.quant_cosine(
+        graft.functions.GraftFunctions.quantize_uint8(col("embedding").cast("array<double>"), lo, hi),
+        graft.functions.GraftFunctions.quantize_uint8(
+          typedlit(twoVecs(1L)).cast("array<double>"), lo, hi), lo, hi))
+      .as[Double].head()
+    assert(got == expect, s"quant cosine $got != reference $expect")
+    // reconstruction error is small: quantized cosine close to exact
+    val exact = fixture.filter(col("vec_id") === 0L)
+      .select(Similarity.cosine(col("embedding").cast("array<double>"),
+        typedlit(twoVecs(1L)).cast("array<double>"))).as[Double].head()
+    assert(math.abs(got - exact) < 0.01, s"recon cosine $got vs exact $exact")
+    // dim-mismatch -> null codes
+    val short = Seq(Tuple1(Seq(1.0, 2.0))).toDF("v")
+      .select(graft.functions.GraftFunctions.quantize_uint8(col("v"), lo, hi))
+      .as[Option[Array[Byte]]].head()
+    assert(short.isEmpty, "dim-mismatched row must quantize to null")
+  }
+
+  test("ivfPqKnnJoin: pass-through kPrime equals the plain IVF join exactly; " +
+    "modest kPrime keeps k rows per query with exact output cosines") {
+    val nprobe = 2; val k = 3
+    // kPrime >= any per-query candidate count -> the survivor stage is a
+    // pass-through and the PQ join IS the IVF join (same quantizer)
+    val pq = Similarity.ivfPqKnnJoinPinnedAuto(fixture, "vec_id", "embedding",
+        nprobe, k, kPrime = 1000)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val ivf = Similarity.ivfKnnJoinPinnedAuto(fixture, "vec_id", "embedding", nprobe, k)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(pq == ivf, "pass-through PQ join must equal the plain IVF join")
+    // modest kPrime: per-query row count still <= k, ranks dense from 1,
+    // and every cos is the EXACT cosine of the pair (codes never leak)
+    val tight = Similarity.ivfPqKnnJoinPinnedAuto(fixture, "vec_id", "embedding",
+        nprobe, k, kPrime = 6)
+      .as[(Long, Long, Double, Long)].collect()
+    val perQ = tight.groupBy(_._1)
+    assert(perQ.values.forall(_.length <= k))
+    perQ.values.foreach { rows =>
+      assert(rows.map(_._4).sorted.sameElements(1L to rows.length))
+    }
+    val vecs = fixture.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    tight.take(20).foreach { case (q, n, cos, _) =>
+      val (a, b) = (vecs(q), vecs(n))
+      var dt = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i => dt += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      val exact = dt / (math.sqrt(na) * math.sqrt(nb))
+      assert(cos == exact, s"($q,$n): output cos $cos != exact $exact")
+    }
+    // production (KMeans) form: smoke - n rows in, k-bounded out, runs
+    val prod = Similarity.ivfPqKnnJoin(fixture, "vec_id", "embedding",
+      nprobe, k, kPrime = 12)
+    assert(prod.count() > 0)
+  }
+
   test("collapseExactVectors: min-id representatives, full membership, twins found via rep fan-out") {
     val df = Seq(
       (5L, Seq(1.0f, 0.0f, 0.0f)), (2L, Seq(1.0f, 0.0f, 0.0f)), (9L, Seq(1.0f, 0.0f, 0.0f)),
