@@ -519,6 +519,26 @@ object Similarity {
     */
   def ivfKnnJoinFromStored(df: DataFrame, idCol: String, vecCol: String,
                            quantizer: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val (centroids, offsets) = loadStoredQuantizer(quantizer)
+    ivfKnnJoinCore(df, idCol, vecCol, centroids, offsets, nprobe, k)
+  }
+
+  /** Collect + validate an [[ivfQuantizerRows]] table into driver-side
+    * (centroids, offsets) arrays — nlist rows, the bounded
+    * driver-artifact class. Shared by [[ivfKnnJoinFromStored]] and the
+    * streaming ingest twin
+    * ([[graft.streaming.StreamingOps.ivfCellCandidatePairs]]'s stored
+    * overload), so batch and stream reload a table through ONE
+    * validation path.
+    *
+    * Shape/value validation (r14 advice): a dimension mismatch with the
+    * corpus makes the probe kernel return null for EVERY row — a silent
+    * 0-row join instead of a loud failure — and ragged or NaN centroids
+    * can throw in executors / seat a NaN probe score. Fail here, with
+    * the cell id, while the quantizer is still a driver-side artifact.
+    */
+  private[graft] def loadStoredQuantizer(quantizer: DataFrame)
+      : (Array[Array[Double]], Array[Double]) = {
     val rows = quantizer
       .select(col("ivf_cell").cast("int"),
         col("centroid").cast("array<double>"), col("offset").cast("double"))
@@ -530,11 +550,6 @@ object Similarity {
     }
     val centroids = rows.map(_.getSeq[Double](1).toArray)
     val offsets = rows.map(_.getDouble(2))
-    // Shape/value validation (r14 advice): a dimension mismatch with the
-    // corpus makes the probe kernel return null for EVERY row — a silent
-    // 0-row join instead of a loud failure — and ragged or NaN centroids
-    // can throw in executors / seat a NaN probe score. Fail here, with
-    // the cell id, while the quantizer is still a driver-side artifact.
     val dim = centroids(0).length
     centroids.iterator.zipWithIndex.foreach { case (c, i) =>
       require(c.nonEmpty, s"stored quantizer cell $i has an empty centroid")
@@ -544,7 +559,7 @@ object Similarity {
       require(!c.exists(_.isNaN), s"stored quantizer cell $i contains NaN")
     }
     require(!offsets.exists(_.isNaN), "stored quantizer offsets contain NaN")
-    ivfKnnJoinCore(df, idCol, vecCol, centroids, offsets, nprobe, k)
+    (centroids, offsets)
   }
 
   /** Shared probe/join/rank core of [[ivfKnnJoin]]/[[ivfKnnJoinPinned]]:

@@ -382,6 +382,27 @@ object StreamingOps {
     bucketPairs(banded, watermark, maxBucket)
   }
 
+  /** [[ivfCellCandidatePairs]] reloading the quantizer from a STORED
+    * [[graft.ext.Similarity.ivfQuantizerRows]] table — the streaming
+    * read side of the cross-session build-once/join-many lifecycle (the
+    * batch side is [[graft.ext.Similarity.ivfKnnJoinFromStored]]; both
+    * go through ONE validation path,
+    * [[graft.ext.Similarity.loadStoredQuantizer]], so a corrupt table
+    * fails the stream at plan-build time, not row-by-row in a
+    * micro-batch). The quantizer is a BATCH frame (nlist rows, collected
+    * once before the stream starts) — typically
+    * `spark.read.parquet(quantizerDir)` of the table the batch fit
+    * wrote.
+    */
+  def ivfCellCandidatePairs(stream: DataFrame, tsCol: String, idCol: String,
+                            vecCol: String, quantizer: DataFrame,
+                            watermark: String,
+                            maxBucket: Int): Dataset[CandidatePair] = {
+    val (centroids, offsets) = graft.ext.Similarity.loadStoredQuantizer(quantizer)
+    ivfCellCandidatePairs(stream, tsCol, idCol, vecCol, centroids, offsets,
+      watermark, maxBucket)
+  }
+
   /** The shared bounded-bucket pair emitter under
     * [[minhashCandidatePairs]] and [[signBucketCandidatePairs]]: per
     * (band, bucket) key, every (known, new) id pair is emitted once per

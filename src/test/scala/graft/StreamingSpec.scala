@@ -263,6 +263,54 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming IVF cell pairs from a STORED quantizer table: parquet " +
+    "round-trip equals the caller-pinned run; corrupt table fails at plan build") {
+    implicit val sqlCtx = spark.sqlContext
+    def vec(seed: Int): Seq[Double] =
+      { val r = new scala.util.Random(seed); Seq.fill(16)(r.nextGaussian()) }
+    val v0 = vec(1)
+    val corpus = Seq((0L, v0), (1L, v0.map(_ * 2.0)), (2L, vec(2)), (3L, v0))
+    val corpusDf = corpus.toDF("vec_id", "embedding")
+    // the SAME table the batch _stored leg consumes: write once, reload
+    val quant = graft.ext.Similarity.ivfPinnedQuantizerRows(
+      corpusDf, "vec_id", "embedding", 3)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_stream_quant_").toString
+    quant.write.mode("overwrite").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    def run(name: String, mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[
+        StreamingOps.CandidatePair]): Set[(Long, Long)] = {
+      val input = MemoryStream[(java.sql.Timestamp, Long, Seq[Double])]
+      val query = mk(input.toDF().toDF("ts", "vec_id", "embedding"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+        input.addData(Seq((ts(1), 0L, corpus(0)._2), (ts(2), 2L, corpus(2)._2)))
+        query.processAllAvailable()
+        input.addData(Seq((ts(10), 1L, corpus(1)._2), (ts(11), 3L, corpus(3)._2)))
+        query.processAllAvailable()
+        spark.table(name).select("id1", "id2")
+          .distinct().as[(Long, Long)].collect().toSet
+      } finally query.stop()
+    }
+    val stored = run("ivf_stored_out", df => StreamingOps.ivfCellCandidatePairs(
+      df, "ts", "vec_id", "embedding", reloaded, "1 minute", 128))
+    val unit = graft.ext.Similarity.pinnedUnitAnchors(corpusDf, "vec_id", "embedding", 3)
+    val pinned = run("ivf_pinned_out", df => StreamingOps.ivfCellCandidatePairs(
+      df, "ts", "vec_id", "embedding", unit, unit.map(_ => 0.0), "1 minute"))
+    assert(stored == pinned, s"stored=$stored pinned=$pinned")
+    assert(stored.contains((0L, 3L)), "cross-batch exact twin missed")
+    // validation shared with the batch path: a gapped table fails BEFORE
+    // the stream starts, not row-by-row inside a micro-batch
+    val gapped = reloaded.filter(col("ivf_cell") =!= 1)
+    val input = MemoryStream[(java.sql.Timestamp, Long, Seq[Double])]
+    val err = intercept[IllegalArgumentException] {
+      StreamingOps.ivfCellCandidatePairs(input.toDF().toDF("ts", "vec_id", "embedding"),
+        "ts", "vec_id", "embedding", gapped, "1 minute", 128)
+    }
+    assert(err.getMessage.contains("dense"), s"wrong error: ${err.getMessage}")
+  }
+
   test("streaming session windows agree with batch sessionize on the same events") {
     implicit val sqlCtx = spark.sqlContext
     // deterministic event times: bursts separated by > gap silences
