@@ -77,7 +77,19 @@ object Bench {
     // round-over-round drift three rounds running. More reps, same
     // remedy as the stream rows; the median converges to ~1.9 s.
     val noisyRows = Set("m10_fedavg")
-    val batchResults = SparkEntry.registry.filterNot(_.name.startsWith("xs_")).map { q =>
+    // SPARK_GRAFT_BENCH_SKIP: comma-separated rows to exclude — for the
+    // ×10+ scale sweeps, where the two DESIGNATED-QUADRATIC oracle
+    // fixtures (x_ivf_knn_join/_pinned, nlist = 8 by designation) cost
+    // ~205 s of the 592 s sf1 sweep and would dominate sf10 outright.
+    // Skipped names are RECORDED in the JSON and tools/sweep_check.py
+    // accepts them only under --allow-designated with their bounded
+    // stand-ins (x_ivf_knn_join*_capped) present and green — a skip can
+    // never silently shrink sweep coverage.
+    val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val batchResults = SparkEntry.registry.filterNot(_.name.startsWith("xs_"))
+      .filterNot(q => skip(q.name)).map { q =>
       timed(q.name, () => { q.fn(spark, sfDir).queryExecution.toRdd.count(); () },
         if (noisyRows(q.name)) streamReps else reps)
     }
@@ -95,8 +107,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val skipped = skip.toSeq.sorted.map("\"" + _ + "\"")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failed":${failed.mkString("[", ",", "]")},"reps":$reps,""" +
+      s""""failed":${failed.mkString("[", ",", "]")},""" +
+      s""""skipped":${skipped.mkString("[", ",", "]")},"reps":$reps,""" +
       s""""stream_reps":$streamReps,"sf":"$sfDir"}"""
     println(line)
     // The driver's BENCH_r{N}.json wrapper keeps only a 2,000-char tail of

@@ -260,8 +260,9 @@ object ExtQueries {
     * may reference CTEs prepended by the caller via `preCtes`.
     */
   private def ivfKnnJoinPinnedOracleSql(nlistExpr: String, nprobeExpr: String,
-                                        kExpr: String, preCtes: String = ""): String =
-    "WITH " + ivfJoinCtes(nlistExpr, nprobeExpr, preCtes) + " " +
+                                        kExpr: String, preCtes: String = "",
+                                        src: String = "embeddings"): String =
+    "WITH " + ivfJoinCtes(nlistExpr, nprobeExpr, preCtes, src) + " " +
       "SELECT qid AS vec_id, nid AS neighbor_id, round(cos, 6) AS cos, rank " +
       s"FROM rnk WHERE rank <= $kExpr ORDER BY vec_id, rank"
 
@@ -329,6 +330,18 @@ object ExtQueries {
       "rnk2 AS (SELECT qid, nid, dt2 / (sqrt(n1) * sqrt(n2)) AS cos, " +
       "row_number() OVER (PARTITION BY qid " +
       "ORDER BY dt2 / (sqrt(n1) * sqrt(n2)) DESC, nid) AS rank FROM cs2)"
+
+  /** Oracle for `x_ivf_knn_join_pinned_capped`: the nlist-8 fixture
+    * algebra on the BOUNDED vec_id < 2000 slice — the sweep stand-in for
+    * the designated-quadratic full fixture (r14 task 4: the two full
+    * fixtures cost ~205 s of the 592 s sf1 sweep and would dominate
+    * sf10; this row keeps their oracle-continuity value-checked at ANY
+    * sf while its cost stays pinned to the slice).
+    */
+  private val IvfKnnJoinPinnedCappedOracle: String =
+    ivfKnnJoinPinnedOracleSql("8", "2", "3",
+      "sl AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000)",
+      src = "sl")
 
   /** Oracle for `x_ivf_pq_knn_join_pinned` (pinned-auto anchors,
     * nprobe 2, kPrime 8, k 3): every PQ stage restated — the integer
@@ -3587,6 +3600,34 @@ object ExtQueries {
           .orderBy("vec_id", "rank")
       },
       Some(IvfKnnJoinAutoPinnedOracle)),
+
+    // Bounded-corpus stand-ins for the two DESIGNATED-QUADRATIC gate
+    // fixtures (r15 — VERDICT r14 task 4): same nlist = 8 fixture
+    // geometry, corpus sliced to vec_id < 2000 (the x_ivf_recall slice
+    // precedent; a no-op at the sf0.01 gate, a hard cost bound at sweep
+    // sfs). The ×10+ sweeps run THESE and skip the full fixtures via
+    // SPARK_GRAFT_BENCH_SKIP — tools/sweep_check.py accepts that skip
+    // only when these stand-ins are present and green, so the fixtures'
+    // oracle continuity stays value-checked at every sf while the
+    // sweep's fixture cost is flat by construction. The full forms stay
+    // in the registry for the driver gate sf.
+    Q("x_ivf_knn_join_capped",
+      (s, d) => Similarity.ivfKnnJoin(
+          Tables.embeddings(s, d).filter(col("vec_id") < 2000), "vec_id",
+          "embedding", nlist = 8, nprobe = 2, k = 3)
+        .select(col("vec_id"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos"), col("rank"))
+        .orderBy("vec_id", "rank"),
+      None),
+
+    Q("x_ivf_knn_join_pinned_capped",
+      (s, d) => Similarity.ivfKnnJoinPinned(
+          Tables.embeddings(s, d).filter(col("vec_id") < 2000), "vec_id",
+          "embedding", nlist = 8, nprobe = 2, k = 3)
+        .select(col("vec_id"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos"), col("rank"))
+        .orderBy("vec_id", "rank"),
+      Some(IvfKnnJoinPinnedCappedOracle)),
 
     // IVF-PQ-lite (r15 — VERDICT r14 task 5): the candidate cell join
     // ships PACKED UINT8 BINARY codes (1 byte/dim — 8× less shuffle
