@@ -703,6 +703,17 @@ object Similarity {
     ivfPqKnnJoinCore(df, idCol, vecCol, centers, offsets, nprobe, k, kPrime)
   }
 
+  /** [[ivfPqKnnJoin]] against a RELOADED quantizer table — the PQ leg
+    * of the cross-session lifecycle ([[ivfKnnJoinFromStored]]'s
+    * sibling, same [[loadStoredQuantizer]] validation).
+    */
+  def ivfPqKnnJoinFromStored(df: DataFrame, idCol: String, vecCol: String,
+                             quantizer: DataFrame, nprobe: Int, k: Int,
+                             kPrime: Int): DataFrame = {
+    val (centroids, offsets) = loadStoredQuantizer(quantizer)
+    ivfPqKnnJoinCore(df, idCol, vecCol, centroids, offsets, nprobe, k, kPrime)
+  }
+
   /** Shared candidate/survivor/re-rank core of the PQ join — the
     * [[ivfKnnJoinCore]] algebra with the exact-cosine verify split into
     * quantized-rank + survivor-re-rank (see [[ivfPqKnnJoin]]).

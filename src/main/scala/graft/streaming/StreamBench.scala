@@ -183,6 +183,34 @@ object StreamBench {
           "embedding", dIn = 64, planes = 9, watermark = "2 minutes").toDF()
         drain(spark, input, out, chunked(rows))
       }),
+      // the IVF ingest twin (r15): same synthetic vector stream as the
+      // semantic case, membership cells from a pinned-anchor quantizer
+      // sized by the batch balance rule at nprobe = 1 — keeps the
+      // IvfProbes-at-ingest overhead (one kernel call/row + the cell-
+      // keyed state exchange) bench-visible round-over-round
+      "stream_ivf_pairs" -> (() => {
+        val input = MemoryStream[(Timestamp, Long, Seq[Double])]
+        val rng = new scala.util.Random(17)
+        val t0 = 1700000000000L
+        val seen = new scala.collection.mutable.ArrayBuffer[Seq[Double]]
+        val rows = (0 until 2000).map { i =>
+          val v =
+            if (seen.nonEmpty && rng.nextInt(6) == 0)
+              seen(rng.nextInt(seen.length)).map(_ * (1.0 + rng.nextInt(3)))
+            else { val f = Seq.fill(64)(rng.nextGaussian()); seen += f; f }
+          (new Timestamp(t0 + i * 200L), i.toLong, v)
+        }
+        import spark.implicits._
+        val anchors = graft.ext.Similarity.pinnedUnitAnchors(
+          rows.map { case (_, id, v) => (id, v) }.toDF("vec_id", "embedding"),
+          "vec_id", "embedding",
+          graft.ext.Similarity.autoNlist(rows.size.toLong, 1, 8))
+        val out = StreamingOps.ivfCellCandidatePairs(
+          input.toDF().toDF("ts", "vec_id", "embedding"), "ts", "vec_id",
+          "embedding", anchors, anchors.map(_ => 0.0),
+          watermark = "2 minutes").toDF()
+        drain(spark, input, out, chunked(rows))
+      }),
       // RocksDB twins of two stateful rows: at 100 TB-ingest state
       // (billions of dedup hashes, funnel/retention keys) the default
       // in-heap HDFS-backed store stops fitting executors — RocksDB

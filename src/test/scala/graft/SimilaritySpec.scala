@@ -590,6 +590,13 @@ class SimilaritySpec extends SparkSpec {
     val prod = Similarity.ivfPqKnnJoin(fixture, "vec_id", "embedding",
       nprobe, k, kPrime = 12)
     assert(prod.count() > 0)
+    // stored-quantizer leg: reloading the same anchors changes no row
+    val derived = Similarity.autoNlist(200L, nprobe, 8)
+    val quant = Similarity.ivfPinnedQuantizerRows(fixture, "vec_id", "embedding", derived)
+    val viaStored = Similarity.ivfPqKnnJoinFromStored(fixture, "vec_id", "embedding",
+        quant, nprobe, k, kPrime = 6)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(viaStored == tight.toSet, "PQ stored leg must equal the pinned-auto run")
   }
 
   test("collapseExactVectors: min-id representatives, full membership, twins found via rep fan-out") {
