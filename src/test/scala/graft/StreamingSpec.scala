@@ -1000,7 +1000,7 @@ class StreamingSpec extends SparkSpec {
     val cases = graft.streaming.StreamBench.cases(spark)
     assert(spark.conf.get("spark.sql.shuffle.partitions") == saved,
       "enumerating cases() must not mutate session conf")
-    assert(cases.size == 17, s"expected 17 bench cases, got ${cases.size}")
+    assert(cases.size == 18, s"expected 18 bench cases, got ${cases.size}")
     assert(cases.map(_._1).distinct.size == cases.size, "duplicate names")
     // run one full ingest end-to-end (cheapest case) so a broken
     // MemoryStream/noop-sink wiring fails here, not in the driver bench
