@@ -19,7 +19,10 @@ object IvfProbe {
   }
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.configure(SparkSession.builder()
-      .master("local[32]").config("spark.sql.shuffle.partitions", "32")).getOrCreate()
+      .master("local[32]").config("spark.sql.shuffle.partitions", "32")
+      // a probe run should SCREAM on a codegen failure, not silently
+      // price the interpreted fallback as a lane regression
+      .config("spark.sql.codegen.fallback", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = args(0)
     val emb = graft.core.Tables.embeddings(spark, d).cache()
