@@ -3660,6 +3660,23 @@ object ExtQueries {
         .orderBy("vec_id", "rank"),
       Some(IvfPqKnnJoinPinnedOracle)),
 
+    // The stored-quantizer leg of the PQ lifecycle: reloads the SAME
+    // (ivf_cell, centroid, offset) parquet table x_ivf_knn_join_stored
+    // uses (one quantizer table serves both the plain and PQ joins -
+    // the build-once/join-many contract extends across lane variants).
+    // Same oracle as the inline pinned leg: storage round-tripping must
+    // not change a single row.
+    Q("x_ivf_pq_knn_join_stored",
+      (s, d) => {
+        val table = ivfQuantTableFor(s, d)
+        Similarity.ivfPqKnnJoinFromStored(Tables.embeddings(s, d), "vec_id",
+            "embedding", s.table(table), nprobe = 2, k = 3, kPrime = 8)
+          .select(col("vec_id"), col("neighbor_id"),
+            round(col("cos"), 6).as("cos"), col("rank"))
+          .orderBy("vec_id", "rank")
+      },
+      Some(IvfPqKnnJoinPinnedOracle)),
+
     // PQ RECALL AUDIT (the x_ivf_recall convention): exact top-1 on the
     // bounded slice vs the PQ join's top-3 on the same slice, recovered
     // derived by BOTH engines. Prices the quantized-survivor recall
