@@ -60,14 +60,15 @@ object ExplainAudit {
     * `x_cosine_lsh_recall` is the r11 recall AUDIT row whose truth
     * side must be the exact all-pairs set by definition (it measures the
     * LSH pipeline against it; production near-dup runs use the LSH rows),
-    * and `x_ivf_recall` / `x_ivf_pq_recall` are the IVF lane's r14/r15
-    * audits of the same shape — their truth side is
-    * `Similarity.exactKnnJoin` over the bounded vec_id < 500 slice (the
-    * IVF/PQ side under audit is the production equi-join plan).
+    * and `x_ivf_recall` / `x_ivf_pq_recall` / `x_ivf_pq_outlier_recall`
+    * are the IVF lane's r14/r15/r16 audits of the same shape — their
+    * truth side is `Similarity.exactKnnJoin` over the bounded
+    * vec_id < 500 slice (the IVF/PQ side under audit is the production
+    * equi-join plan).
     */
   val exempt: Set[String] = Set(
     "x_cosine_near_dup", "memo:cluster_pairs", "x_cosine_lsh_recall",
-    "x_ivf_recall", "x_ivf_pq_recall")
+    "x_ivf_recall", "x_ivf_pq_recall", "x_ivf_pq_outlier_recall")
 
   /** Sweep the optimized plan of every registry query AND of the
     * unmaterialized builder plans behind the memoized queries (a memo

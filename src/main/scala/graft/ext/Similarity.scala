@@ -278,7 +278,8 @@ object Similarity {
     * would need a 1M-row corpus).
     */
   private[graft] def ivfIndexWithCap(df: DataFrame, vecCol: String, nlist: Int,
-                                     seed: Long, cap: Long):
+                                     seed: Long, cap: Long,
+                                     knownCount: Long = -1L):
       (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = {
     val fitInput = ivfFitInput(df, vecCol)
     // BOUNDED fit (r14's one remaining unbounded stage): KMeans iterates
@@ -292,7 +293,10 @@ object Similarity {
     // cap; the cap is a heuristic, not a contract). Below the cap the
     // train set IS the fit input — bit-identical centroids to the
     // pre-cap form, which is what keeps the gate-sf registry rows green.
-    val n = df.count()
+    // `knownCount` threads an already-paid count through (the auto entry
+    // points count for autoNlist first — r15 advice: two full corpus
+    // scans per build where one suffices).
+    val n = if (knownCount >= 0L) knownCount else df.count()
     val train = (if (n > cap)
       fitInput.sample(withReplacement = false, cap.toDouble / n, seed)
     else fitInput)
@@ -391,9 +395,14 @@ object Similarity {
     */
   def ivfKnnJoinAuto(df: DataFrame, idCol: String, vecCol: String,
                      nprobe: Int, k: Int, minList: Int = 8,
-                     seed: Long = 42L): DataFrame =
-    ivfKnnJoin(df, idCol, vecCol, autoNlist(df.count(), nprobe, minList),
-      nprobe, k, seed)
+                     seed: Long = 42L): DataFrame = {
+    // one count serves the nlist rule AND the fit cap (r15 advice)
+    val n = df.count()
+    val nlist = autoNlist(n, nprobe, minList)
+    ivfKnnJoinFromModel(df, idCol, vecCol,
+      ivfIndexWithCap(df, vecCol, nlist, seed, ivfFitCap(nlist), n)._2,
+      nprobe, k)
+  }
 
   /** [[ivfKnnJoinPinned]] with the [[autoNlist]] count-derived anchor
     * count — the gate twin of [[ivfKnnJoinAuto]]: same deterministic
@@ -573,8 +582,45 @@ object Similarity {
                              centroids: Array[Array[Double]],
                              offsets: Array[Double], nprobe: Int,
                              k: Int): DataFrame = {
-    require(nprobe >= 1 && k >= 1, s"need nprobe/k >= 1, got $nprobe/$k")
     require(centroids.nonEmpty, "need at least one centroid")
+    // BROADCAST LIFETIME (r15 advice): one broadcast per join call,
+    // released by the ContextCleaner once the returned plan is GC'd —
+    // fine for fit-then-join pipelines, but a long-lived session
+    // issuing MANY joins against one quantizer accumulates 7–74 MB
+    // replicas (north-star geometry) until a driver GC. Build-once/
+    // join-many callers should hold ONE handle via
+    // [[ivfQuantizerBroadcast]], join through
+    // [[ivfKnnJoinFromBroadcast]]/[[ivfPqKnnJoinFromBroadcast]], and
+    // `destroy()` it when done.
+    ivfKnnJoinFromBroadcast(df, idCol, vecCol,
+      df.sparkSession.sparkContext.broadcast(
+        graft.functions.IvfQuantizer(centroids, offsets)),
+      nprobe, k)
+  }
+
+  /** One reusable broadcast of a stored quantizer table — the explicit
+    * handle of the build-once/join-many lifecycle (r15 advice: the
+    * per-call broadcasts inside [[ivfKnnJoinFromStored]] et al. live
+    * until GC, so a session issuing many joins accumulates them). The
+    * caller owns the handle: join via [[ivfKnnJoinFromBroadcast]] /
+    * [[ivfPqKnnJoinFromBroadcast]] any number of times, then
+    * `destroy()` exactly once, after the last job using it finished.
+    */
+  def ivfQuantizerBroadcast(quantizer: DataFrame)
+      : org.apache.spark.broadcast.Broadcast[graft.functions.IvfQuantizer] = {
+    val (centroids, offsets) = loadStoredQuantizer(quantizer)
+    quantizer.sparkSession.sparkContext.broadcast(
+      graft.functions.IvfQuantizer(centroids, offsets))
+  }
+
+  /** [[ivfKnnJoin]] against a caller-owned quantizer broadcast (see
+    * [[ivfQuantizerBroadcast]]) — identical rows to the FromStored leg
+    * (pinned in SimilaritySpec), zero per-call shipping cost.
+    */
+  def ivfKnnJoinFromBroadcast(df: DataFrame, idCol: String, vecCol: String,
+                              bc: org.apache.spark.broadcast.Broadcast[graft.functions.IvfQuantizer],
+                              nprobe: Int, k: Int): DataFrame = {
+    require(nprobe >= 1 && k >= 1, s"need nprobe/k >= 1, got $nprobe/$k")
     val vecD = col(vecCol).cast("array<double>")
     // The ENTIRE per-row quantizer decision (norm → dots → top-nprobe) is
     // one codegen'd kernel, [[graft.functions.IvfProbes]]. Composing it
@@ -600,8 +646,6 @@ object Similarity {
     // binary — 7.2 MB at autoNlist for a 10⁸-row dim-64 corpus, 72 MB
     // at 10¹⁰ (r14 task: measured sizes in IvfProbesBroadcast's doc /
     // DESIGN.md). Broadcast moves it once per executor.
-    val bc = df.sparkSession.sparkContext.broadcast(
-      graft.functions.IvfQuantizer(centroids, offsets))
     val probed = df.filter(col(vecCol).isNotNull)
       .select(col(idCol), vecD.as("_v"),
         graft.functions.GraftFunctions.ivf_probes_bc(
@@ -629,14 +673,149 @@ object Similarity {
     * [[quantizeInt8]] (posexplode + dim-keyed min/max, map-side
     * combined), collected instead of broadcast-joined because the PQ
     * kernels want plan-constant arrays.
+    *
+    * Stats are defined over NaN-FILTERED elements (r15 advice): one NaN
+    * element anywhere in the corpus used to poison that dimension's
+    * max (NaN sorts above every double), every reconstruction on the
+    * dim went NaN, and the whole PQ join silently returned 0 rows —
+    * the plain IVF lane only nulls the offending ROW. The result is
+    * additionally validated dense + NaN-free so a residual hole fails
+    * loudly on the driver instead of dim-mismatching every encode into
+    * null codes.
+    *
+    * `clip` > 0 is the OUTLIER-ROBUST form: bounds at the
+    * (clip, 1−clip) quantiles via `approx_percentile` (mergeable
+    * bounded-memory sketch — the scale path; an exact per-dim quantile
+    * would need a per-dim sort with only `dim` partitions). Global
+    * min/max (clip = 0, the default) lets ONE outlier value crush a
+    * dimension's int8 resolution corpus-wide — values outside the
+    * clipped range saturate to code 0/255 via the kernel's clamp,
+    * which is exactly the trade that keeps the other 255 codes usable.
+    * clip = 0 stays the default because it is integer-exact and
+    * DuckDB-restatable (the oracle-pinned fixture form); the
+    * `x_ivf_pq_outlier_recall` registry row prices the difference on
+    * an outlier-injected corpus under a full oracle (rank-clipped
+    * bounds, the deterministic twin of this quantile form).
     */
-  private[graft] def ivfPqStats(df: DataFrame, vecCol: String): (Array[Double], Array[Double]) = {
+  private[graft] def ivfPqStats(df: DataFrame, vecCol: String,
+                                clip: Double = 0.0): (Array[Double], Array[Double]) = {
+    require(clip >= 0.0 && clip < 0.5, s"need 0 <= clip < 0.5, got $clip")
     val v = col(vecCol).cast("array<double>")
+    val elems = df.select(posexplode(v).as(Seq("_dim", "_x")))
+      .filter(!isnan(col("_x")))
+    val agged = if (clip == 0.0)
+      elems.groupBy("_dim").agg(min(col("_x")).as("_lo"), max(col("_x")).as("_hi"))
+    else
+      elems.groupBy("_dim").agg(
+        percentile_approx(col("_x"), lit(clip), lit(10000)).as("_lo"),
+        percentile_approx(col("_x"), lit(1.0 - clip), lit(10000)).as("_hi"))
+    val rows = agged.orderBy("_dim").collect()
+    require(rows.nonEmpty, "quantization stats: corpus has no non-null vectors")
+    rows.iterator.zipWithIndex.foreach { case (r, i) =>
+      require(r.getInt(0) == i,
+        s"quantization stats: dimensions must be dense 0..d-1, found " +
+          s"${r.getInt(0)} at $i (a dimension with no non-NaN values?)")
+    }
+    val lo = rows.map(_.getDouble(1))
+    val hi = rows.map(_.getDouble(2))
+    require(!lo.exists(_.isNaN) && !hi.exists(_.isNaN),
+      "quantization stats contain NaN after element filtering")
+    (lo, hi)
+  }
+
+  /** RANK-clipped PQ stats — drop exactly `c` elements per side per
+    * dimension, then min/max of the remainder (lo = the (c+1)-th
+    * smallest element's value, hi = the (c+1)-th largest). The
+    * DETERMINISTIC, integer-exact twin of [[ivfPqStats]]' quantile
+    * `clip` form: ties at the drop boundary don't matter (whichever
+    * tied element is dropped, the remainder's min/max value is the
+    * same), so DuckDB restates it from `row_number` alone — which is
+    * what puts the outlier-robustness claim UNDER the oracle
+    * (`x_ivf_pq_outlier_recall`).
+    *
+    * Fixture-scale form: the two per-dim rank windows shuffle n·d
+    * elements into `d` partitions — fine on an audit slice, a skew
+    * bottleneck on a corpus (production uses the mergeable
+    * `approx_percentile` clip, whose sketch never concentrates work).
+    */
+  private[graft] def ivfPqStatsRankClipped(df: DataFrame, vecCol: String,
+                                           c: Int): (Array[Double], Array[Double]) = {
+    require(c >= 0, s"need c >= 0, got $c")
+    val v = col(vecCol).cast("array<double>")
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy("_dim").orderBy(col("_x").asc)
+    val wD = org.apache.spark.sql.expressions.Window
+      .partitionBy("_dim").orderBy(col("_x").desc)
     val rows = df.select(posexplode(v).as(Seq("_dim", "_x")))
+      .filter(!isnan(col("_x")))
+      .withColumn("_ra", row_number().over(wA))
+      .withColumn("_rd", row_number().over(wD))
+      .filter(col("_ra") > c && col("_rd") > c)
       .groupBy("_dim").agg(min(col("_x")).as("_lo"), max(col("_x")).as("_hi"))
       .orderBy("_dim").collect()
-    require(rows.nonEmpty, "quantization stats: corpus has no non-null vectors")
+    require(rows.nonEmpty,
+      s"rank-clipped stats: no elements survive dropping $c per side")
+    rows.iterator.zipWithIndex.foreach { case (r, i) =>
+      require(r.getInt(0) == i,
+        s"rank-clipped stats: dimensions must be dense 0..d-1, found " +
+          s"${r.getInt(0)} at $i (a dimension with <= 2c values?)")
+    }
     (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+  }
+
+  /** [[ivfPqKnnJoinPinnedAuto]] with [[ivfPqStatsRankClipped]] bounds —
+    * the oracle-restatable clipped leg of the outlier audit: same
+    * pinned-auto anchors and join algebra, bounds that shrug off `c`
+    * extreme values per dimension per side.
+    */
+  def ivfPqKnnJoinPinnedAutoRankClipped(df: DataFrame, idCol: String, vecCol: String,
+                                        nprobe: Int, k: Int, kPrime: Int,
+                                        clipRank: Int, minList: Int = 8): DataFrame = {
+    val unit = pinnedUnitAnchors(df, idCol, vecCol,
+      autoNlist(df.count(), nprobe, minList))
+    val (lo, hi) = ivfPqStatsRankClipped(df, vecCol, clipRank)
+    ivfPqKnnJoinCore(df, idCol, vecCol, unit, unit.map(_ => 0.0), lo, hi,
+      nprobe, k, kPrime)
+  }
+
+  /** The PQ quantization stats as a PERSISTABLE frame — `(dim INT,
+    * lo DOUBLE, hi DOUBLE)`, one row per dimension ([[ivfQuantizerRows]]'
+    * sibling, closing the r15 verdict's lifecycle hole): codes must be a
+    * function of the STORED artifact, not of whichever corpus version a
+    * later join sees — recomputing bounds from the current corpus
+    * silently changes code semantics between sessions the moment anyone
+    * caches codes. Build once per corpus version with the quantizer,
+    * write both tables, and every later [[ivfPqKnnJoinFromStored]] run
+    * reads bounds instead of paying a full-corpus stats pass.
+    */
+  def ivfPqStatsRows(df: DataFrame, vecCol: String, clip: Double = 0.0): DataFrame = {
+    val (lo, hi) = ivfPqStats(df, vecCol, clip)
+    import df.sparkSession.implicits._
+    lo.indices.map(i => (i, lo(i), hi(i))).toDF("dim", "lo", "hi")
+  }
+
+  /** Collect + validate an [[ivfPqStatsRows]] table into driver-side
+    * (lo, hi) arrays — `dim` rows, the bounded driver-artifact class
+    * (the [[loadStoredQuantizer]] pattern, same loud-failure rationale:
+    * a ragged or NaN stats table would dim-mismatch every encode into
+    * null codes — a silent 0-row join).
+    */
+  private[graft] def loadStoredPqStats(stats: DataFrame): (Array[Double], Array[Double]) = {
+    val rows = stats
+      .select(col("dim").cast("int"), col("lo").cast("double"), col("hi").cast("double"))
+      .orderBy("dim").collect()
+    require(rows.nonEmpty, "stored PQ stats table is empty")
+    rows.iterator.zipWithIndex.foreach { case (r, i) =>
+      require(r.getInt(0) == i,
+        s"stored PQ stats dims must be dense 0..d-1, found ${r.getInt(0)} at $i")
+    }
+    val lo = rows.map(_.getDouble(1))
+    val hi = rows.map(_.getDouble(2))
+    require(!lo.exists(_.isNaN) && !hi.exists(_.isNaN), "stored PQ stats contain NaN")
+    lo.indices.foreach { i =>
+      require(lo(i) <= hi(i), s"stored PQ stats dim $i has lo ${lo(i)} > hi ${hi(i)}")
+    }
+    (lo, hi)
   }
 
   /** IVF-PQ-lite kNN self-join — [[ivfKnnJoin]] with the CANDIDATE
@@ -670,10 +849,14 @@ object Similarity {
     */
   def ivfPqKnnJoin(df: DataFrame, idCol: String, vecCol: String,
                    nprobe: Int, k: Int, kPrime: Int,
-                   minList: Int = 8, seed: Long = 42L): DataFrame = {
-    val nlist = autoNlist(df.count(), nprobe, minList)
-    val km = ivfIndex(df, vecCol, nlist, seed)._2
-    ivfPqKnnJoinFromModel(df, idCol, vecCol, km, nprobe, k, kPrime)
+                   minList: Int = 8, seed: Long = 42L,
+                   clip: Double = 0.0): DataFrame = {
+    // ONE count serves both the nlist rule and the fit cap (r15 advice:
+    // this entry point used to scan the corpus twice before any work)
+    val n = df.count()
+    val nlist = autoNlist(n, nprobe, minList)
+    val km = ivfIndexWithCap(df, vecCol, nlist, seed, ivfFitCap(nlist), n)._2
+    ivfPqKnnJoinFromModel(df, idCol, vecCol, km, nprobe, k, kPrime, clip)
   }
 
   /** [[ivfPqKnnJoin]] with the PINNED-AUTO quantizer — the oracle twin
@@ -688,7 +871,9 @@ object Similarity {
                              minList: Int = 8): DataFrame = {
     val unit = pinnedUnitAnchors(df, idCol, vecCol,
       autoNlist(df.count(), nprobe, minList))
-    ivfPqKnnJoinCore(df, idCol, vecCol, unit, unit.map(_ => 0.0), nprobe, k, kPrime)
+    val (lo, hi) = ivfPqStats(df, vecCol)
+    ivfPqKnnJoinCore(df, idCol, vecCol, unit, unit.map(_ => 0.0), lo, hi,
+      nprobe, k, kPrime)
   }
 
   /** [[ivfPqKnnJoin]] against an ALREADY-FITTED quantizer — the
@@ -697,38 +882,70 @@ object Similarity {
     */
   def ivfPqKnnJoinFromModel(df: DataFrame, idCol: String, vecCol: String,
                             km: org.apache.spark.ml.clustering.KMeansModel,
-                            nprobe: Int, k: Int, kPrime: Int): DataFrame = {
+                            nprobe: Int, k: Int, kPrime: Int,
+                            clip: Double = 0.0): DataFrame = {
     val centers = km.clusterCenters.map(_.toArray)
     val offsets = centers.map(c => c.map(x => x * x).sum / 2)
-    ivfPqKnnJoinCore(df, idCol, vecCol, centers, offsets, nprobe, k, kPrime)
+    val (lo, hi) = ivfPqStats(df, vecCol, clip)
+    ivfPqKnnJoinCore(df, idCol, vecCol, centers, offsets, lo, hi, nprobe, k, kPrime)
   }
 
-  /** [[ivfPqKnnJoin]] against a RELOADED quantizer table — the PQ leg
-    * of the cross-session lifecycle ([[ivfKnnJoinFromStored]]'s
-    * sibling, same [[loadStoredQuantizer]] validation).
+  /** [[ivfPqKnnJoin]] against a RELOADED quantizer + stats table pair —
+    * the PQ leg of the cross-session lifecycle ([[ivfKnnJoinFromStored]]'s
+    * sibling, same [[loadStoredQuantizer]] validation). The quantization
+    * bounds come from the STORED [[ivfPqStatsRows]] table, NOT from the
+    * corpus the join sees (r15 verdict): recomputing them per run made
+    * codes a function of the current corpus version — same stored
+    * quantizer, silently different codes across sessions, which defeats
+    * build-once/join-many the moment anyone caches codes — and cost an
+    * extra full-corpus pass on the join-many side. A grown corpus +
+    * stored stats reproduces the build-time codes exactly (pinned in
+    * SimilaritySpec).
     */
   def ivfPqKnnJoinFromStored(df: DataFrame, idCol: String, vecCol: String,
-                             quantizer: DataFrame, nprobe: Int, k: Int,
-                             kPrime: Int): DataFrame = {
+                             quantizer: DataFrame, stats: DataFrame,
+                             nprobe: Int, k: Int, kPrime: Int): DataFrame = {
     val (centroids, offsets) = loadStoredQuantizer(quantizer)
-    ivfPqKnnJoinCore(df, idCol, vecCol, centroids, offsets, nprobe, k, kPrime)
+    val (lo, hi) = loadStoredPqStats(stats)
+    ivfPqKnnJoinCore(df, idCol, vecCol, centroids, offsets, lo, hi, nprobe, k, kPrime)
+  }
+
+  /** [[ivfPqKnnJoin]] against a caller-owned quantizer broadcast + a
+    * stored stats table — the PQ leg of the reusable-handle lifecycle
+    * (see [[ivfQuantizerBroadcast]] for ownership rules).
+    */
+  def ivfPqKnnJoinFromBroadcast(df: DataFrame, idCol: String, vecCol: String,
+                                bc: org.apache.spark.broadcast.Broadcast[graft.functions.IvfQuantizer],
+                                stats: DataFrame,
+                                nprobe: Int, k: Int, kPrime: Int): DataFrame = {
+    val (lo, hi) = loadStoredPqStats(stats)
+    ivfPqKnnJoinCoreBc(df, idCol, vecCol, bc, lo, hi, nprobe, k, kPrime)
   }
 
   /** Shared candidate/survivor/re-rank core of the PQ join — the
     * [[ivfKnnJoinCore]] algebra with the exact-cosine verify split into
-    * quantized-rank + survivor-re-rank (see [[ivfPqKnnJoin]]).
+    * quantized-rank + survivor-re-rank (see [[ivfPqKnnJoin]]). Same
+    * per-call broadcast lifetime note as [[ivfKnnJoinCore]].
     */
   private def ivfPqKnnJoinCore(df: DataFrame, idCol: String, vecCol: String,
                                centroids: Array[Array[Double]],
-                               offsets: Array[Double], nprobe: Int,
-                               k: Int, kPrime: Int): DataFrame = {
+                               offsets: Array[Double],
+                               lo: Array[Double], hi: Array[Double],
+                               nprobe: Int, k: Int, kPrime: Int): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    ivfPqKnnJoinCoreBc(df, idCol, vecCol,
+      df.sparkSession.sparkContext.broadcast(
+        graft.functions.IvfQuantizer(centroids, offsets)),
+      lo, hi, nprobe, k, kPrime)
+  }
+
+  private def ivfPqKnnJoinCoreBc(df: DataFrame, idCol: String, vecCol: String,
+                                 bc: org.apache.spark.broadcast.Broadcast[graft.functions.IvfQuantizer],
+                                 lo: Array[Double], hi: Array[Double],
+                                 nprobe: Int, k: Int, kPrime: Int): DataFrame = {
     require(nprobe >= 1 && k >= 1, s"need nprobe/k >= 1, got $nprobe/$k")
     require(kPrime >= k, s"need kPrime >= k, got $kPrime < $k")
-    require(centroids.nonEmpty, "need at least one centroid")
-    val (lo, hi) = ivfPqStats(df, vecCol)
     val vecD = col(vecCol).cast("array<double>")
-    val bc = df.sparkSession.sparkContext.broadcast(
-      graft.functions.IvfQuantizer(centroids, offsets))
     // probes + codes in ONE narrow pass; the raw vector is NOT selected —
     // column pruning keeps it out of the candidate shuffle entirely
     val probed = df.filter(col(vecCol).isNotNull)

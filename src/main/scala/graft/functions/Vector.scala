@@ -488,10 +488,17 @@ object QuantKernel {
     var i = 0
     while (i < d) {
       if (a.isNullAt(i)) return null
+      val x = a.getDouble(i)
+      // NaN element -> null row (the IvfKernel NaN-input convention).
+      // Without this, NaN fails both clamp comparisons and NaN.toInt
+      // is 0 — a silent garbage code 0 for any standalone caller (the
+      // PQ lane happens to null the row upstream via the probe kernel,
+      // but the encode contract must not depend on that).
+      if (x.isNaN) return null
       val l = lo(i); val h = hi(i)
       val c = if (h == l) 0.0
         else {
-          val raw = math.floor((a.getDouble(i) - l) / (h - l) * 255.0 + 0.5)
+          val raw = math.floor((x - l) / (h - l) * 255.0 + 0.5)
           math.min(math.max(raw, 0.0), 255.0)
         }
       out(i) = c.toInt.toByte

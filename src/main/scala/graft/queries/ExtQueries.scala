@@ -101,6 +101,26 @@ object ExtQueries {
       table
     })
 
+  /** Stored PQ quantization-stats table, written once per (session, sf
+    * dir) alongside [[ivfQuantTableFor]]'s quantizer (r16 — VERDICT r15
+    * task 2): per-dim (lo, hi) as an [[graft.ext.Similarity.ivfPqStatsRows]]
+    * parquet table, so `x_ivf_pq_knn_join_stored` reads BOTH halves of
+    * the stored artifact — codes become a function of the artifact, not
+    * of whichever corpus version the join sees. Returns the table name.
+    */
+  private val ivfPqStatsCache = scala.collection.concurrent.TrieMap[
+    (org.apache.spark.sql.SparkSession, String), String]()
+
+  private def ivfPqStatsTableFor(s: org.apache.spark.sql.SparkSession,
+                                 d: String): String =
+    ivfPqStatsCache.getOrElseUpdate((s, d), {
+      evictStale(ivfPqStatsCache)(_._1 ne s)(_ => ())
+      val table = "graft_ivf_pq_stats_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val stats = Similarity.ivfPqStatsRows(Tables.embeddings(s, d), "embedding")
+      graft.core.Layout.writeBucketed(stats, table, buckets = 1, "dim")
+      table
+    })
+
   /** Shared winnowing oracle prefix at the registry parameters
     * (k = 4, w = 5): restates `TextAnalysis.winnowFingerprints`'
     * portable arithmetic — char-code token polynomials, 4-gram hash
@@ -309,27 +329,71 @@ object ExtQueries {
     ivfMembershipCtes(nlistExpr, preCtes, src) + ", " +
       s"prob AS (SELECT vec_id, ci FROM pr WHERE rk <= $nprobeExpr), " +
       "cand AS (SELECT p.vec_id AS qid, m.vec_id AS nid FROM prob p " +
-      "JOIN mem m ON p.ci = m.ci AND p.vec_id <> m.vec_id), " +
-      "st AS (SELECT j, min(x) AS lo, max(x) AS hi FROM ve GROUP BY j), " +
-      "rc AS (SELECT ve.vec_id, ve.j, st.lo + (CASE WHEN st.hi = st.lo THEN 0.0 " +
-      "ELSE least(greatest(floor((ve.x - st.lo) / (st.hi - st.lo) * 255.0 + 0.5), " +
-      "0.0), 255.0) END) / 255.0 * (st.hi - st.lo) AS r " +
-      "FROM ve JOIN st ON ve.j = st.j), " +
-      "qcd AS (SELECT cand.qid, cand.nid, sum(r1.r * r2.r) AS dtq, " +
-      "sum(r1.r * r1.r) AS nq1, sum(r2.r * r2.r) AS nq2 FROM cand " +
-      "JOIN rc r1 ON r1.vec_id = cand.qid " +
-      "JOIN rc r2 ON r2.vec_id = cand.nid AND r1.j = r2.j GROUP BY 1, 2), " +
-      "sv AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid " +
-      "ORDER BY dtq / (sqrt(nq1) * sqrt(nq2)) DESC, nid) AS qrk FROM qcd " +
+      "JOIN mem m ON p.ci = m.ci AND p.vec_id <> m.vec_id)" +
+      ivfPqChainCtes(kPrimeExpr, "", PqMinMaxStatsSql)
+
+  /** The global min/max stats CTE body (the [[graft.ext.Similarity]]
+    * `ivfPqStats` clip = 0 default) — NaN-filtered like the engine.
+    */
+  private val PqMinMaxStatsSql: String =
+    "SELECT j, min(x) AS lo, max(x) AS hi FROM ve WHERE NOT isnan(x) GROUP BY j"
+
+  /** RANK-clipped stats CTE body — drop exactly `c` elements per side
+    * per dimension, min/max of the remainder
+    * ([[graft.ext.Similarity.ivfPqStatsRankClipped]]): tie order at the
+    * drop boundary can't change the remainder's min/max VALUE, so plain
+    * `row_number` restates it deterministically.
+    */
+  private def pqRankClipStatsSql(c: Int): String =
+    "SELECT j, min(x) AS lo, max(x) AS hi FROM (" +
+      "SELECT j, x, row_number() OVER (PARTITION BY j ORDER BY x) AS ra, " +
+      "row_number() OVER (PARTITION BY j ORDER BY x DESC) AS rd " +
+      s"FROM ve WHERE NOT isnan(x)) WHERE ra > $c AND rd > $c GROUP BY j"
+
+  /** The PQ-specific half of the restatement — quantization stats
+    * (`statsSql`, see the two bodies above), affine uint8
+    * RECONSTRUCTIONS `lo + clamp(floor((x−lo)/(hi−lo)·255 + .5))/255.0
+    * ·(hi−lo)` (literally that float order, the
+    * [[graft.functions.QuantCosine]] kernel contract),
+    * reconstruction-cosine survivor ranks bounded to `kPrimeExpr` (NaN
+    * filtered like the engine), and the exact cosine top-k re-rank
+    * over survivors only. `tag` suffixes every CTE name so one query
+    * can run TWO chains (e.g. min/max vs rank-clipped in the outlier
+    * audit) off the shared membership/candidate CTEs; ends at
+    * `rnk2$tag` (qid, nid, cos, rank).
+    */
+  private def ivfPqChainCtes(kPrimeExpr: String, tag: String,
+                             statsSql: String): String =
+    s", st$tag AS ($statsSql), " +
+      s"rc$tag AS (SELECT ve.vec_id, ve.j, st$tag.lo + (CASE WHEN st$tag.hi = st$tag.lo THEN 0.0 " +
+      s"ELSE least(greatest(floor((ve.x - st$tag.lo) / (st$tag.hi - st$tag.lo) * 255.0 + 0.5), " +
+      s"0.0), 255.0) END) / 255.0 * (st$tag.hi - st$tag.lo) AS r " +
+      s"FROM ve JOIN st$tag ON ve.j = st$tag.j), " +
+      // The three accumulations run in EXPLICIT dimension order
+      // (list(... ORDER BY j) -> sequential list_aggregate), matching
+      // the QuantCosine kernel's index-order loop BITWISE. A plain
+      // sum() leaves the accumulation order to the hash aggregate —
+      // fine when candidate scores are well separated, but the outlier
+      // audit's fully-crushed regime ties every score at 1.0 +/- ulp,
+      // and per-group order wobble flipped survivor ranks at the
+      // kPrime boundary (measured: 1-2 recovered-flag diffs per run).
+      s"qcd$tag AS (SELECT cand.qid, cand.nid, " +
+      "list_aggregate(list(r1.r * r2.r ORDER BY r1.j), 'sum') AS dtq, " +
+      "list_aggregate(list(r1.r * r1.r ORDER BY r1.j), 'sum') AS nq1, " +
+      "list_aggregate(list(r2.r * r2.r ORDER BY r1.j), 'sum') AS nq2 FROM cand " +
+      s"JOIN rc$tag r1 ON r1.vec_id = cand.qid " +
+      s"JOIN rc$tag r2 ON r2.vec_id = cand.nid AND r1.j = r2.j GROUP BY 1, 2), " +
+      s"sv$tag AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid " +
+      s"ORDER BY dtq / (sqrt(nq1) * sqrt(nq2)) DESC, nid) AS qrk FROM qcd$tag " +
       "WHERE NOT isnan(dtq / (sqrt(nq1) * sqrt(nq2)))), " +
-      s"cs2 AS (SELECT sv.qid, sv.nid, sum(v1.x * v2.x) AS dt2, " +
-      "sum(v1.x * v1.x) AS n1, sum(v2.x * v2.x) AS n2 FROM sv " +
-      "JOIN ve v1 ON v1.vec_id = sv.qid " +
-      s"JOIN ve v2 ON v2.vec_id = sv.nid AND v1.j = v2.j " +
-      s"WHERE sv.qrk <= $kPrimeExpr GROUP BY 1, 2), " +
-      "rnk2 AS (SELECT qid, nid, dt2 / (sqrt(n1) * sqrt(n2)) AS cos, " +
+      s"cs2$tag AS (SELECT sv$tag.qid, sv$tag.nid, sum(v1.x * v2.x) AS dt2, " +
+      s"sum(v1.x * v1.x) AS n1, sum(v2.x * v2.x) AS n2 FROM sv$tag " +
+      s"JOIN ve v1 ON v1.vec_id = sv$tag.qid " +
+      s"JOIN ve v2 ON v2.vec_id = sv$tag.nid AND v1.j = v2.j " +
+      s"WHERE sv$tag.qrk <= $kPrimeExpr GROUP BY 1, 2), " +
+      s"rnk2$tag AS (SELECT qid, nid, dt2 / (sqrt(n1) * sqrt(n2)) AS cos, " +
       "row_number() OVER (PARTITION BY qid " +
-      "ORDER BY dt2 / (sqrt(n1) * sqrt(n2)) DESC, nid) AS rank FROM cs2)"
+      s"ORDER BY dt2 / (sqrt(n1) * sqrt(n2)) DESC, nid) AS rank FROM cs2$tag)"
 
   /** Oracle for `x_ivf_knn_join_pinned_capped`: the nlist-8 fixture
     * algebra on the BOUNDED vec_id < 2000 slice — the sweep stand-in for
@@ -381,6 +445,62 @@ object ExtQueries {
       "(pqk.nid IS NOT NULL) AS recovered FROM t1 " +
       "LEFT JOIN pqk ON t1.qid = pqk.qid AND t1.nid = pqk.nid " +
       "ORDER BY vec_id"
+
+  /** Oracle for `x_ivf_pq_outlier_recall` (r16 — VERDICT r15 task 3):
+    * ONE outlier-scaled vector (vec_id 3 × 10⁶ — direction preserved,
+    * so the exact-cosine truth is the unscaled corpus's) against TWO
+    * full PQ chains off the SHARED membership/candidate CTEs: global
+    * min/max stats (`_mm` — the bounds the outlier stretches ~10⁶×,
+    * crushing every dimension's int8 resolution: all normal values
+    * code to 0, reconstructions collapse to one corner, survivor
+    * ranking degenerates to id order) vs rank-clipped stats (`_cl`,
+    * c = 1 — the outlier is the single extreme element per side per
+    * dimension, so dropping one restores the normal range). Both
+    * `recovered` flags are derived by BOTH engines; the row IS the
+    * measured claim "clipped bounds hold recall where min/max
+    * degrades".
+    */
+  // The outlier is a CONSTANT vector (every element exactly 10^6), not a
+  // scaled copy: with hi pinned to one exact value per dimension, every
+  // normal element codes to 0 and every crushed reconstruction is
+  // BIT-IDENTICAL, so the degenerate survivor ranking ties EXACTLY and
+  // falls to the deterministic nid tie-break in both engines. A scaled
+  // outlier leaves near-zero dimensions partially resolved, and the
+  // last-ulp reconstruction-cosine differences (engine-specific sum
+  // order) flipped survivor ranks at the kPrime boundary — measured as
+  // 2/500 recovered-flag diffs before this pin.
+  private val IvfPqOutlierRecallOracle: String = {
+    val pre =
+      "sl AS (SELECT vec_id, CASE WHEN vec_id = 3 THEN " +
+        "list_transform(embedding, x -> 1000000.0) " +
+        "ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS embedding " +
+        "FROM embeddings WHERE vec_id < 500), " +
+        "nn AS (SELECT count(*) * 2 AS target FROM sl), " +
+        "nl AS (SELECT min(m) AS nlist FROM generate_series(8, 100000) t(m), nn " +
+        "WHERE CAST(m AS HUGEINT) * m >= nn.target)"
+    "WITH " + ivfMembershipCtes("(SELECT nlist FROM nl)", pre, "sl") + ", " +
+      "prob AS (SELECT vec_id, ci FROM pr WHERE rk <= 2), " +
+      "cand AS (SELECT p.vec_id AS qid, m.vec_id AS nid FROM prob p " +
+      "JOIN mem m ON p.ci = m.ci AND p.vec_id <> m.vec_id)" +
+      ivfPqChainCtes("8", "_mm", PqMinMaxStatsSql) +
+      ivfPqChainCtes("8", "_cl", pqRankClipStatsSql(1)) + ", " +
+      "exd AS (SELECT a.vec_id AS qid, b.vec_id AS nid, sum(a.x * b.x) AS dt3 " +
+      "FROM ve a JOIN ve b ON a.j = b.j AND a.vec_id <> b.vec_id GROUP BY 1, 2), " +
+      "exc AS (SELECT exd.qid, exd.nid, exd.dt3 / (va.nrm * vb.nrm) AS cos " +
+      "FROM exd JOIN vno va ON va.vec_id = exd.qid " +
+      "JOIN vno vb ON vb.vec_id = exd.nid WHERE va.nrm > 0 AND vb.nrm > 0), " +
+      "ext AS (SELECT qid, nid, cos, row_number() OVER " +
+      "(PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM exc), " +
+      "t1 AS (SELECT qid, nid, cos FROM ext WHERE rk = 1), " +
+      "mmk AS (SELECT qid, nid FROM rnk2_mm WHERE rank <= 3), " +
+      "clk AS (SELECT qid, nid FROM rnk2_cl WHERE rank <= 3) " +
+      "SELECT t1.qid AS vec_id, t1.nid AS top1_id, round(t1.cos, 6) AS cos, " +
+      "(mmk.nid IS NOT NULL) AS recovered_minmax, " +
+      "(clk.nid IS NOT NULL) AS recovered_clipped FROM t1 " +
+      "LEFT JOIN mmk ON t1.qid = mmk.qid AND t1.nid = mmk.nid " +
+      "LEFT JOIN clk ON t1.qid = clk.qid AND t1.nid = clk.nid " +
+      "ORDER BY vec_id"
+  }
 
   /** The membership half of the pinned-anchor IVF restatement, shared
     * by [[ivfKnnJoinPinnedOracleSql]] and the streaming ingest twin's
@@ -3663,14 +3783,21 @@ object ExtQueries {
     // The stored-quantizer leg of the PQ lifecycle: reloads the SAME
     // (ivf_cell, centroid, offset) parquet table x_ivf_knn_join_stored
     // uses (one quantizer table serves both the plain and PQ joins -
-    // the build-once/join-many contract extends across lane variants).
-    // Same oracle as the inline pinned leg: storage round-tripping must
-    // not change a single row.
+    // the build-once/join-many contract extends across lane variants)
+    // PLUS the stored (dim, lo, hi) stats table (r16): the quantization
+    // bounds are read from the artifact, not recomputed from the
+    // current corpus, so cached codes stay stable across corpus
+    // versions AND the FromStored plan drops a full-corpus stats pass.
+    // Same oracle as the inline pinned leg: at build time the stats
+    // were computed from this corpus, so storage round-tripping of
+    // BOTH tables must not change a single row.
     Q("x_ivf_pq_knn_join_stored",
       (s, d) => {
         val table = ivfQuantTableFor(s, d)
+        val stats = ivfPqStatsTableFor(s, d)
         Similarity.ivfPqKnnJoinFromStored(Tables.embeddings(s, d), "vec_id",
-            "embedding", s.table(table), nprobe = 2, k = 3, kPrime = 8)
+            "embedding", s.table(table), s.table(stats),
+            nprobe = 2, k = 3, kPrime = 8)
           .select(col("vec_id"), col("neighbor_id"),
             round(col("cos"), 6).as("cos"), col("rank"))
           .orderBy("vec_id", "rank")
@@ -3700,6 +3827,43 @@ object ExtQueries {
           .orderBy("vec_id")
       },
       Some(IvfPqRecallOracle)),
+
+    // OUTLIER ROBUSTNESS AUDIT (r16 — VERDICT r15 task 3): one vector
+    // scaled x10^6 (direction preserved -> the exact truth is
+    // unchanged) stretches the global min/max bounds ~10^6x and
+    // crushes every dimension's int8 resolution: all normal values
+    // code to 0, reconstructions collapse to one corner, the survivor
+    // cut degenerates to id order, and recall craters. Rank-clipped
+    // bounds (c = 1 -- the deterministic, oracle-restatable twin of
+    // the production approx_percentile `clip` form) drop the outlier
+    // per dimension and hold recall. Both flags derived by both
+    // engines; the contrast IS the claim, recorded as data.
+    Q("x_ivf_pq_outlier_recall",
+      (s, d) => {
+        val vecD = col("embedding").cast("array<double>")
+        val slice = Tables.embeddings(s, d).filter(col("vec_id") < 500)
+          .withColumn("embedding",
+            when(col("vec_id") === 3L, transform(vecD, _ => lit(1e6)))
+              .otherwise(vecD))
+        val truth = Similarity.exactKnnJoin(slice, "vec_id", "embedding", k = 1)
+          .select(col("vec_id"), col("neighbor_id").as("top1_id"),
+            round(col("cos"), 6).as("cos"))
+        val mm = Similarity.ivfPqKnnJoinPinnedAuto(slice, "vec_id", "embedding",
+            nprobe = 2, k = 3, kPrime = 8)
+          .select(col("vec_id"), col("neighbor_id").as("top1_id"),
+            lit(true).as("_hm"))
+        val cl = Similarity.ivfPqKnnJoinPinnedAutoRankClipped(slice, "vec_id",
+            "embedding", nprobe = 2, k = 3, kPrime = 8, clipRank = 1)
+          .select(col("vec_id"), col("neighbor_id").as("top1_id"),
+            lit(true).as("_hc"))
+        truth.join(mm, Seq("vec_id", "top1_id"), "left")
+          .join(cl, Seq("vec_id", "top1_id"), "left")
+          .select(col("vec_id"), col("top1_id"), col("cos"),
+            coalesce(col("_hm"), lit(false)).as("recovered_minmax"),
+            coalesce(col("_hc"), lit(false)).as("recovered_clipped"))
+          .orderBy("vec_id")
+      },
+      Some(IvfPqOutlierRecallOracle)),
 
     // M3 — FFT magnitude per sliding window (native Catalyst expression).
     // DuckDB has no FFT, but the REPORTED bins are low-order DFT

@@ -590,13 +590,117 @@ class SimilaritySpec extends SparkSpec {
     val prod = Similarity.ivfPqKnnJoin(fixture, "vec_id", "embedding",
       nprobe, k, kPrime = 12)
     assert(prod.count() > 0)
-    // stored-quantizer leg: reloading the same anchors changes no row
+    // stored-quantizer + stored-stats leg: reloading the same anchors
+    // and the same bounds changes no row
     val derived = Similarity.autoNlist(200L, nprobe, 8)
     val quant = Similarity.ivfPinnedQuantizerRows(fixture, "vec_id", "embedding", derived)
+    val stats = Similarity.ivfPqStatsRows(fixture, "embedding")
     val viaStored = Similarity.ivfPqKnnJoinFromStored(fixture, "vec_id", "embedding",
-        quant, nprobe, k, kPrime = 6)
+        quant, stats, nprobe, k, kPrime = 6)
       .as[(Long, Long, Double, Long)].collect().toSet
     assert(viaStored == tight.toSet, "PQ stored leg must equal the pinned-auto run")
+    // broadcast-handle leg: caller-owned broadcast, identical rows
+    val bc = Similarity.ivfQuantizerBroadcast(quant)
+    val viaBc = Similarity.ivfPqKnnJoinFromBroadcast(fixture, "vec_id", "embedding",
+        bc, stats, nprobe, k, kPrime = 6)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(viaBc == tight.toSet, "PQ broadcast leg must equal the pinned-auto run")
+    bc.destroy()
+  }
+
+  test("stored PQ stats pin code semantics across corpus versions: a grown " +
+    "corpus joined with BUILD-TIME stats reproduces the build-time codes") {
+    // build-time artifact: quantizer + stats over the original corpus
+    val nprobe = 2; val k = 3
+    val derived = Similarity.autoNlist(200L, nprobe, 8)
+    val quant = Similarity.ivfPinnedQuantizerRows(fixture, "vec_id", "embedding", derived)
+    val stats = Similarity.ivfPqStatsRows(fixture, "embedding")
+    val (loS, hiS) = Similarity.loadStoredPqStats(stats)
+    // the corpus GROWS with an out-of-range vector: recomputed bounds
+    // would stretch and silently change every cached code; stored
+    // bounds must leave the original rows' codes bit-identical
+    val grown = fixture.union(Seq((9999L, Seq.fill(dim)(50.0f)))
+      .toDF("vec_id", "embedding"))
+    val (loG, hiG) = Similarity.ivfPqStats(grown, "embedding")
+    assert(hiG.zip(hiS).exists { case (g, s) => g > s },
+      "fixture sanity: the grown corpus must actually stretch the recomputed bounds")
+    def codesWith(df: org.apache.spark.sql.DataFrame, lo: Array[Double], hi: Array[Double]) =
+      df.filter(col("vec_id") < 9999L).select(col("vec_id"),
+          graft.functions.GraftFunctions.quantize_uint8(
+            col("embedding").cast("array<double>"), lo, hi).as("_b"))
+        .as[(Long, Array[Byte])].collect().toMap
+    val buildTime = codesWith(fixture, loS, hiS)
+    val grownStored = codesWith(grown, loS, hiS)
+    val grownRecomputed = codesWith(grown, loG, hiG)
+    assert(grownStored.keySet == buildTime.keySet)
+    grownStored.foreach { case (id, b) =>
+      assert(b.sameElements(buildTime(id)),
+        s"vec $id: stored stats must reproduce build-time codes on the grown corpus")
+    }
+    assert(grownRecomputed.exists { case (id, b) => !b.sameElements(buildTime(id)) },
+      "fixture sanity: recomputed stats DO change codes — the hole stored stats close")
+    // and the stored join itself runs green against the grown corpus
+    val joined = Similarity.ivfPqKnnJoinFromStored(grown, "vec_id", "embedding",
+      quant, stats, nprobe, k, kPrime = 6)
+    assert(joined.count() > 0)
+  }
+
+  test("ivfPqStats: NaN elements are excluded instead of poisoning a " +
+    "dimension; a NaN-carrying corpus still joins (rows, not silence)") {
+    // one corrupt vector: dim 0 carries NaN — pre-r16 max(_x) went NaN,
+    // every reconstruction on dim 0 went NaN, every _qcos was filtered,
+    // and the PQ join silently returned 0 rows
+    val corrupt = fixture.union(
+      Seq((5000L, Seq(Float.NaN) ++ Seq.fill(dim - 1)(0.25f))).toDF("vec_id", "embedding"))
+    val (loC, hiC) = Similarity.ivfPqStats(corrupt, "embedding")
+    val (loF, hiF) = Similarity.ivfPqStats(fixture, "embedding")
+    assert(!loC.exists(_.isNaN) && !hiC.exists(_.isNaN))
+    // dim 0's bounds: the NaN element is invisible, but the corrupt
+    // vector's real elements on OTHER dims still participate
+    assert(loC(0) == loF(0) && hiC(0) == hiF(0),
+      "dim 0 bounds must ignore the NaN element")
+    val joined = Similarity.ivfPqKnnJoinPinnedAuto(corrupt, "vec_id", "embedding",
+      nprobe = 2, k = 3, kPrime = 8)
+    assert(joined.count() > 0, "a NaN-carrying corpus must not silence the join")
+    // the corrupt ROW itself is excluded (probe kernel nulls it) — the
+    // plain-IVF convention: null the row, never the lane
+    assert(joined.filter(col("vec_id") === 5000L).count() == 0)
+  }
+
+  test("PQ clip: quantile-clipped bounds hold recall on an outlier-injected " +
+    "corpus where global min/max degrades (production approx form AND the " +
+    "oracle-restatable rank-clip twin)") {
+    val vecD = col("embedding").cast("array<double>")
+    val outlier = fixture.withColumn("embedding",
+      when(col("vec_id") === 3L, transform(vecD, _ => lit(1e6))).otherwise(vecD))
+    // bounds sanity: min/max swallows the outlier, both clipped forms drop it
+    val (_, hiMm) = Similarity.ivfPqStats(outlier, "embedding")
+    val (_, hiRk) = Similarity.ivfPqStatsRankClipped(outlier, "embedding", 1)
+    val (_, hiAp) = Similarity.ivfPqStats(outlier, "embedding", clip = 0.02)
+    assert(hiMm.forall(_ == 1e6), "min/max hi must be the outlier on every dim")
+    assert(hiRk.forall(_ < 10.0), "rank-clip must drop the outlier on every dim")
+    assert(hiAp.forall(_ < 10.0), "approx clip must drop the outlier on every dim")
+    // recall: exact top-1 recovered in the PQ top-3, production KMeans lane
+    val truth = Similarity.exactKnnJoin(outlier, "vec_id", "embedding", k = 1)
+      .select(col("vec_id"), col("neighbor_id")).as[(Long, Long)].collect().toSet
+    def recall(j: org.apache.spark.sql.DataFrame): Double =
+      truth.count(j.select(col("vec_id"), col("neighbor_id"))
+        .as[(Long, Long)].collect().toSet).toDouble / truth.size
+    val rMm = recall(Similarity.ivfPqKnnJoin(outlier, "vec_id", "embedding",
+      nprobe = 2, k = 3, kPrime = 8))
+    val rAp = recall(Similarity.ivfPqKnnJoin(outlier, "vec_id", "embedding",
+      nprobe = 2, k = 3, kPrime = 8, clip = 0.02))
+    assert(rAp > rMm,
+      s"clipped recall $rAp must beat crushed min/max recall $rMm")
+  }
+
+  test("QuantKernel.encode: a NaN element nulls the row (the IvfKernel " +
+    "convention), never a silent code 0") {
+    val (lo, hi) = Similarity.ivfPqStats(fixture, "embedding")
+    val row = Seq(Tuple1(Seq(Double.NaN) ++ Seq.fill(dim - 1)(0.1))).toDF("v")
+      .select(graft.functions.GraftFunctions.quantize_uint8(col("v"), lo, hi))
+      .as[Option[Array[Byte]]].head()
+    assert(row.isEmpty, "NaN element must encode to null, not byte 0")
   }
 
   test("collapseExactVectors: min-id representatives, full membership, twins found via rep fan-out") {
