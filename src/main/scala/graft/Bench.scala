@@ -107,11 +107,20 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // Separate subtotals (r15 verdict task 7): the stream_* rows price a
+    // scheduler-dominated, sf-INDEPENDENT micro-batch floor (~55% of the
+    // suite sum at the driver sf) whose ±20-35% wobble kept dominating
+    // round-over-round headline diffs — batch_total is the number that
+    // tracks operator cost; compare like with like (bench_diff.py prints
+    // both when present).
+    val batchTotal = batchResults.map(_._2).filter(_ >= 0).sum
+    val streamTotal = streamResults.map(_._2).filter(_ >= 0).sum
     val skipped = skip.toSeq.sorted.map("\"" + _ + "\"")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""failed":${failed.mkString("[", ",", "]")},""" +
       s""""skipped":${skipped.mkString("[", ",", "]")},"reps":$reps,""" +
-      s""""stream_reps":$streamReps,"sf":"$sfDir"}"""
+      s""""stream_reps":$streamReps,"batch_total":$batchTotal,""" +
+      s""""stream_total":$streamTotal,"sf":"$sfDir"}"""
     println(line)
     // The driver's BENCH_r{N}.json wrapper keeps only a 2,000-char tail of
     // stdout, which truncated ~130/190 rows in r9/r10 and left bench_diff

@@ -989,6 +989,49 @@ object ExtQueries {
       "SELECT vec_id, neighbor_id, round(c, 6) AS cos, CAST(rk AS BIGINT) AS rank " +
       "FROM r WHERE rk <= 3 ORDER BY vec_id, rank"
 
+  /** The `x_semantic_dedup` restatement (portable JL sign buckets at
+    * 6 planes, within-bucket exact cosine ≥ 0.4) — a named val so the
+    * capped stand-in reuses it verbatim on the bounded slice.
+    */
+  private val SemanticDedupOracleSql: String =
+    "WITH x AS (SELECT vec_id, len(embedding) AS dim, " +
+      "CAST(unnest(embedding) AS DOUBLE) AS v, " +
+      "generate_subscripts(embedding, 1) - 1 AS j FROM embeddings), " +
+      "io AS (SELECT unnest(generate_series(0, 5)) AS i), " +
+      "p AS (SELECT vec_id, i, sum(v * CASE WHEN " +
+      "((i * dim + j) * 2654435761) % 4294967296 < 2147483648 " +
+      "THEN 1 ELSE -1 END) / sqrt(6.0) AS y FROM x CROSS JOIN io GROUP BY vec_id, i), " +
+      "bk AS (SELECT vec_id, CAST(sum(CASE WHEN y >= 0 " +
+      "THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS bucket " +
+      "FROM p GROUP BY vec_id), " +
+      "pr AS (SELECT a.vec_id AS id1, b.vec_id AS id2, a.bucket AS bucket " +
+      "FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id), " +
+      "d AS (SELECT id1, id2, bucket, unnest(e1.embedding) AS xx, " +
+      "unnest(e2.embedding) AS yy FROM pr " +
+      "JOIN embeddings e1 ON e1.vec_id = pr.id1 " +
+      "JOIN embeddings e2 ON e2.vec_id = pr.id2), " +
+      "sm AS (SELECT id1, id2, bucket, " +
+      "sum(CAST(xx AS DOUBLE) * CAST(yy AS DOUBLE)) AS dt, " +
+      "sum(CAST(xx AS DOUBLE) * CAST(xx AS DOUBLE)) AS nx, " +
+      "sum(CAST(yy AS DOUBLE) * CAST(yy AS DOUBLE)) AS ny " +
+      "FROM d GROUP BY id1, id2, bucket) " +
+      "SELECT id1, id2, bucket, round(dt / (sqrt(nx) * sqrt(ny)), 6) AS cos " +
+      "FROM sm WHERE dt / (sqrt(nx) * sqrt(ny)) >= 0.4 ORDER BY id1, id2"
+
+  /** Rewrites an embeddings-sourced oracle to run on the bounded
+    * `vec_id < 2000` slice — the capped stand-in pattern (r16): every
+    * `embeddings` reference (scan, count, re-score joins) swaps to the
+    * `sl` slice CTE, so the restated algebra is IDENTICAL and only the
+    * universe shrinks. Purely textual, which is safe here because the
+    * oracle strings are pure SQL with no other token containing the
+    * word.
+    */
+  private def cappedEmbeddingsOracle(oracle: String): String = {
+    require(oracle.startsWith("WITH "), "expected a WITH-prefixed oracle")
+    "WITH sl AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000), " +
+      oracle.stripPrefix("WITH ").replace("embeddings", "sl")
+  }
+
   /** [[knnJoinOracleSql]] with the plane count DERIVED from count(*) by
     * the same integer rule as [[Similarity.autoPlanes]] (the
     * `x_semantic_dedup_auto` pattern) — so `x_knn_join_auto` is
@@ -3009,29 +3052,7 @@ object ExtQueries {
         .select(col("id1"), col("id2"), col("bucket"),
           round(col("cos"), 6).as("cos"))
         .orderBy("id1", "id2"),
-      Some("WITH x AS (SELECT vec_id, len(embedding) AS dim, " +
-        "CAST(unnest(embedding) AS DOUBLE) AS v, " +
-        "generate_subscripts(embedding, 1) - 1 AS j FROM embeddings), " +
-        "io AS (SELECT unnest(generate_series(0, 5)) AS i), " +
-        "p AS (SELECT vec_id, i, sum(v * CASE WHEN " +
-        "((i * dim + j) * 2654435761) % 4294967296 < 2147483648 " +
-        "THEN 1 ELSE -1 END) / sqrt(6.0) AS y FROM x CROSS JOIN io GROUP BY vec_id, i), " +
-        "bk AS (SELECT vec_id, CAST(sum(CASE WHEN y >= 0 " +
-        "THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS bucket " +
-        "FROM p GROUP BY vec_id), " +
-        "pr AS (SELECT a.vec_id AS id1, b.vec_id AS id2, a.bucket AS bucket " +
-        "FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id), " +
-        "d AS (SELECT id1, id2, bucket, unnest(e1.embedding) AS xx, " +
-        "unnest(e2.embedding) AS yy FROM pr " +
-        "JOIN embeddings e1 ON e1.vec_id = pr.id1 " +
-        "JOIN embeddings e2 ON e2.vec_id = pr.id2), " +
-        "sm AS (SELECT id1, id2, bucket, " +
-        "sum(CAST(xx AS DOUBLE) * CAST(yy AS DOUBLE)) AS dt, " +
-        "sum(CAST(xx AS DOUBLE) * CAST(xx AS DOUBLE)) AS nx, " +
-        "sum(CAST(yy AS DOUBLE) * CAST(yy AS DOUBLE)) AS ny " +
-        "FROM d GROUP BY id1, id2, bucket) " +
-        "SELECT id1, id2, bucket, round(dt / (sqrt(nx) * sqrt(ny)), 6) AS cos " +
-        "FROM sm WHERE dt / (sqrt(nx) * sqrt(ny)) >= 0.4 ORDER BY id1, id2")),
+      Some(SemanticDedupOracleSql)),
 
     // The data-scaled twin (r11): same portable JL dedup, plane count
     // from the autoPlanes integer rule (smallest p >= 6 with
@@ -3748,6 +3769,43 @@ object ExtQueries {
           round(col("cos"), 6).as("cos"), col("rank"))
         .orderBy("vec_id", "rank"),
       Some(IvfKnnJoinPinnedCappedOracle)),
+
+    // r16: the same stand-in treatment for the three sign-bucket rows
+    // that would dominate the x100 (sf10) sweep — the two pinned-plane
+    // oracle-continuity anchors (x_knn_join x36.6, x_semantic_dedup
+    // x30.2 at x10; quadratic-per-bucket BY DESIGNATION, default
+    // dispatch bypasses both) and the steered mid-tier x_knn_join_auto
+    // (measured 1,086 s at sf10 in the r12 probe — hot-cell drift the
+    // adaptive/collapsed production forms remedy). Same fixture
+    // algebra, vec_id < 2000 slice, full oracles — a no-op at the
+    // sf0.01 gate, a hard cost bound at sweep sfs.
+    Q("x_knn_join_capped",
+      (s, d) => (Similarity.knnJoin(
+          Tables.embeddings(s, d).filter(col("vec_id") < 2000), "vec_id",
+          "embedding", dIn = queryVec(s, d).length, planes = 6,
+          k = 3): @scala.annotation.nowarn("cat=deprecation"))
+        .select(col("vec_id"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos"), col("rank"))
+        .orderBy("vec_id", "rank"),
+      Some(cappedEmbeddingsOracle(knnJoinOracleSql))),
+
+    Q("x_knn_join_auto_capped",
+      (s, d) => Similarity.knnJoinAuto(
+          Tables.embeddings(s, d).filter(col("vec_id") < 2000), "vec_id",
+          "embedding", dIn = queryVec(s, d).length, k = 3)
+        .select(col("vec_id"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos"), col("rank"))
+        .orderBy("vec_id", "rank"),
+      Some(cappedEmbeddingsOracle(knnJoinAutoOracleSql))),
+
+    Q("x_semantic_dedup_capped",
+      (s, d) => Similarity.semanticDedup(
+          Tables.embeddings(s, d).filter(col("vec_id") < 2000), "vec_id",
+          "embedding", dIn = queryVec(s, d).length, planes = 6, minCos = 0.4)
+        .select(col("id1"), col("id2"), col("bucket"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("id1", "id2"),
+      Some(cappedEmbeddingsOracle(SemanticDedupOracleSql))),
 
     // IVF-PQ-lite (r15 — VERDICT r14 task 5): the candidate cell join
     // ships PACKED UINT8 BINARY codes (1 byte/dim — 8× less shuffle

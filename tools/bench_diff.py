@@ -102,6 +102,17 @@ def main():
     tot_new = sum(new[k] for k in common)
     print(f"\ncomparable total: {tot_old:.1f}s -> {tot_new:.1f}s "
           f"({tot_new - tot_old:+.1f}s over {len(common)} queries)")
+    # Split subtotals (r15 verdict task 7): the stream_* rows measure an
+    # sf-independent micro-batch scheduling floor whose wobble dominates
+    # headline diffs — batch is the subtotal that tracks operator cost.
+    stream = [k for k in common if k.startswith("stream_")]
+    batch = [k for k in common if not k.startswith("stream_")]
+    if stream:
+        for label, keys in (("batch", batch), ("stream-floor", stream)):
+            o = sum(old[k] for k in keys)
+            n = sum(new[k] for k in keys)
+            print(f"  {label:12s} subtotal: {o:.1f}s -> {n:.1f}s "
+                  f"({n - o:+.1f}s over {len(keys)} queries)")
     if regs:
         print(f"regressions (> x{args.ratio_flag} and > +0.3s): {regs}")
         sys.exit(1)

@@ -25,9 +25,17 @@ import json
 import sys
 
 # designated-quadratic row -> its bounded-corpus stand-in
+# r16 additions: the two pinned-plane oracle-continuity anchors and the
+# steered mid-tier auto form (x36.6 / x30.2 / x12.6 at x10, 1,086 s
+# measured for the auto form at sf10) — quadratic-per-bucket by
+# designation, default dispatch bypasses all three (DESIGN.md standing
+# triage); their capped twins keep the fixture algebra value-checked.
 DESIGNATED = {
     "x_ivf_knn_join": "x_ivf_knn_join_capped",
     "x_ivf_knn_join_pinned": "x_ivf_knn_join_pinned_capped",
+    "x_knn_join": "x_knn_join_capped",
+    "x_knn_join_auto": "x_knn_join_auto_capped",
+    "x_semantic_dedup": "x_semantic_dedup_capped",
 }
 
 
