@@ -676,23 +676,25 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val next = clusterRound(edges, labels)
+      // the round carries each node's PREVIOUS label (`_old`) through to
+      // the checkpoint, so the convergence test is a block-local scan of
+      // rows already materialized — the former shape re-JOINED `next`
+      // with `labels` and counted, a full extra shuffle join per round
+      // (r16 optimization: 2 driver actions/round -> 1 action + 1 local
+      // probe; same fixpoint, bitwise-same labels)
+      val next = clusterRoundTracked(edges, labels)
         .localCheckpoint(true) // eager: materializes AND truncates lineage
-      val changed = next
-        .join(labels.select(col("id"), col("cluster").as("_old")), "id")
-        .filter(col("cluster") =!= col("_old"))
-        .count()
+      converged = next.filter(col("cluster") =!= col("_old")).isEmpty
       // the superseded round's checkpoint blocks are dead the moment
       // `next` is materialized — release them NOW (bounded two live
       // rounds by construction) instead of waiting for GC + ContextCleaner
       checkpointRdd(labels).foreach(_.unpersist(false))
       labels = next
-      converged = changed == 0
       i += 1
     }
     require(converged, s"duplicateClusters did not converge in $maxIter rounds")
     checkpointRdd(edges).foreach(_.unpersist(false)) // no further rounds read them
-    labels
+    labels.select("id", "cluster")
   }
 
   /** The persisted RDD behind a `localCheckpoint`ed frame —
@@ -724,19 +726,28 @@ object Dedup {
     * the plan audit can sweep the round's plan — inside the loop every
     * round hides behind a localCheckpoint.
     */
-  private[graft] def clusterRound(edges: DataFrame, labels: DataFrame): DataFrame = {
+  private[graft] def clusterRound(edges: DataFrame, labels: DataFrame): DataFrame =
+    clusterRoundTracked(edges, labels).select("id", "cluster")
+
+  /** [[clusterRound]] that also RETURNS each node's pre-round label as
+    * `_old` — [[duplicateClusters]] checkpoints this frame and tests
+    * convergence by scanning the materialized rows (`cluster != _old`)
+    * instead of re-joining the new labels against the old frame, which
+    * cost a full shuffle join + count job per round.
+    */
+  private[graft] def clusterRoundTracked(edges: DataFrame, labels: DataFrame): DataFrame = {
     val neighborMin = edges
       .join(labels.select(col("id").as("b"), col("cluster")), "b")
       .groupBy(col("a").as("id")).agg(min(col("cluster")).as("_nmin"))
-    val stepped = labels
+    val stepped = labels.select("id", "cluster")
       .join(neighborMin, Seq("id"), "left")
-      .select(col("id"),
+      .select(col("id"), col("cluster").as("_old"),
         least(col("cluster"), coalesce(col("_nmin"), col("cluster"))).as("cluster"))
     // pointer doubling: follow the current label to ITS label
     stepped
       .join(stepped.select(col("id").as("cluster"), col("cluster").as("_pl")),
         Seq("cluster"), "left")
-      .select(col("id"),
+      .select(col("id"), col("_old"),
         least(col("cluster"), coalesce(col("_pl"), col("cluster"))).as("cluster"))
   }
 
