@@ -185,14 +185,43 @@ object Trainer {
               lrDecay: Double = 0.99, l2: Double = 1e-7, clipNorm: Double = 1.0,
               clipValue: Double = 0.5, batchFraction: Double = 1.0,
               seed: Long = 42L): TrainedAutoencoder = {
-    val spark = windows.sparkSession
-    import spark.implicits._
-    val data = windows.select(col(valuesCol).cast("array<double>")).as[Seq[Double]]
-      .rdd.map(_.toArray).cache()
+    val data = toTrainRdd(windows, valuesCol)
     try fitCached(model, init, data, epochs, lr, lrDecay, l2, clipNorm, clipValue,
       batchFraction, seed)
     finally data.unpersist(blocking = false) // also on a failed epoch
   }
+
+  /** The training-set RDD an epoch loop iterates: window arrays,
+    * persisted with TRUNCATED lineage. A plain `.cache()` here keeps the
+    * full SQL plan (scan + standardize + window assembly) inside every
+    * task binary, and the epoch jobs' tasks paid ~80 ms EACH just
+    * deserializing it — measured r16, task deser was ~90% of every
+    * treeAggregate epoch's task time at sf0.1 (the data itself is a few
+    * hundred KB). `localCheckpoint` stores the computed partitions and
+    * drops the lineage after the first epoch materializes them, so every
+    * later epoch ships a closure of just (model, weights broadcast
+    * handle). Partition count and intra-partition order are exactly the
+    * cached frame's, so gradients are bit-identical (m2b's REAL-epoch
+    * oracle row pins this). Caller unpersists when training ends.
+    */
+  private[graft] def toTrainRdd(windows: DataFrame, valuesCol: String)
+      : org.apache.spark.rdd.RDD[Array[Double]] = {
+    val spark = windows.sparkSession
+    import spark.implicits._
+    windows.select(col(valuesCol).cast("array<double>")).as[Seq[Double]]
+      .rdd.map(_.toArray).localCheckpoint()
+  }
+
+  /** [[fitFrom]] over an already-converted training RDD — the search
+    * loop's entry ([[Tuning.gridSearch]] converts ONCE and fits many
+    * candidates; the per-candidate conversion was 4 redundant
+    * build-and-persist passes in the m9 row).
+    */
+  private[graft] def fitData(model: WindowModel, init: Array[Double],
+                             data: org.apache.spark.rdd.RDD[Array[Double]],
+                             epochs: Int, lr: Double, seed: Long = 42L): TrainedAutoencoder =
+    fitCached(model, init, data, epochs, lr, lrDecay = 0.99, l2 = 1e-7,
+      clipNorm = 1.0, clipValue = 0.5, batchFraction = 1.0, seed = seed)
 
   private def fitCached(model: WindowModel, init: Array[Double],
                         data: org.apache.spark.rdd.RDD[Array[Double]],

@@ -158,12 +158,20 @@ object Tuning {
                  valuesCol: String, inputDim: Int,
                  candidates: Seq[Candidate], epochs: Int,
                  seed: Long = 42L): Seq[Scored] = {
-    candidates.map { c =>
-      val sizes = (inputDim +: c.hidden) ++ c.hidden.reverse.tail :+ inputDim
-      val t = Trainer.fit(new DenseAutoencoder(sizes, seed), train, valuesCol,
-        epochs = epochs, lr = c.lr)
-      Scored(c.lr, c.hidden, valScore(t, validation, valuesCol))
-    }.sortBy(_.valMse)
+    // ONE training-set conversion + persist for every candidate — the
+    // per-candidate Trainer.fit rebuilt (and re-persisted) the identical
+    // window RDD once per trial (r16: 4 redundant passes in the m9 row).
+    // Same RDD -> same partitions -> bit-identical per-candidate floats.
+    val data = Trainer.toTrainRdd(train, valuesCol)
+    try {
+      candidates.map { c =>
+        val sizes = (inputDim +: c.hidden) ++ c.hidden.reverse.tail :+ inputDim
+        val m = new DenseAutoencoder(sizes, seed)
+        val t = Trainer.fitData(m, m.initWeights(), data,
+          epochs = epochs, lr = c.lr, seed = seed)
+        Scored(c.lr, c.hidden, valScore(t, validation, valuesCol))
+      }.sortBy(_.valMse)
+    } finally data.unpersist(blocking = false)
   }
 
   /** Mean validation MSE of one candidate — the scoring half of the
