@@ -297,19 +297,29 @@ object Similarity {
     // points count for autoNlist first — r15 advice: two full corpus
     // scans per build where one suffices).
     val n = if (knownCount >= 0L) knownCount else df.count()
+    // localCheckpoint, not persist: KMeans iterates over this frame many
+    // times, and a plain cache keeps the full SQL lineage (scan +
+    // normalize) inside every iteration task's binary — measured r16
+    // (PhaseProbe -jobs), task DESERIALIZATION was ~90% of the fit jobs'
+    // task time at the bench sf. Checkpointing stores the computed
+    // partitions and truncates the plan after the first pass; partition
+    // count and row order are exactly the cached frame's, so the
+    // centroids are bit-identical (the pinned/stored oracle legs and the
+    // ≥50% recall pin hold unchanged). Lazy: the first KMeans pass
+    // materializes it, like the persist did.
     val train = (if (n > cap)
       fitInput.sample(withReplacement = false, cap.toDouble / n, seed)
     else fitInput)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false)
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setK(nlist).setSeed(seed).setFeaturesCol("_ivf_v").setPredictionCol("ivf_cell")
       .fit(train)
     val assigned = km.transform(fitInput).drop("_ivf_v")
-    // The cache exists to feed the KMeans iterations; after fit it is dead
-    // weight (callers persist the *assigned* frame for probing). Async
-    // unpersist: a caller materializing `assigned` right away recomputes
-    // one narrow normalize pass instead of holding a second copy forever.
-    train.unpersist(blocking = false)
+    // The checkpoint exists to feed the KMeans iterations; after fit it is
+    // dead weight (callers persist the *assigned* frame for probing).
+    // Dataset.unpersist is a no-op for checkpoint-backed frames — release
+    // the blocks through the backing RDD (the duplicateClusters pattern).
+    graft.ext.Dedup.checkpointRdd(train).foreach(_.unpersist(false))
     (assigned, km)
   }
 
