@@ -171,36 +171,66 @@ object Similarity {
   }
 
   /** Near-duplicate pairs composed end-to-end for scale: banded-signature
-    * candidate generation (equi-join on (band, signature) — one shuffle of
-    * compact keys, never an all-pairs product) → exact cosine verification
-    * on the candidate pairs only. This replaces the O(n²)
-    * [[cosineNearDuplicates]] theta-join shape everywhere the corpus is
-    * larger than a broadcast.
+    * candidate generation (equi-join on (band, signature) — never an
+    * all-pairs product) → exact cosine verification. This replaces the
+    * O(n²) [[cosineNearDuplicates]] theta-join shape everywhere the
+    * corpus is larger than a broadcast.
     *
-    * Signatures come from the one-pass [[bandedSignatureRows]]; the two
-    * sides of the self-join share one canonical subplan, so Spark's
-    * ReuseExchange computes the signature shuffle once — no persist, no
-    * cache-lifetime leak. Pass a precomputed/stored `sigRows` frame to
-    * skip signature computation entirely (the 100 TB lifecycle).
+    * Shape (r16): each side of the band self-join carries `(id, band,
+    * sig, vector)` — the vector rides along (bands copies of dim
+    * doubles, a LINEAR shuffle) so the exact cosine is computed
+    * STREAMING in the join output and `cos > minCos` filters candidates
+    * before anything else touches them. The candidate stream — the one
+    * quantity that grows superlinearly when bucket occupancy grows — is
+    * never materialized, never distinct'd, never re-joined: the r15
+    * shape paid a distinct at candidate cardinality plus two vector
+    * attachment joins at pair cardinality (~2 longs + dim doubles per
+    * surviving candidate through three exchanges), which dominated the
+    * ×100 sweep (925 s at sf10, 84× the sf1 wall). Only survivors (the
+    * declared result, times ≤ bands band-multiplicity) reach the final
+    * distinct. Same pairs, bitwise-same cosines: candidates = "share ≥1
+    * band" either way, cosine is the same kernel over the same cast
+    * arrays, and distinct commutes with the deterministic cosine filter.
+    *
+    * Signatures come from the one-pass [[bandedSignatureRows]] (inline)
+    * or a precomputed/stored `sigRows` frame (the 100 TB lifecycle);
+    * either way vectors are attached with one LINEAR id equi-join before
+    * the band join — the inline signature pass is hash-repartitioned by
+    * id first, because the corpus often arrives as a handful of scan
+    * splits (one, at the bench sfs) and the planes·dim matvec is the
+    * per-row hot loop.
     */
   def cosineNearDupLsh(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                        minCos: Double, bands: Int = 16, bitsPerBand: Int = 5,
                        sigRows: Option[DataFrame] = None): DataFrame = {
+    val vecD = col(vecCol).cast("array<double>")
+    val parts = 4 * df.sparkSession.sparkContext.defaultParallelism
     val sigs = sigRows.getOrElse(
-      bandedSignatureRows(df, idCol, vecCol, dim, bands, bitsPerBand))
-    val pairs = sigs.as("a")
-      .join(sigs.as("b"),
+      bandedSignatureRows(df.repartition(parts, col(idCol)), idCol, vecCol,
+        dim, bands, bitsPerBand))
+    val vecs = df.select(col(idCol).as("_vid"), vecD.as("_v"))
+    val sv = sigs.join(vecs, col("_sid") === col("_vid"))
+      .select(col("_sid"), col("_band"), col("_sig"), col("_v"))
+    // The self-join's OUTPUT (candidate slots, Σ_buckets occ²/2) is orders
+    // of magnitude larger than its input (16·n narrow rows) — AQE sizes
+    // post-shuffle partitions by INPUT bytes, so it coalesces this
+    // exchange to ~1 partition at bench scale and the whole candidate
+    // enumeration runs on one core (measured: 8 single-task jobs, 26 s
+    // single-threaded at ×10 data). Pin the join partitioning to the
+    // cluster's parallelism instead (REPARTITION_BY_NUM is exempt from
+    // AQE coalescing): candidate work is spread over bands·2^bits
+    // buckets with mild skew (measured max bucket 2582 of 1.5e9 slots at
+    // ×100), so hash(band, sig) balances without salting. Both join
+    // sides share the one exchange (same canonical subplan).
+    val svP = sv.repartition(parts, col("_band"), col("_sig"))
+    svP.as("a")
+      .join(svP.as("b"),
         col("a._band") === col("b._band") && col("a._sig") === col("b._sig") &&
           col("a._sid") < col("b._sid"))
-      .select(col("a._sid").as("id1"), col("b._sid").as("id2"))
-      .distinct()
-    val vecs = df.select(col(idCol).as("_vid"), col(vecCol).cast("array<double>").as("_v"))
-    pairs
-      .join(vecs.withColumnRenamed("_vid", "id1").withColumnRenamed("_v", "_v1"), "id1")
-      .join(vecs.withColumnRenamed("_vid", "id2").withColumnRenamed("_v", "_v2"), "id2")
-      .withColumn("cos", cosine(col("_v1"), col("_v2")))
+      .select(col("a._sid").as("id1"), col("b._sid").as("id2"),
+        cosine(col("a._v"), col("b._v")).as("cos"))
       .filter(col("cos") > minCos)
-      .select("id1", "id2", "cos")
+      .distinct()
   }
 
   /** [[cosineNearDupLsh]] with the DATA-SCALED band width — the same
