@@ -410,13 +410,17 @@ object Dedup {
     * distinct (_id, gram_hash) frame — shared with [[winnowMatches]]
     * so the composite fingerprints the corpus once.
     */
-  private def winnowPairsFrom(gated: DataFrame, minShared: Long): DataFrame =
-    gated.as("a")
-      .join(gated.as("b"),
+  private def winnowPairsFrom(gated: DataFrame, minShared: Long): DataFrame = {
+    // fingerprint self-join output is Σ_hash df² ≫ its input — pin the
+    // enumeration's parallelism (graft.core.Fanout rationale)
+    val pinned = graft.core.Fanout.pin(gated, col("gram_hash"))
+    pinned.as("a")
+      .join(pinned.as("b"),
         col("a.gram_hash") === col("b.gram_hash") && col("a._id") < col("b._id"))
       .groupBy(col("a._id").as("id1"), col("b._id").as("id2"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
 
   /** Span ATTRIBUTION for winnowing candidates — the report step of the
     * plagiarism/copy-detection chain: for every candidate pair (the

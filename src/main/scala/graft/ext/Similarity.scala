@@ -699,7 +699,15 @@ object Similarity {
         explode(col("_probes")).as("_ci"))
     val wk = org.apache.spark.sql.expressions.Window
       .partitionBy("_qid").orderBy(col("cos").desc, col("neighbor_id"))
-    probes.join(members, col("_ci") === col("_mcell"))
+    // Pin the cell join's parallelism ([[pinFanout]]): its OUTPUT is the
+    // candidate stream (Σ_cells probes·members ≈ n·nprobe·n/nlist — 127M
+    // rows at the ×100 sweep sf), orders of magnitude above its INPUT
+    // (n + n·nprobe rows), so AQE's input-byte-sized coalescing parks
+    // the whole enumeration on 1–2 tasks (measured: 36 tasks / ~1 busy
+    // core for a 1000 s exec at sf10). Cell work is mildly skewed
+    // (hottest cell 263k of 127M slots), so hash(cell) balances.
+    pinFanout(probes, col("_ci"))
+      .join(pinFanout(members, col("_mcell")), col("_ci") === col("_mcell"))
       .filter(col("_qid") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("_qv"), col("_nv")))
       .withColumn("rank", row_number().over(wk).cast("long"))
@@ -1161,9 +1169,18 @@ object Similarity {
     * and [[semanticDedupAdaptive]], byte-identical plan to the pre-r13
     * inline form.
     */
+  /** Pin an exploding self-join's parallelism — see
+    * [[graft.core.Fanout.pin]] for the full rationale (candidate-stream
+    * output ≫ input, so AQE's input-byte-sized coalescing parks the
+    * enumeration on 1–2 tasks).
+    */
+  private def pinFanout(df: DataFrame, keys: Column*): DataFrame =
+    graft.core.Fanout.pin(df, keys: _*)
+
   private def pairCos(bucketed: DataFrame, idCol: String, minCos: Double): DataFrame = {
-    val a = bucketed.select(col(idCol).as("id1"), col("bucket"), col("_v").as("_v1"))
-    val b = bucketed.select(col(idCol).as("id2"), col("bucket"), col("_v").as("_v2"))
+    val pinned = pinFanout(bucketed, col("bucket"))
+    val a = pinned.select(col(idCol).as("id1"), col("bucket"), col("_v").as("_v1"))
+    val b = pinned.select(col(idCol).as("id2"), col("bucket"), col("_v").as("_v2"))
     a.join(b, "bucket")
       .filter(col("id1") < col("id2"))
       .withColumn("cos", cosine(col("_v1"), col("_v2")))
@@ -1435,8 +1452,9 @@ object Similarity {
     * pre-r12 inline form.
     */
   private def pairTopK(bucketed: DataFrame, idCol: String, k: Int): DataFrame = {
-    val a = bucketed.select(col(idCol).as("_qid"), col("bucket"), col("_v").as("_v1"))
-    val b = bucketed.select(col(idCol).as("neighbor_id"), col("bucket"), col("_v").as("_v2"))
+    val pinned = pinFanout(bucketed, col("bucket"))
+    val a = pinned.select(col(idCol).as("_qid"), col("bucket"), col("_v").as("_v1"))
+    val b = pinned.select(col(idCol).as("neighbor_id"), col("bucket"), col("_v").as("_v2"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("_qid").orderBy(col("cos").desc, col("neighbor_id"))
     a.join(b, "bucket")

@@ -2593,6 +2593,12 @@ object ExtQueries {
       (s, d) => {
         val grams = s.table(gramTableFor(s, d))
         val counts = grams.groupBy("_id").agg(count(lit(1)).as("_n"))
+        // NOT Fanout-pinned (r16, measured): the truth self-join reads
+        // the bucketed gram table shuffle-free at its bucket count, and
+        // its warm candidate work is small (14 core-s at ×10 — the 168
+        // core-s first-rep job was JIT cold-start, not parallelism);
+        // pinning added a gram-table shuffle and measured SLOWER
+        // (7–12.6 s → 11.6–30.6 s at sf1).
         val truth = grams.as("ga")
           .join(grams.as("gb"),
             col("ga._sh") === col("gb._sh") && col("ga._id") < col("gb._id"))
