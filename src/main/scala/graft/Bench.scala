@@ -136,6 +136,18 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
+    // Compact totals-only line, printed LAST (r16 verdict task 2): the
+    // driver's BENCH wrapper keeps a 2,000-char tail of stdout, and the
+    // full per-query line above is ~8 KB — it has never survived to be
+    // parsed (PERF per_query empty since r10). This line is <500 chars,
+    // so a COMPLETE JSON object always sits inside any tail window. The
+    // full line (and target/bench_full.json) keeps the per-query map;
+    // nothing is removed or renamed.
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""batch_total":$batchTotal,"stream_total":$streamTotal,""" +
+      s""""failed":${failed.mkString("[", ",", "]")},""" +
+      s""""skipped":${skipped.mkString("[", ",", "]")},"reps":$reps,""" +
+      s""""stream_reps":$streamReps,"sf":"$sfDir","full_json":"$outPath"}""")
     spark.stop()
   }
 }

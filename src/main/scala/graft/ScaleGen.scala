@@ -167,8 +167,32 @@ object ScaleGen {
     // collision this would have caught (500k rows → 95k distinct doc_ids)
     // produced plausible-looking lane timings and surfaced only on manual
     // inspection.
+    // Output layout (r17, guide §6/§2.5): the scaled frames descend from a
+    // single-file source via a broadcast crossJoin, so a plain write
+    // produced ONE part file with ONE parquet row group (90 MB at ×100) —
+    // and parquet scan parallelism is per ROW GROUP, so every scan-bound
+    // operator in the sweep ran single-task no matter the split count or
+    // core count (the "one huge unsplittable file" input-skew case; a real
+    // 100 TB corpus arrives as thousands of files). Spread the scaled
+    // tables over enough files to scan in parallel: hash by the id column
+    // (deterministic — not round-robin, see SPARK-38388) into
+    // max(defaultParallelism, sourceBytes·factor / 16 MB) files, capped at
+    // 512. Row CONTENT is unchanged; only the file layout moves.
+    def layoutParts(name: String): Int = {
+      def bytes(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).map(_.map(bytes).sum).getOrElse(0L)
+        else f.length()
+      val srcBytes = bytes(new java.io.File(s"$src/$name.parquet"))
+      val target = math.ceil(srcBytes.toDouble * factor / (16L << 20)).toLong
+      math.max(spark.sparkContext.defaultParallelism.toLong,
+        math.min(target, 512L)).toInt
+    }
     def write(name: String, df: DataFrame, idCol: Option[String] = None): Unit = {
-      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      val laid = idCol match {
+        case Some(c) => df.repartition(layoutParts(name), col(c))
+        case None => df
+      }
+      laid.write.mode("overwrite").parquet(s"$dst/$name.parquet")
       val out = spark.read.parquet(s"$dst/$name.parquet")
       val n = out.count()
       idCol.foreach { c =>

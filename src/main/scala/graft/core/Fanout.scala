@@ -27,6 +27,29 @@ import org.apache.spark.sql.{Column, DataFrame}
   * pinned shuffle itself stays one narrow linear pass at any scale.
   */
 object Fanout {
-  def pin(df: DataFrame, keys: Column*): DataFrame =
-    df.repartition(4 * df.sparkSession.sparkContext.defaultParallelism, keys: _*)
+  /** Multiplier over `defaultParallelism` for pinned exchanges. Default 4
+    * (the r16 measured choice); `0` (or negative) disables pinning
+    * entirely — deployments where the input partitioning is load-bearing
+    * (the x_minhash_recall case) can turn it off without code changes.
+    */
+  val MultiplierConf = "spark.graft.fanout.multiplier"
+
+  /** Hard cap on pinned partition count. On a very large cluster with a
+    * small input, 4 × total-cores exchanges create thousands of
+    * near-empty tasks per pinned join; the cap bounds that without
+    * retuning every call site. Default unbounded (bench-comparable).
+    */
+  val MaxPartitionsConf = "spark.graft.fanout.maxPartitions"
+
+  def pin(df: DataFrame, keys: Column*): DataFrame = {
+    val sess = df.sparkSession
+    val mult = sess.conf.get(MultiplierConf, "4").toInt
+    if (mult <= 0) df
+    else {
+      val cap = sess.conf.get(MaxPartitionsConf, Int.MaxValue.toString).toInt
+      val n = math.min(mult.toLong * sess.sparkContext.defaultParallelism,
+        cap.toLong).toInt
+      df.repartition(math.max(n, 1), keys: _*)
+    }
+  }
 }

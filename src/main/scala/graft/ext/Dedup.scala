@@ -664,7 +664,9 @@ object Dedup {
     * O(log diameter) and `maxIter` = 20 covers any component that fits in
     * storage. Non-convergence throws rather than returning wrong labels.
     *
-    * Each round's labels are `localCheckpoint`ed — an iterative plan that
+    * Each round's labels are `localCheckpoint`ed (availability
+    * trade-off + cluster-mode mitigations: DESIGN.md "localCheckpoint
+    * availability trade-off") — an iterative plan that
     * is merely persisted keeps its full lineage, and the label tree grows
     * ~3× per round until ANALYSIS of round k's plan exhausts the driver
     * heap (observed at 351 edges!); checkpointing truncates the plan to

@@ -117,8 +117,15 @@ object Similarity {
     * plane p belongs to band `p div bitsPerBand` at bit `p mod bitsPerBand`.
     *
     * Output (id, `_band`, `_sig`) is the storable LSH index: at 100 TB
-    * write it once (partitioned/bucketed by `(_band, _sig)`) and hand it
-    * to [[cosineNearDupLsh]]'s `sigRows` parameter on every later run.
+    * write it once and hand it to [[cosineNearDupLsh]]'s `sigRows`
+    * parameter on every later run. Storage layout note (r16 advice): the
+    * r16 join shape attaches vectors to the signatures BY ID and then
+    * repartitions by `(_band, _sig)` regardless of the stored layout, so
+    * bucketing the stored table by `(_band, _sig)` no longer buys a
+    * shuffle-free band join — bucket by the id column (serves the vector
+    * attach) or leave it unbucketed; what the stored table saves is the
+    * signature COMPUTATION (the planes·dim matvec pass), not the band
+    * exchange.
     * Bitwise identical to [[bandedSignatures]]/[[signatureLocal]] (same
     * sequential fold per plane).
     */
@@ -199,6 +206,14 @@ object Similarity {
     * id first, because the corpus often arrives as a handful of scan
     * splits (one, at the bench sfs) and the planes·dim matvec is the
     * per-row hot loop.
+    *
+    * `idCol` is assumed UNIQUE per row (r16 advice — every corpus here
+    * satisfies it; a dedup key must). With duplicate ids the r16 shape's
+    * output differs from the r15 shape's: duplicate-id rows multiply
+    * candidates before the cosine filter and identical (id1, id2) rows
+    * collapse in the final pair dedup, where the old shape emitted
+    * duplicate output rows. Deduplicate ids upstream before handing a
+    * dirty corpus to this operator.
     */
   def cosineNearDupLsh(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                        minCos: Double, bands: Int = 16, bitsPerBand: Int = 5,
@@ -230,7 +245,12 @@ object Similarity {
       .select(col("a._sid").as("id1"), col("b._sid").as("id2"),
         cosine(col("a._v"), col("b._v")).as("cos"))
       .filter(col("cos") > minCos)
-      .distinct()
+      // dropDuplicates on the PAIR, not distinct() on (id1, id2, cos)
+      // (r16 advice): a pair surviving in several bands carries the same
+      // cosine only because the kernel is bitwise-deterministic — keying
+      // the dedup on the ids alone removes that silent float-bit-equality
+      // dependency (any surviving copy's cos is THE cos of the pair).
+      .dropDuplicates("id1", "id2")
   }
 
   /** [[cosineNearDupLsh]] with the DATA-SCALED band width — the same
@@ -327,7 +347,9 @@ object Similarity {
     // points count for autoNlist first — r15 advice: two full corpus
     // scans per build where one suffices).
     val n = if (knownCount >= 0L) knownCount else df.count()
-    // localCheckpoint, not persist: KMeans iterates over this frame many
+    // localCheckpoint, not persist (availability trade-off + cluster-mode
+    // mitigations: DESIGN.md "localCheckpoint availability trade-off"):
+    // KMeans iterates over this frame many
     // times, and a plain cache keeps the full SQL lineage (scan +
     // normalize) inside every iteration task's binary — measured r16
     // (PhaseProbe -jobs), task DESERIALIZATION was ~90% of the fit jobs'

@@ -24,8 +24,36 @@ object TextAnalysis {
 
   /** BPE-ish subword count estimate: word-boundary pieces + digit runs +
     * punctuation, the standard pre-tokenizer regex shape.
+    *
+    * Computed by the COUNT identity the oracle already states (r17,
+    * guide step 4): every non-alnum char is its own piece and every
+    * maximal alnum run is one piece, so
+    * `n = #alnum-runs + #non-alnum-chars` — one no-alloc regex pass
+    * plus a `translate` char scan, instead of materializing every piece
+    * through a lookaround split and an INTERPRETED higher-order filter
+    * (HOFs are CodegenFallback; measured 7.1 s single-task for 50 k docs
+    * at ×10 vs 0.6 s for this form). Parity with the split form is
+    * pinned in EvalFunctionsSpec against [[subwordCountSplit]] for BMP
+    * text; on astral-plane characters this form counts CODE POINTS
+    * (`length`/`translate` semantics — exactly what the DuckDB oracle's
+    * identity computes), where the old UTF-16 split counted each
+    * surrogate half as its own piece. The corpora contain no astral
+    * characters (the old form would have been oracle-red otherwise), so
+    * every declared result is unchanged; the astral behavior is pinned
+    * to the ORACLE's semantics in the spec.
     */
   def subwordCount(text: Column): Column =
+    graft.functions.GraftFunctions.regex_count(text, "[A-Za-z0-9]+") +
+      length(translate(text, AlnumChars, ""))
+
+  private[graft] val AlnumChars =
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+
+  /** The original lookaround-split twin of [[subwordCount]] — kept ONLY
+    * as the independent re-derivation the kernel form is pinned bitwise
+    * against (the winnowFingerprintsHof rule); nothing else calls it.
+    */
+  private[graft] def subwordCountSplit(text: Column): Column =
     size(filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"), t => length(t) > 0))
 
   /** Canonical text normalization for dedup keys: lowercase, strip
@@ -61,9 +89,14 @@ object TextAnalysis {
       "(?is)<(script|style)[^>]*>.*?</(script|style)\\s*>", " ")
     val noComments = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
     val noTags = regexp_replace(noComments, "<[^>]*>", " ")
+    // entity patterns are LITERAL strings: StringReplace (a plain char
+    // scan) replaces the same left-to-right non-overlapping occurrences
+    // as a literal-pattern regexp_replace at a fraction of the cost
+    // (r17; the stub parser twin applies the same substitution, so
+    // byte parity is unchanged)
     val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
       "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
-      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
@@ -74,6 +107,31 @@ object TextAnalysis {
     * family, as single-pass expressions.
     */
   def qualitySignals(df: DataFrame, textCol: String): DataFrame = {
+    // ONE byte scan for the three integers (r17, guide step 4): the
+    // split-array form allocated every token per row and counted
+    // stopwords through an INTERPRETED higher-order filter (HOFs are
+    // CodegenFallback) plus a regex pass for the punctuation count —
+    // measured 6.2 s single-task for 50 k docs at ×10 vs <1 s for this
+    // form. Value-identical by construction (piece count = space-run
+    // count + 1 under split's limit=-1; ASCII bytes never occur inside
+    // UTF-8 multi-byte sequences), pinned bitwise against
+    // [[qualitySignalsSplit]] in EvalFunctionsSpec.
+    val st = graft.functions.GraftFunctions.space_token_stats(col(textCol), Stopwords)
+    val nTok = st.getField("n_tokens")
+    df.withColumn("n_chars_m", length(col(textCol)))
+      .withColumn("n_tokens", nTok)
+      .withColumn("mean_token_len",
+        (length(col(textCol)) - nTok + 1).cast("double") / nTok)
+      .withColumn("punct_ratio",
+        st.getField("n_punct").cast("double") / length(col(textCol)))
+      .withColumn("stopword_ratio", st.getField("n_stop").cast("double") / nTok)
+  }
+
+  /** The original split/HOF twin of [[qualitySignals]] — kept ONLY as
+    * the independent re-derivation the byte-scan kernel is pinned
+    * bitwise against; nothing else calls it.
+    */
+  private[graft] def qualitySignalsSplit(df: DataFrame, textCol: String): DataFrame = {
     val toks = tokens(col(textCol))
     val nTok = size(toks)
     df.withColumn("n_chars_m", length(col(textCol)))
@@ -1078,6 +1136,32 @@ object TextAnalysis {
     * Output: df plus n_emails, n_ips, n_phones (int) and `redacted`.
     */
   def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    // Pass accounting (r17, guide step 4): the email count and the email
+    // replace run over the SAME original text with the SAME pattern, so
+    // one fused find-loop produces both (the count of a replace-all IS
+    // its match count) — 5 regex passes instead of 6, and the count
+    // passes stop allocating per-match arrays (regex_count vs
+    // size(regexp_extract_all)). The ip/phone counts must stay separate
+    // passes over the ORIGINAL text (they are defined pre-redaction,
+    // and an email may contain an ip/phone substring), and their
+    // replaces chain sequentially per the documented order contract.
+    // Bitwise parity with the regexp chain pinned in EvalFunctionsSpec
+    // against [[redactPiiRegexp]].
+    val t = col(textCol)
+    val em = graft.functions.GraftFunctions.regex_count_replace(t, EmailRe, "<EMAIL>")
+    df.withColumn("n_emails", em.getField("n"))
+      .withColumn("n_ips", graft.functions.GraftFunctions.regex_count(t, Ipv4Re))
+      .withColumn("n_phones", graft.functions.GraftFunctions.regex_count(t, PhoneRe))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(em.getField("replaced"),
+          Ipv4Re, "<IP>"), PhoneRe, "<PHONE>"))
+  }
+
+  /** The original regexp-chain twin of [[redactPii]] — kept ONLY as the
+    * independent re-derivation the fused form is pinned bitwise against;
+    * nothing else calls it.
+    */
+  private[graft] def redactPiiRegexp(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
     df.withColumn("n_emails", size(regexp_extract_all(t, lit(EmailRe), lit(0))))
       .withColumn("n_ips", size(regexp_extract_all(t, lit(Ipv4Re), lit(0))))

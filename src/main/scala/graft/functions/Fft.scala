@@ -187,6 +187,24 @@ object GraftFunctions {
   def bpe_encode(text: Column, merges: Seq[(String, String)]): Column =
     toColumn(BpeEncodeExpr(toExpression(text), merges))
 
+  /** Codegen'd regex match COUNT with a plan-constant pattern — no
+    * match-array allocation (see [[RegexCountLit]]).
+    */
+  def regex_count(c: Column, regex: String): Column =
+    toColumn(RegexCountLit(toExpression(c), regex))
+
+  /** Codegen'd one-pass regex (count, replace-all) struct with
+    * plan-constant pattern/replacement (see [[RegexCountReplaceLit]]).
+    */
+  def regex_count_replace(c: Column, regex: String, replacement: String): Column =
+    toColumn(RegexCountReplaceLit(toExpression(c), regex, replacement))
+
+  /** Codegen'd one-byte-scan (n_tokens, n_stop, n_punct) struct over a
+    * string column (see [[SpaceTokenStats]]).
+    */
+  def space_token_stats(c: Column, stopwords: Seq[String]): Column =
+    toColumn(SpaceTokenStats(toExpression(c), stopwords))
+
   /** Make graft's expressions callable from `spark.sql(...)`. */
   def registerAll(spark: SparkSession): Unit = {
     registerFunction(spark, "fft_magnitude", exprs => FftMagnitude(exprs.head))

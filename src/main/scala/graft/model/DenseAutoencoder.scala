@@ -203,6 +203,8 @@ object Trainer {
     * handle). Partition count and intra-partition order are exactly the
     * cached frame's, so gradients are bit-identical (m2b's REAL-epoch
     * oracle row pins this). Caller unpersists when training ends.
+    * Availability trade-off and cluster-mode mitigations: DESIGN.md
+    * "localCheckpoint availability trade-off".
     */
   private[graft] def toTrainRdd(windows: DataFrame, valuesCol: String)
       : org.apache.spark.rdd.RDD[Array[Double]] = {

@@ -1371,4 +1371,100 @@ class EvalFunctionsSpec extends SparkSpec {
       assert(math.abs(e - a) <= 0.02 * 1009, s"exact=$e approx=$a")
     }
   }
+
+  // ---- r17 text-kernel parity pins: each rewritten hot expression is
+  // pinned bitwise against its original expression-chain twin, on the
+  // real corpus plus adversarial strings (multi-space runs, leading/
+  // trailing separators, newlines — where split(limit=-1) keeps empty
+  // pieces — unicode incl. astral plane, empty, null).
+
+  private def textFixture = {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text"))
+    val edge = Seq("", " ", "   ", "a", " a ", "a  b", "the a of", "the  a",
+      "a\nthe\n", "the\n", "¡héllo! 你好。 a?b!c", "x👀y z👀", "1.2.3", "...",
+      "a@b.co the", "  the  ", "of", "a", null.asInstanceOf[String])
+      .toDF("text")
+    docs.union(edge)
+  }
+
+  test("r17: regex_count_lit / regex_count_replace_lit == regexp_extract_all/replace twins") {
+    val pats = Seq(graft.ext.TextAnalysis.EmailRe, graft.ext.TextAnalysis.Ipv4Re,
+      graft.ext.TextAnalysis.PhoneRe, "[A-Za-z0-9]+", " +")
+    pats.foreach { p =>
+      val bad = textFixture.select(
+        GraftFunctions.regex_count(col("text"), p).as("k"),
+        size(regexp_extract_all(col("text"), lit(p), lit(0))).as("t"),
+        col("text"))
+        .filter(!(col("k") <=> col("t"))).limit(3).collect()
+      assert(bad.isEmpty, s"regex_count mismatch for '$p': ${bad.mkString("; ")}")
+    }
+    val badCr = textFixture.select(
+      GraftFunctions.regex_count_replace(col("text"),
+        graft.ext.TextAnalysis.EmailRe, "<EMAIL>").as("s"),
+      size(regexp_extract_all(col("text"),
+        lit(graft.ext.TextAnalysis.EmailRe), lit(0))).as("tn"),
+      regexp_replace(col("text"), graft.ext.TextAnalysis.EmailRe, "<EMAIL>").as("tr"))
+      .filter(!(col("s.n") <=> col("tn")) || !(col("s.replaced") <=> col("tr")))
+      .limit(3).collect()
+    assert(badCr.isEmpty, s"regex_count_replace mismatch: ${badCr.mkString("; ")}")
+  }
+
+  test("r17: subwordCount kernel == lookaround-split twin (BMP); astral follows the oracle") {
+    // Astral-plane chars are the ONE documented divergence: the old
+    // UTF-16 split counted each surrogate half as a piece, while
+    // length/translate (and the DuckDB oracle's own count identity)
+    // count code points — compare the twins on BMP-only inputs.
+    val bmp = textFixture.filter(col("text").isNull ||
+      !col("text").rlike("[\\x{10000}-\\x{10FFFF}]"))
+    val bad = bmp.select(
+      graft.ext.TextAnalysis.subwordCount(col("text")).as("k"),
+      graft.ext.TextAnalysis.subwordCountSplit(col("text")).as("t"), col("text"))
+      .filter(!(col("k") <=> col("t"))).limit(3).collect()
+    assert(bad.isEmpty, s"subwordCount mismatch: ${bad.mkString("; ")}")
+    // astral: one emoji = one non-alnum CODE POINT, the oracle identity
+    val astral = Seq("x👀y z👀").toDF("text")
+      .select(graft.ext.TextAnalysis.subwordCount(col("text"))).as[Int].head()
+    assert(astral == 6, s"astral subword count=$astral (runs x,y,z + eye,space,eye)")
+  }
+
+  test("r17: qualitySignals byte-scan == split/HOF twin (all five signals)") {
+    val cols = Seq("n_chars_m", "n_tokens", "mean_token_len", "punct_ratio",
+      "stopword_ratio")
+    // ANSI mode: punct_ratio divides by length(text), so BOTH twins throw
+    // on empty text — the operator's domain is non-empty documents
+    val fix = textFixture.filter(length(col("text")) > 0)
+    val k = graft.ext.TextAnalysis.qualitySignals(fix, "text")
+    val t = graft.ext.TextAnalysis.qualitySignalsSplit(fix, "text")
+    // join rows positionally via a window-free zip: both frames derive
+    // from the same input in the same order — compare via collected rows
+    // (fixture is small)
+    val kr = k.select("text", cols: _*).collect()
+    val tr = t.select("text", cols: _*).collect()
+    assert(kr.length == tr.length)
+    kr.zip(tr).foreach { case (a, b) =>
+      assert(a == b, s"qualitySignals mismatch: $a vs $b")
+    }
+  }
+
+  test("r17: redactPii fused == regexp-chain twin") {
+    val aug = textFixture.filter(col("text").isNotNull)
+      .withColumn("text", concat(col("text"),
+        lit(" u1@mail.example 10.0.9.7 555-123-4567 a@1.2.3.4.zz x@y.c")))
+    val cols = Seq("n_emails", "n_ips", "n_phones", "redacted")
+    val kr = graft.ext.TextAnalysis.redactPii(aug, "text").select("text", cols: _*).collect()
+    val tr = graft.ext.TextAnalysis.redactPiiRegexp(aug, "text").select("text", cols: _*).collect()
+    assert(kr.length == tr.length)
+    kr.zip(tr).foreach { case (a, b) => assert(a == b, s"redactPii mismatch: $a vs $b") }
+  }
+
+  test("r17: space_token_stats piece count == size(split(' +')) on adversarial strings") {
+    val bad = textFixture.select(
+      GraftFunctions.space_token_stats(col("text"),
+        Seq("the", "a", "of", "and", "to", "in", "is", "on", "for"))
+        .getField("n_tokens").as("k"),
+      size(split(col("text"), " +")).as("t"), col("text"))
+      .filter(!(col("k") <=> col("t"))).limit(3).collect()
+    assert(bad.isEmpty, s"piece-count mismatch: ${bad.mkString("; ")}")
+  }
 }
